@@ -1,0 +1,86 @@
+"""Statistical column functions.
+
+The reference computes stop "reliability" client-side with scipy:
+``norm.cdf(z_max) - norm.cdf(z_min)`` over the fitted per-stop normal
+(schedule_deviation.ipynb:838-841).  We absorb it into the Spark plan as
+pure Column arithmetic so only the final per-stop table leaves the engine.
+
+``norm_cdf`` uses the Abramowitz & Stegun 7.1.26 erf approximation
+(max abs error 1.5e-7) — well below the reporting precision, and exactly
+reproducible in ANSI SQL for oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A&S 7.1.26 coefficients.
+_A1, _A2, _A3, _A4, _A5 = (
+    0.254829592,
+    -0.284496736,
+    1.421413741,
+    -1.453152027,
+    1.061405429,
+)
+_P = 0.3275911
+_INV_SQRT2 = 0.7071067811865476
+
+
+def _erf_abs(x: Column) -> Column:
+    """erf(|x|) via A&S 7.1.26 (valid for x >= 0)."""
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_P) * x)
+    poly = t * (
+        F.lit(_A1)
+        + t * (F.lit(_A2) + t * (F.lit(_A3) + t * (F.lit(_A4) + t * F.lit(_A5))))
+    )
+    return F.lit(1.0) - poly * F.exp(-x * x)
+
+
+def norm_cdf(x: Column) -> Column:
+    """Standard normal CDF Φ(x) as a native Column expression."""
+    z = x * F.lit(_INV_SQRT2)
+    az = F.abs(z)
+    erf_az = _erf_abs(az)
+    erf_z = F.when(z < 0, -erf_az).otherwise(erf_az)
+    return F.lit(0.5) * (F.lit(1.0) + erf_z)
+
+
+def z_score(x: Column, mean: Column, std: Column) -> Column:
+    return (x - mean) / std
+
+
+def reliability(mean: Column, std: Column, lo: float = -60.0, hi: float = 300.0) -> Column:
+    """P(deviation ∈ [lo, hi]) under the fitted normal — the reference's
+    stop-reliability metric (defaults: 1 min early … 5 min late)."""
+    return norm_cdf(z_score(F.lit(hi), mean, std)) - norm_cdf(
+        z_score(F.lit(lo), mean, std)
+    )
+
+
+# ANSI-SQL rendering of the same approximation, for DuckDB oracle parity.
+NORM_CDF_SQL_TEMPLATE = (
+    "(0.5 * (1.0 + CASE WHEN ({x}) * {inv_sqrt2} < 0 THEN -1 ELSE 1 END * "
+    "(1.0 - (1.0 / (1.0 + {p} * ABS(({x}) * {inv_sqrt2}))) * "
+    "({a1} + (1.0 / (1.0 + {p} * ABS(({x}) * {inv_sqrt2}))) * "
+    "({a2} + (1.0 / (1.0 + {p} * ABS(({x}) * {inv_sqrt2}))) * "
+    "({a3} + (1.0 / (1.0 + {p} * ABS(({x}) * {inv_sqrt2}))) * "
+    "({a4} + (1.0 / (1.0 + {p} * ABS(({x}) * {inv_sqrt2}))) * {a5})))) * "
+    "EXP(-(({x}) * {inv_sqrt2}) * (({x}) * {inv_sqrt2})))))"
+)
+
+
+def norm_cdf_sql(x_expr: str) -> str:
+    """DuckDB-runnable SQL for ``norm_cdf`` over the expression ``x_expr``,
+    algebraically identical to the Column version (same op order → same
+    float64 result)."""
+    return NORM_CDF_SQL_TEMPLATE.format(
+        x=x_expr,
+        inv_sqrt2=repr(_INV_SQRT2),
+        p=repr(_P),
+        a1=repr(_A1),
+        a2=repr(_A2),
+        a3=repr(_A3),
+        a4=repr(_A4),
+        a5=repr(_A5),
+    )

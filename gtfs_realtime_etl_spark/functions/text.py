@@ -1,0 +1,97 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All native Column / higher-order-function expressions — no Python UDFs in
+the hot path.  These back the documents-table operators (dedup
+fingerprints, quality scoring, language ID, token counting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic.  Deliberately small + deterministic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "fr": ["le", "la", "les", "de", "des", "et", "en", "que", "est", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "von", "zu"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "es", "por", "con"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Lower-cased whitespace tokens (empty strings removed)."""
+    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """All k-character shingles of the lower-cased text (array<string>).
+
+    Expressed with sequence+transform so it runs JVM-side; short texts
+    (< k chars) yield a single shingle of the whole text.
+    """
+    lower = F.lower(text)
+    n = F.length(lower)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.substring(lower, i, k))
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    stripped = F.regexp_replace(text, r"[!-/:-@\[-`{-~]", "")
+    return _ratio(F.length(text) - F.length(stripped), F.length(text))
+
+
+def digit_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[0-9]", "")
+    return _ratio(F.length(text) - F.length(stripped), F.length(text))
+
+
+def upper_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[A-Z]", "")
+    return _ratio(F.length(text) - F.length(stripped), F.length(text))
+
+
+def whitespace_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"\s", "")
+    return _ratio(F.length(text) - F.length(stripped), F.length(text))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*words)))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: the language with the most stopword hits
+    (ties broken by language-code order; 'und' when no hits at all)."""
+    hits = [(lang, stopword_hits(text, lang)) for lang in sorted(STOPWORDS)]
+    best_lang, best_hits = F.lit("und"), F.lit(0)
+    # Strict > keeps the earliest language on ties (deterministic).
+    for lang, h in hits:
+        take = h > best_hits
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(take, h).otherwise(best_hits)
+    return best_lang
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long-enough, word-shaped, not
+    punctuation/digit soup.  Deterministic and cheap; mirrors the shape of
+    common LLM-corpus quality filters."""
+    n_tok = token_count(text)
+    len_ok = F.least(F.length(text).cast("double") / F.lit(200.0), F.lit(1.0))
+    tok_ok = F.least(n_tok.cast("double") / F.lit(40.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(1.0) - punct_ratio(text) * 4.0, F.lit(0.0))
+    digit_pen = F.greatest(F.lit(1.0) - digit_ratio(text) * 4.0, F.lit(0.0))
+    return (len_ok + tok_ok + punct_pen + digit_pen) / 4.0

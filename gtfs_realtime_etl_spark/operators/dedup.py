@@ -1,0 +1,235 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Four strategies, all shuffle-frugal by construction:
+
+- :func:`exact_dedup` — digest groupBy; one shuffle on the hash.
+- :func:`minhash_lsh_candidates` / :func:`minhash_lsh_dedup` — shingle →
+  MinHash signature → banded LSH bucket-join.  The quadratic comparison
+  only ever happens WITHIN an LSH bucket, so at 100 TB the cost is one
+  shuffle on (band, bucket-hash) plus tiny per-bucket cross products.
+- :func:`simhash` — 64-bit SimHash over tokens; near-dups share hash
+  prefixes (grouped by rotation for hamming-distance search).
+- n-gram Jaccard verification (:func:`jaccard_pairs`) — exact similarity
+  on candidate pairs only (never all pairs).
+
+All hashing uses Spark's built-in xxhash64 — JVM-side, seed-stable
+across runs/partitions, so signatures are deterministic engine state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gtfs_realtime_etl_spark.functions.text import char_shingles, tokens
+
+# Deterministic 64-bit odd multipliers/offsets for MinHash permutations,
+# derived from the golden-ratio constant (splitmix-style), fixed forever.
+_GOLDEN = 0x9E3779B97F4A7C15
+
+
+def _perm_params(n: int) -> list[tuple[int, int]]:
+    out = []
+    x = 1
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (x | 1) % (1 << 61)
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = x % (1 << 61)
+        out.append((a, b))
+    return out
+
+
+def normalized_text(text: Column) -> Column:
+    """Whitespace-collapsed, lower-cased canonical form for hashing."""
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content-digest groupBy.
+
+    Returns one row per distinct content: ``content_hash,
+    survivor_<id>, n_copies``.  Single shuffle, keyed on the digest —
+    the only strategy that is safe to run on the full 100 TB corpus
+    without candidate generation.
+    """
+    return (
+        docs.withColumn("content_hash", F.md5(normalized_text(F.col(text_col))))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(f"survivor_{id_col}"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 32, shingle_k: int = 5
+) -> Column:
+    """MinHash signature (array<bigint>) over distinct k-shingles.
+
+    One xxhash64 per shingle, then ``num_hashes`` affine permutations
+    folded with array-min — all higher-order Column ops, no Python.
+    """
+    base = F.transform(
+        F.array_distinct(char_shingles(text, shingle_k)),
+        lambda s: F.xxhash64(s),
+    )
+    mins = []
+    for a, b in _perm_params(num_hashes):
+        # (a*h + b) in 64-bit wraparound arithmetic; min over shingles.
+        permuted = F.transform(
+            base, lambda h: F.lit(a) * h + F.lit(b)  # noqa: B023
+        )
+        mins.append(F.array_min(permuted))
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH on MinHash signatures.
+
+    ``num_hashes`` must divide into ``bands`` equal rows-per-band.  Two
+    docs become a candidate pair iff SOME band of their signatures is
+    identical.  Plan: explode bands (narrow) → shuffle once on
+    (band_id, band_hash) → per-bucket self-join → distinct pairs.
+    """
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
+
+    sig = docs.select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig"),
+    )
+    banded = sig.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate pairs.
+
+    Joins the (small) candidate set back to the shingle sets and keeps
+    pairs with Jaccard ≥ threshold.  Only candidates are compared — at
+    scale this is the cheap tail of the pipeline.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(char_shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    out = (
+        candidates.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dedup: LSH candidates → exact Jaccard → verified pairs.
+
+    Duplicate-cluster resolution (connected components) is left to the
+    caller; the conventional greedy rule — drop every ``id_b`` — is a
+    single semi-join against this result.
+    """
+    cands = minhash_lsh_candidates(
+        docs, text_col, id_col, num_hashes, bands, shingle_k
+    )
+    return jaccard_pairs(docs, cands, text_col, id_col, shingle_k, threshold)
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over whitespace tokens as a Column expression.
+
+    Per token: xxhash64; per bit: +1/-1 vote; sign of the vote sum sets
+    the bit.  Implemented as a sum over bit-masks with higher-order
+    functions — stays JVM-side.
+    """
+    toks = tokens(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),  # noqa: B023
+        )
+        out = out + F.shiftleft(F.when(votes > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i)
+    return out
+
+
+def simhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup candidates: identical SimHash prefix (one shuffle on the
+    prefix).  Returns pairs with the hamming distance of full hashes."""
+    sh = docs.select(
+        F.col(id_col), simhash(F.col(text_col)).alias("simhash")
+    ).withColumn("prefix", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return a.join(
+        b,
+        (F.col("a.prefix") == F.col("b.prefix"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        ham.alias("hamming"),
+    )

@@ -1,0 +1,875 @@
+"""Driver-facing query registry over the TPC-H-ish testdata.
+
+Every operator family from SURVEY.md §2 (and the training-data-pipeline
+extensions) is demonstrated here as a (Spark DataFrame builder, DuckDB
+oracle SQL) pair.  The driver runs both at sf=0.01 and compares
+row-count + schema + order-insensitive value hash — so every computed
+column is aliased identically on both sides, and every floating-point
+output is made *deterministically identical* across engines:
+
+- Sums/averages/stddevs go through exact DECIMAL accumulation (order-
+  independent, engine-independent), then identical double-precision
+  post-arithmetic on both sides.
+- Remaining float outputs are rounded to a fixed scale on both sides.
+- Window/top-k selections carry explicit integer tie-breaks.
+
+GTFS-domain semantics (geohash, spatial joins, the full schedule-
+deviation pipeline) are oracle-tested in ``tests/`` against generated
+GTFS fixtures; the registry here covers them in star-schema form
+(equi+residual theta join, band filter, window dedup, norm-CDF
+reliability) so the driver gate exercises the same plan shapes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gtfs_realtime_etl_spark.functions.stats import norm_cdf, norm_cdf_sql
+from gtfs_realtime_etl_spark.functions.text import STOPWORDS, char_shingles, tokens
+from gtfs_realtime_etl_spark.functions.vector import cosine_similarity
+from gtfs_realtime_etl_spark.sources.testdata import load_testdata
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# Cross-engine deterministic float helpers.
+#
+# Decimal accumulation is exact and order-independent, so Spark's
+# partial/final parallel aggregation and DuckDB's sequential scan produce
+# the same value; the double arithmetic AFTER aggregation is written with
+# identical op order on both sides, so IEEE-754 gives identical bits.
+# ---------------------------------------------------------------------------
+
+
+def dsum(col: Column, scale: int = 2) -> Column:
+    """Exact decimal sum of a double column, returned as double."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def dsum_sql(x: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({x} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def dsumsq(col: Column, scale: int = 2) -> Column:
+    d = col.cast(f"decimal(18,{scale})")
+    return F.sum(d * d).cast("double")
+
+
+def dsumsq_sql(x: str, scale: int = 2) -> str:
+    d = f"CAST({x} AS DECIMAL(18,{scale}))"
+    return f"CAST(SUM({d} * {d}) AS DOUBLE)"
+
+
+def davg(col: Column, scale: int = 2) -> Column:
+    return dsum(col, scale) / F.count(col).cast("double")
+
+
+def davg_sql(x: str, scale: int = 2) -> str:
+    return f"({dsum_sql(x, scale)} / CAST(COUNT({x}) AS DOUBLE))"
+
+
+def dstddev(col: Column, scale: int = 2) -> Column:
+    """Sample stddev from exact decimal moments (deterministic across
+    engines); NULL for n<2, clamped at 0 against negative round-off."""
+    n = F.count(col).cast("double")
+    s1 = dsum(col, scale)
+    s2 = dsumsq(col, scale)
+    var = (s2 - (s1 * s1) / n) / (n - F.lit(1.0))
+    return F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).otherwise(F.lit(None))
+
+
+def dstddev_sql(x: str, scale: int = 2) -> str:
+    n = f"CAST(COUNT({x}) AS DOUBLE)"
+    s1 = dsum_sql(x, scale)
+    s2 = dsumsq_sql(x, scale)
+    var = f"(({s2} - ({s1} * {s1}) / {n}) / ({n} - 1.0))"
+    return f"(CASE WHEN {n} > 1 THEN SQRT(GREATEST({var}, 0.0)) ELSE NULL END)"
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tabs = load_testdata(spark, sf_dir, tables=tuple(names))
+    return [tabs[n] for n in names]
+
+
+# ---------------------------------------------------------------------------
+# events.ts arrives as a raw nanoseconds bigint (see sources/testdata.py).
+# All calendar derivations below are integer arithmetic on that value —
+# timezone-free on both engines (DuckDB sees a naive timestamp; its
+# strftime/EXTRACT are calendar operations on the same raw value).
+# ---------------------------------------------------------------------------
+
+_NS_PER_SEC = 1_000_000_000
+_NS_PER_DAY = 86_400 * _NS_PER_SEC
+
+
+def _ev_secs_of_day() -> Column:
+    """Seconds-since-midnight of the (naive) event timestamp."""
+    return F.expr(f"(ts div {_NS_PER_SEC}) % 86400").cast("int")
+
+
+def _ev_date() -> Column:
+    """'YYYY-MM-DD' of the (naive) event timestamp."""
+    days = F.expr(f"cast(ts div {_NS_PER_DAY} as int)")
+    return F.date_add(F.lit("1970-01-01").cast("date"), days).cast("string")
+
+
+def _ev_ts_us() -> Column:
+    """Event timestamp as epoch microseconds (DuckDB: epoch_us(ts))."""
+    return F.expr("ts div 1000")
+
+
+# ---------------------------------------------------------------------------
+# Q1: filtered, projected scan (SURVEY §2 P5/P8/S13).
+# Filters + projection must reach the parquet scan (PushedFilters).
+# ---------------------------------------------------------------------------
+
+
+def q_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.filter(
+        F.col("l_shipdate").between("1995-06-01", "1995-08-31")
+        & (F.col("l_quantity") < 10)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+
+
+Q_FILTER_SCAN_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+FROM lineitem
+WHERE l_shipdate BETWEEN '1995-06-01' AND '1995-08-31' AND l_quantity < 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q2: pricing summary (TPC-H Q1 shape; SURVEY §2 A1-A3).
+# ---------------------------------------------------------------------------
+
+
+def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    qty, price, disc = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    disc_price = (
+        price.cast("decimal(18,2)") * (F.lit(1).cast("decimal(18,2)") - disc.cast("decimal(18,2)"))
+    )
+    return (
+        lineitem.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("count_order"),
+            dsum(qty).alias("sum_qty"),
+            dsum(price).alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.round(davg(qty), 6).alias("avg_qty"),
+            F.round(dstddev(qty), 6).alias("stddev_qty"),
+        )
+    )
+
+
+Q_AGG_PRICING_SQL = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  COUNT(*) AS count_order,
+  {dsum_sql('l_quantity')} AS sum_qty,
+  {dsum_sql('l_extendedprice')} AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+    AS sum_disc_price,
+  ROUND({davg_sql('l_quantity')}, 6) AS avg_qty,
+  ROUND({dstddev_sql('l_quantity')}, 6) AS stddev_qty
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3: 5-way star join with broadcast dims (SURVEY §2 J1-J3).
+# region/nation are broadcast; the orders⋈lineitem shuffle is the only
+# wide exchange, keyed on the join column — the TPC-H Q5 plan shape.
+# ---------------------------------------------------------------------------
+
+
+def q_join_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, nation, customer, orders, lineitem = _t(
+        spark, sf_dir, "region", "nation", "customer", "orders", "lineitem"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+Q_JOIN_REGIONAL_REVENUE_SQL = """
+SELECT
+  n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+    AS revenue,
+  COUNT(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q4: window dedup — latest event per (user, type) (SURVEY §2 W1/P9).
+# ---------------------------------------------------------------------------
+
+
+def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+            _ev_ts_us().alias("last_ts_us"),
+        )
+    )
+
+
+Q_WINDOW_DEDUP_SQL = """
+SELECT user_id, event_type,
+       event_id AS last_event_id, value AS last_value,
+       epoch_us(ts) AS last_ts_us
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q5: equi join + residual band predicate (SURVEY §2 J4 shape — the
+# spatial join's plan: hash join on the key, theta residual on top).
+# ---------------------------------------------------------------------------
+
+
+def q_theta_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    lo = F.col("o_totalprice") * 0.05
+    hi = F.col("o_totalprice") * 0.2
+    return (
+        lineitem.join(
+            orders,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & F.col("l_extendedprice").between(lo, hi),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            dsum(F.col("l_extendedprice")).alias("matched_price"),
+        )
+    )
+
+
+Q_THETA_BAND_JOIN_SQL = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_matched,
+       {dsum_sql('l_extendedprice')} AS matched_price
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+ AND l_extendedprice BETWEEN o_totalprice * 0.05 AND o_totalprice * 0.2
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q6: predicate battery — isin / between / regex (SURVEY §2 P6-P8, F11).
+# ---------------------------------------------------------------------------
+
+
+def q_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.filter(
+            F.col("event_type").isin("click", "view")
+            & F.col("value").between(10, 100)
+            & F.col("props").rlike(r'"k": [1-4][0-9]\}')
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+Q_FILTER_PREDICATES_SQL = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {dsum_sql('value')} AS sum_value
+FROM events
+WHERE event_type IN ('click', 'view')
+  AND value BETWEEN 10 AND 100
+  AND regexp_matches(props, '"k": [1-4][0-9]}}')
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q7: time-of-day arithmetic (SURVEY §2 F7-F9, F12) — Spark has no TIME
+# type; integer seconds-since-midnight is the canonical representation.
+# ---------------------------------------------------------------------------
+
+
+def q_time_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.withColumn("secs_of_day", _ev_secs_of_day())
+        .withColumn("event_date", _ev_date())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("secs_of_day").alias("min_secs"),
+            F.max("secs_of_day").alias("max_secs"),
+            (
+                F.sum("secs_of_day").cast("double")
+                / F.count("secs_of_day").cast("double")
+            ).alias("avg_secs"),
+            F.countDistinct("event_date").alias("n_days"),
+        )
+    )
+
+
+Q_TIME_OF_DAY_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       MIN(secs_of_day) AS min_secs,
+       MAX(secs_of_day) AS max_secs,
+       (CAST(SUM(secs_of_day) AS DOUBLE) / CAST(COUNT(secs_of_day) AS DOUBLE))
+         AS avg_secs,
+       COUNT(DISTINCT event_date) AS n_days
+FROM (
+  SELECT event_type,
+         CAST((epoch_ns(ts) // 1000000000) % 86400 AS INT) AS secs_of_day,
+         strftime(ts, '%Y-%m-%d') AS event_date
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8: reliability aggregate — norm-CDF in-plan (SURVEY §2 F13/F14, A1-A3).
+# ---------------------------------------------------------------------------
+
+
+def q_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    diff = F.col("value") - F.lit(150.0)
+    grouped = (
+        events.filter(F.col("event_type") == "purchase")
+        .withColumn("diff", diff)
+        .groupBy("user_id")
+        .agg(
+            F.count("diff").alias("count"),
+            davg(F.col("diff")).alias("avg_diff"),
+            dstddev(F.col("diff")).alias("stddev_diff"),
+        )
+        .filter(F.col("count") > 1)
+    )
+    z_min = (F.lit(-60.0) - F.col("avg_diff")) / F.col("stddev_diff")
+    z_max = (F.lit(300.0) - F.col("avg_diff")) / F.col("stddev_diff")
+    return grouped.select(
+        "user_id",
+        "count",
+        F.round("avg_diff", 6).alias("avg_diff_r"),
+        F.round("stddev_diff", 6).alias("stddev_diff_r"),
+        F.round(norm_cdf(z_max) - norm_cdf(z_min), 6).alias("reliability"),
+    )
+
+
+Q_RELIABILITY_SQL = f"""
+SELECT user_id, count,
+       ROUND(avg_diff, 6) AS avg_diff_r,
+       ROUND(stddev_diff, 6) AS stddev_diff_r,
+       ROUND({norm_cdf_sql('(300.0 - avg_diff) / stddev_diff')}
+             - {norm_cdf_sql('(-60.0 - avg_diff) / stddev_diff')}, 6) AS reliability
+FROM (
+  SELECT user_id,
+         COUNT(diff) AS count,
+         {davg_sql('diff')} AS avg_diff,
+         {dstddev_sql('diff')} AS stddev_diff
+  FROM (SELECT user_id, value - 150.0 AS diff FROM events
+        WHERE event_type = 'purchase')
+  GROUP BY user_id
+)
+WHERE count > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9: the flagship composite — "punctuality" in star-schema form.
+# Same plan shape as the GTFS schedule-deviation query E3: broadcast-dim
+# joins → band filter → window dedup (closest wins) → group agg →
+# norm-CDF reliability, all in one Spark plan.
+# ---------------------------------------------------------------------------
+
+NOON = 12 * 3600
+
+
+def q_flagship_punctuality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events, customer, nation = _t(spark, sf_dir, "events", "customer", "nation")
+    diff = (_ev_secs_of_day() - F.lit(NOON)).alias("diff")
+    pings = (
+        events.filter(F.col("event_type").isin("view", "click"))
+        .select("user_id", "event_id", _ev_date().alias("event_date"), diff)
+        .filter(F.col("diff").between(-3600, 3600))
+    )
+    w = Window.partitionBy("user_id", "event_date").orderBy(
+        F.asc(F.abs(F.col("diff"))), F.asc("event_id")
+    )
+    best = pings.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    joined = best.join(
+        F.broadcast(customer), best["user_id"] == customer["c_custkey"]
+    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    grouped = (
+        joined.groupBy("n_name")
+        .agg(
+            F.count("diff").alias("count"),
+            davg(F.col("diff"), 2).alias("avg_diff"),
+            dstddev(F.col("diff"), 2).alias("stddev_diff"),
+        )
+        .filter(F.col("count") > 1)
+    )
+    z_min = (F.lit(-60.0) - F.col("avg_diff")) / F.col("stddev_diff")
+    z_max = (F.lit(300.0) - F.col("avg_diff")) / F.col("stddev_diff")
+    return grouped.select(
+        "n_name",
+        "count",
+        F.round("avg_diff", 6).alias("avg_diff_r"),
+        F.round("stddev_diff", 6).alias("stddev_diff_r"),
+        F.round(norm_cdf(z_max) - norm_cdf(z_min), 6).alias("reliability"),
+    )
+
+
+Q_FLAGSHIP_PUNCTUALITY_SQL = f"""
+SELECT n_name, count,
+       ROUND(avg_diff, 6) AS avg_diff_r,
+       ROUND(stddev_diff, 6) AS stddev_diff_r,
+       ROUND({norm_cdf_sql('(300.0 - avg_diff) / stddev_diff')}
+             - {norm_cdf_sql('(-60.0 - avg_diff) / stddev_diff')}, 6) AS reliability
+FROM (
+  SELECT n_name,
+         COUNT(diff) AS count,
+         {davg_sql('diff')} AS avg_diff,
+         {dstddev_sql('diff')} AS stddev_diff
+  FROM (
+    SELECT * FROM (
+      SELECT user_id, event_date, diff, ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_date ORDER BY ABS(diff) ASC, event_id ASC) AS rn
+      FROM (
+        SELECT user_id, event_id, strftime(ts, '%Y-%m-%d') AS event_date,
+               CAST((epoch_ns(ts) // 1000000000) % 86400 AS INT) - {NOON} AS diff
+        FROM events
+        WHERE event_type IN ('view', 'click')
+      )
+      WHERE diff BETWEEN -3600 AND 3600
+    ) WHERE rn = 1
+  ) best
+  JOIN customer ON best.user_id = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+WHERE count > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10: exact dedup — hash-groupBy on normalized text (LLM-pipeline op).
+# Scale path: md5-group is a single shuffle on the digest; survivors via
+# min(doc_id) — no pairwise comparison ever happens.
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return (
+        documents.withColumn("content_hash", F.md5(norm))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+       MIN(doc_id) AS survivor_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11: n-gram Jaccard near-dup pairs (LLM-pipeline op).
+# Candidate pairs are length-and-source-banded before the quadratic
+# shingle comparison — the oracle-checkable small-scale form of the
+# MinHash-LSH pipeline in operators/dedup.py (which replaces the band
+# with hash buckets at 100 TB).
+# ---------------------------------------------------------------------------
+
+SHINGLE_K = 5
+JACCARD_THRESHOLD = 0.2
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    docs = documents.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.array_distinct(char_shingles(F.col("text"), SHINGLE_K)).alias("shingles"),
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 20),
+    )
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+Q_DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, source, n_chars,
+         list_distinct(list_transform(
+           range(1, GREATEST(length(text) - {SHINGLE_K - 1}, 1) + 1),
+           i -> substr(lower(text), i, {SHINGLE_K}))) AS shingles
+  FROM documents
+)
+SELECT doc_a, doc_b, jaccard
+FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / CAST(length(list_distinct(list_concat(a.shingles, b.shingles)))
+                      AS DOUBLE), 6) AS jaccard
+  FROM docs a JOIN docs b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+   AND ABS(a.n_chars - b.n_chars) <= 20
+)
+WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12: brute-force cosine top-k ANN (LLM-pipeline op).
+# The exact baseline for similarity search: one broadcast of the query
+# vector, a narrow map computing cosine, then a global top-k (Spark's
+# TakeOrderedAndProject — no full sort).  The LSH-bucketed scale path
+# lives in operators/similarity.py.
+# ---------------------------------------------------------------------------
+
+TOP_K = 10
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    emb = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("vec").alias("qvec"))
+    sim = cosine_similarity(F.col("vec"), F.col("qvec"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .select("vec_id", "label", F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+Q_ANN_COSINE_TOPK_SQL = f"""
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+q AS (SELECT vec FROM emb WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       ROUND(list_cosine_similarity(e.vec, q.vec), 6) AS cosine
+FROM emb e CROSS JOIN q
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13: per-source text-quality statistics (LLM-pipeline op).
+# Ratios are accumulated as DECIMAL(18,12) so the per-group means are
+# order-independent and engine-identical.
+# ---------------------------------------------------------------------------
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tokens = F.size(tokens(text))
+    stripped = F.regexp_replace(text, r"[!-/:-@\[-`{-~]", "")
+    punct = (F.length(text) - F.length(stripped)).cast("double") / F.length(text).cast(
+        "double"
+    )
+    enriched = documents.select(
+        "source",
+        n_tokens.alias("n_tokens"),
+        punct.alias("punct_ratio"),
+        F.length(text).alias("n_chars_live"),
+    )
+    return enriched.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (
+            F.sum("n_tokens").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_tokens"),
+        F.round(
+            F.sum(F.col("punct_ratio").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_punct_ratio"),
+        F.min("n_chars_live").alias("min_chars"),
+        F.max("n_chars_live").alias("max_chars"),
+    )
+
+
+Q_TEXT_QUALITY_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       (CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS avg_tokens,
+       ROUND(CAST(SUM(CAST(punct_ratio AS DECIMAL(18,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_punct_ratio,
+       MIN(n_chars_live) AS min_chars,
+       MAX(n_chars_live) AS max_chars
+FROM (
+  SELECT source,
+         length(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))
+              AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         length(text) AS n_chars_live
+  FROM documents
+)
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14: language-ID heuristic distribution (LLM-pipeline op).
+# First-in-order argmax over per-language stopword hits; 'und' when no
+# stopword matches at all.
+# ---------------------------------------------------------------------------
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    hits = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
+        for lang, words in sorted(STOPWORDS.items())
+    }
+    best_lang, best_hits = F.lit("und"), F.lit(0)
+    for lang in sorted(STOPWORDS):
+        take = hits[lang] > best_hits
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(take, hits[lang]).otherwise(best_hits)
+    return (
+        documents.select(
+            best_lang.alias("lang_pred"), F.col("lang").alias("lang_true")
+        )
+        .groupBy("lang_pred", "lang_true")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        "length(list_filter(list_filter(string_split_regex(lower(trim(text)), "
+        f"'\\s+'), x -> x <> ''), x -> x IN ({words})))"
+    )
+
+
+_LANGS = sorted(STOPWORDS)
+_GREATEST = "GREATEST(" + ", ".join(f"h_{lang}" for lang in _LANGS) + ")"
+_ARGMAX_CASES = " ".join(
+    f"WHEN h_{lang} = {_GREATEST} THEN '{lang}'" for lang in _LANGS
+)
+
+Q_LANG_ID_SQL = f"""
+SELECT CASE WHEN {_GREATEST} = 0 THEN 'und' {_ARGMAX_CASES} END AS lang_pred,
+       lang AS lang_true,
+       COUNT(*) AS n_docs
+FROM (
+  SELECT lang, {", ".join(f"{_lang_hits_sql(lang)} AS h_{lang}" for lang in _LANGS)}
+  FROM documents
+)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15: document fingerprint — polynomial rolling hash over characters
+# (LLM-pipeline op).  Pure higher-order-function arithmetic, identical
+# mod-2^31-1 recurrence on both engines.
+# ---------------------------------------------------------------------------
+
+_FP_MOD = 2147483647
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(lower)),
+        lambda i: F.ascii(F.substring(lower, i, 1)).cast("long"),
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % F.lit(_FP_MOD).cast("long"),
+    )
+    return documents.select("doc_id", fp.alias("fingerprint"))
+
+
+Q_DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(lower(text)) + 1),
+                          i -> CAST(ascii(substr(lower(text), i, 1)) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % {_FP_MOD}) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16: per-label embedding centroids (vector aggregate; LLM-pipeline op).
+# posexplode → group by (label, dim) keeps the whole reduction JVM-side;
+# float32 values are upcast to double BEFORE decimal accumulation so both
+# engines quantize the same widened value.
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    exploded = embeddings.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("label", (F.col("pos") + 1).alias("dim"), F.col("col").alias("val"))
+    return exploded.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            8,
+        ).alias("centroid_val"),
+    )
+
+
+Q_EMBEDDING_CENTROIDS_SQL = """
+SELECT label, dim,
+       COUNT(*) AS n_vecs,
+       ROUND(CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 8) AS centroid_val
+FROM (
+  SELECT label, pos AS dim, vec[pos] AS val
+  FROM (SELECT label, embedding::DOUBLE[] AS vec,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM embeddings)
+)
+GROUP BY label, dim
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry.
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "filter_scan": q_filter_scan,
+    "agg_pricing": q_agg_pricing,
+    "join_regional_revenue": q_join_regional_revenue,
+    "window_dedup": q_window_dedup,
+    "theta_band_join": q_theta_band_join,
+    "filter_predicates": q_filter_predicates,
+    "time_of_day": q_time_of_day,
+    "reliability": q_reliability,
+    "flagship_punctuality": q_flagship_punctuality,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "embedding_centroids": q_embedding_centroids,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "filter_scan": Q_FILTER_SCAN_SQL,
+    "agg_pricing": Q_AGG_PRICING_SQL,
+    "join_regional_revenue": Q_JOIN_REGIONAL_REVENUE_SQL,
+    "window_dedup": Q_WINDOW_DEDUP_SQL,
+    "theta_band_join": Q_THETA_BAND_JOIN_SQL,
+    "filter_predicates": Q_FILTER_PREDICATES_SQL,
+    "time_of_day": Q_TIME_OF_DAY_SQL,
+    "reliability": Q_RELIABILITY_SQL,
+    "flagship_punctuality": Q_FLAGSHIP_PUNCTUALITY_SQL,
+    "dedup_exact": Q_DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": Q_DEDUP_NGRAM_JACCARD_SQL,
+    "ann_cosine_topk": Q_ANN_COSINE_TOPK_SQL,
+    "text_quality": Q_TEXT_QUALITY_SQL,
+    "lang_id": Q_LANG_ID_SQL,
+    "doc_fingerprint": Q_DOC_FINGERPRINT_SQL,
+    "embedding_centroids": Q_EMBEDDING_CENTROIDS_SQL,
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite flagship query (entry-point smoke check)."""
+    return q_flagship_punctuality(spark, sf_dir)

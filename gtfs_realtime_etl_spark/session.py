@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults are sized for the local[32] test harness but every knob is the
+one you would also set on a 1000-executor cluster:
+
+- AQE on (runtime join re-planning, skew-join splitting, partition
+  coalescing) so plans survive skewed / mis-estimated inputs at scale.
+- ``spark.sql.shuffle.partitions`` sized to the harness; on a real
+  cluster AQE coalescing makes the static number mostly irrelevant.
+- Arrow enabled for any pandas_udf / toPandas edge (vectorized transfer).
+- Session timezone pinned per agency (the reference stores zoned
+  timestamps; cf. /root/reference/etl/runtime/handler.py:104-114).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_TZ = "America/Toronto"
+
+
+def get_spark(
+    app_name: str = "gtfs-realtime-etl-spark",
+    master: str | None = None,
+    timezone: str = DEFAULT_TZ,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults applied."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", timezone)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # ICU case mappings trigger a multi-minute CollationAwareUTF8String
+        # static init on first lower()/upper(); JVM mappings are equivalent
+        # for our ASCII-dominated data and skip that cost entirely.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,74 @@
+"""The partitioned parquet lake: writer + reader.
+
+Reference layout (SURVEY.md §1.2): hive-partitioned by year/month/day
+with a raw zone (one small snappy file per poll tick,
+/root/reference/etl/runtime/handler.py:158-163) and a compacted zone
+(few zstd files per day, compaction/runtime/handler.py:129-147).
+
+Spark mapping: ``partitionBy("year","month","day")`` writes the
+identical layout; the reader is a plain ``spark.read.parquet(root)`` —
+partition discovery, partition pruning (PruneFileSourcePartitions),
+parquet predicate/column pushdown all come from Catalyst for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PARTITION_COLS = ("year", "month", "day")
+
+
+def with_partition_cols(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
+    """Derive year/month/day partition columns from the (session-tz)
+    event timestamp.
+
+    NB the reference derives partition keys from *wall-clock* time at
+    write (``datetime.now``, handler.py:158) — event-time vs
+    processing-time skew in partition assignment (SURVEY.md §1.4).  We
+    partition by event time, which is the correct behavior at scale
+    (late data lands in the right partition); the skew-faithful mode is
+    a caller passing its own year/month/day columns.
+    """
+    ts = F.col(ts_col)
+    return (
+        df.withColumn("year", F.year(ts))
+        .withColumn("month", F.month(ts))
+        .withColumn("day", F.dayofmonth(ts))
+    )
+
+
+def write_locations_batch(
+    df: DataFrame,
+    root: str,
+    mode: str = "append",
+    compression: str = "snappy",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Append one micro-batch (or any enriched positions DataFrame) to the
+    hive-partitioned lake.  Raw zone uses snappy (hot tier, reference
+    parity handler.py:150); the compacted zone uses zstd (see
+    ``streaming/compaction.py``)."""
+    writer = df.write.mode(mode).partitionBy(*PARTITION_COLS)
+    writer = writer.option("compression", compression)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(root)
+
+
+def read_locations(spark: SparkSession, root: str) -> DataFrame:
+    """Read the whole lake as one logical table (reference: DuckDB
+    ``read_parquet('…/year=*/month=*/day=*/*.parquet',
+    hive_partitioning=true)``, schedule_deviation.ipynb:489-490).
+    Partition-column filters applied by the caller are pruned at plan
+    time — never a full scan."""
+    return spark.read.parquet(root)
+
+
+def register_locations_view(
+    spark: SparkSession, root: str, name: str = "locations"
+) -> DataFrame:
+    """``CREATE VIEW locations AS SELECT * FROM read_parquet(…)`` parity."""
+    df = read_locations(spark, root)
+    df.createOrReplaceTempView(name)
+    return df

@@ -1,0 +1,99 @@
+"""Dedup + similarity operators: planted near-duplicates must be found;
+LSH recall is checked against the brute-force exact baseline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gtfs_realtime_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    simhash_dedup,
+)
+from gtfs_realtime_etl_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.default_rng(7)
+    vocab = "spark shuffle join window agg filter scan column row batch".split()
+    base = [" ".join(rng.choice(vocab, 40)) for _ in range(80)]
+    rows = [(i, t) for i, t in enumerate(base)]
+    # plant exact duplicates of docs 0..4 (ids 100..104)
+    for i in range(5):
+        rows.append((100 + i, base[i]))
+    # plant near-duplicates of docs 10..14: one word changed (ids 200..204)
+    for i in range(5):
+        words = base[10 + i].split()
+        words[5] = "mutated"
+        rows.append((200 + i, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_finds_planted(corpus):
+    res = exact_dedup(corpus).toPandas()
+    dup_groups = res[res["n_copies"] > 1]
+    assert len(dup_groups) == 5
+    assert set(dup_groups["survivor_doc_id"]) == {0, 1, 2, 3, 4}
+
+
+def test_minhash_lsh_finds_near_dups(corpus):
+    pairs = minhash_lsh_dedup(corpus, threshold=0.5).toPandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    # exact dups are jaccard-1.0 — must all be found
+    for i in range(5):
+        assert (i, 100 + i) in found
+    # near-dups (1 word of 40 changed) — high jaccard, LSH should catch most
+    near_hits = sum((10 + i, 200 + i) in found for i in range(5))
+    assert near_hits >= 4
+    assert (pairs["jaccard"] >= 0.5).all()
+
+
+def test_simhash_near_dups(corpus):
+    pairs = simhash_dedup(corpus, prefix_bits=8).toPandas()
+    ham = {
+        (a, b): h for a, b, h in pairs[["id_a", "id_b", "hamming"]].values
+    }
+    for i in range(5):
+        assert ham.get((i, 100 + i)) == 0  # identical text → identical simhash
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(11)
+    # 3 well-separated clusters + noise
+    centers = rng.standard_normal((3, 64)) * 5
+    rows = []
+    for i in range(300):
+        c = i % 3
+        v = centers[c] + rng.standard_normal(64)
+        rows.append((i, c, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+
+
+def test_brute_force_topk_is_same_cluster(vectors):
+    q = vectors.filter("vec_id = 0").select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    top = brute_force_topk(vectors.filter("vec_id != 0"), q, k=10).toPandas()
+    assert len(top) == 10
+    assert (top["label"] == 0).all()  # same cluster as query
+    assert top["cosine"].is_monotonic_decreasing
+
+
+def test_lsh_recall_vs_brute_force(vectors):
+    q = vectors.filter("vec_id = 0").select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    others = vectors.filter("vec_id != 0")
+    exact = set(brute_force_topk(others, q, k=10).toPandas()["vec_id"])
+    approx = set(
+        lsh_bucketed_topk(others, q, k=10, n_planes=8, dim=64).toPandas()["vec_id"]
+    )
+    recall = len(exact & approx) / 10
+    assert recall >= 0.7, f"LSH recall too low: {recall}"

@@ -1,0 +1,118 @@
+"""Unit tests for the column-function library against independent
+oracles (known geohash vectors, stdlib erf, struct-packed WKB)."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from gtfs_realtime_etl_spark.functions import (
+    geohash_encode,
+    gtfs_time_to_secs,
+    norm_cdf,
+    point_wkb,
+    seconds_of_day,
+    token_count,
+)
+from gtfs_realtime_etl_spark.functions.stats import norm_cdf_sql
+from gtfs_realtime_etl_spark.functions.text import lang_id
+from gtfs_realtime_etl_spark.functions.time import NOT_PAST_MIDNIGHT
+
+# Known geohash vectors (classic public test points).
+GEOHASH_CASES = [
+    (57.64911, 10.40744, "u4pruyd"),
+    (43.6532, -79.3832, "dpz83df"),
+    (-33.8688, 151.2093, "r3gx2f7"),
+    (0.0, 0.0, "s000000"),
+    (90.0, 180.0, "zzzzzzz"),  # edge clamp
+    (-90.0, -180.0, "0000000"),
+]
+
+
+def test_geohash_known_values(spark):
+    df = spark.createDataFrame(
+        [(lat, lon) for lat, lon, _ in GEOHASH_CASES], "lat double, lon double"
+    )
+    got = [
+        r.gh
+        for r in df.select(
+            geohash_encode(F.col("lat"), F.col("lon"), 7).alias("gh")
+        ).collect()
+    ]
+    assert got == [gh for _, _, gh in GEOHASH_CASES]
+
+
+def test_norm_cdf_vs_erf(spark):
+    xs = [-4.0, -2.0, -1.0, -0.5, 0.0, 0.3, 1.0, 1.96, 3.5]
+    df = spark.range(1).select(
+        *[norm_cdf(F.lit(x)).alias(f"c{i}") for i, x in enumerate(xs)]
+    )
+    row = df.collect()[0]
+    for i, x in enumerate(xs):
+        exact = 0.5 * (1 + math.erf(x / math.sqrt(2)))
+        assert row[i] == pytest.approx(exact, abs=2e-7)
+
+
+def test_norm_cdf_sql_matches_spark(spark):
+    """The SQL rendering must be algebraically identical to the Column
+    version — bit-equal results."""
+    import duckdb
+
+    xs = [-2.0, -0.5, 0.0, 0.77, 2.5]
+    srow = spark.range(1).select(
+        *[norm_cdf(F.lit(x)).alias(f"c{i}") for i, x in enumerate(xs)]
+    ).collect()[0]
+    con = duckdb.connect()
+    for i, x in enumerate(xs):
+        (dv,) = con.execute(f"SELECT {norm_cdf_sql(repr(x))}").fetchone()
+        assert srow[i] == dv  # exact
+
+
+def test_point_wkb_bytes(spark):
+    df = spark.createDataFrame([(-79.38, 43.65)], "lon double, lat double")
+    (got,) = df.select(point_wkb(F.col("lon"), F.col("lat")).alias("w")).collect()
+    assert bytes(got.w) == struct.pack("<BIdd", 1, 1, -79.38, 43.65)
+
+
+def test_gtfs_time_handling(spark):
+    df = spark.createDataFrame(
+        [("06:30:15",), ("25:10:00",), ("00:00:00",)], "t string"
+    )
+    rows = df.select(
+        gtfs_time_to_secs(F.col("t")).alias("s"),
+        NOT_PAST_MIDNIGHT(F.col("t")).alias("keep"),
+    ).collect()
+    assert [r.s for r in rows] == [6 * 3600 + 30 * 60 + 15, 25 * 3600 + 600, 0]
+    assert [r.keep for r in rows] == [True, False, True]
+
+
+def test_seconds_of_day_session_tz(spark):
+    # 2024-03-05 14:30:00 America/Toronto == 19:30:00 UTC
+    df = spark.createDataFrame([(1709667000,)], "epoch long").select(
+        F.to_timestamp(F.from_unixtime("epoch")).alias("ts")
+    )
+    (row,) = df.select(seconds_of_day(F.col("ts")).alias("s")).collect()
+    assert row.s == 14 * 3600 + 30 * 60
+
+
+def test_lang_id_real_sentences(spark):
+    cases = [
+        ("the cat sat on the mat and it is happy", "en"),
+        ("le chat est sur la table et il est content", "fr"),
+        ("der hund ist nicht mit der katze", "de"),
+        ("el perro y el gato en la casa", "es"),
+        ("zzz qqq xxx", "und"),
+    ]
+    df = spark.createDataFrame(cases, "text string, expected string")
+    rows = df.select(lang_id(F.col("text")).alias("got"), "expected").collect()
+    for r in rows:
+        assert r.got == r.expected
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("  a b   c  ",), ("", ), ("one",)], "t string")
+    got = [r.n for r in df.select(token_count(F.col("t")).alias("n")).collect()]
+    assert got == [3, 0, 1]
