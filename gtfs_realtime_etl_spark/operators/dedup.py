@@ -23,9 +23,12 @@ from pyspark.sql import functions as F
 
 from gtfs_realtime_etl_spark.functions.text import char_shingles, tokens
 
-# Deterministic 64-bit odd multipliers/offsets for MinHash permutations,
-# derived from the golden-ratio constant (splitmix-style), fixed forever.
-_GOLDEN = 0x9E3779B97F4A7C15
+# MinHash permutations are affine maps h -> (a*h + b) mod M_31 over the
+# Mersenne prime 2^31-1.  Keeping a, b, h all below 2^31 bounds a*h + b
+# under 2^62, so the arithmetic never overflows int64 even with ANSI
+# mode on — same design as Spark MLlib's MinHashLSH.  Parameters come
+# from a fixed LCG so signatures are stable forever.
+_MERSENNE_31 = (1 << 31) - 1
 
 
 def _perm_params(n: int) -> list[tuple[int, int]]:
@@ -33,9 +36,9 @@ def _perm_params(n: int) -> list[tuple[int, int]]:
     x = 1
     for _ in range(n):
         x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-        a = (x | 1) % (1 << 61)
+        a = (x % (_MERSENNE_31 - 1)) + 1  # 1 <= a < M_31
         x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-        b = x % (1 << 61)
+        b = x % _MERSENNE_31  # 0 <= b < M_31
         out.append((a, b))
     return out
 
@@ -73,13 +76,14 @@ def minhash_signature(
     """
     base = F.transform(
         F.array_distinct(char_shingles(text, shingle_k)),
-        lambda s: F.xxhash64(s),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)),
     )
     mins = []
     for a, b in _perm_params(num_hashes):
-        # (a*h + b) in 64-bit wraparound arithmetic; min over shingles.
+        # (a*h + b) mod M_31; a, b, h < 2^31 so no int64 overflow.
         permuted = F.transform(
-            base, lambda h: F.lit(a) * h + F.lit(b)  # noqa: B023
+            base,
+            lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_31)),  # noqa: B023
         )
         mins.append(F.array_min(permuted))
     return F.array(*mins)

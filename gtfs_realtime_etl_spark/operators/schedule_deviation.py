@@ -126,6 +126,8 @@ def schedule_deviation(
         F.stddev_samp("diff").alias("stddev_diff"),
     ).select(
         "stop_id",
+        "stop_lon",
+        "stop_lat",
         "count",
         "avg_diff",
         "stddev_diff",

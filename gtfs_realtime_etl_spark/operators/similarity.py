@@ -39,15 +39,14 @@ def brute_force_topk(
     is q·n dot products — use :func:`lsh_bucketed_topk` when q·n gets
     large.
     """
-    emb = embeddings.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_vec")
-    )
+    passthrough = [c for c in embeddings.columns if c != vec_col]
+    emb = embeddings.withColumn("_vec", F.col(vec_col).cast("array<double>"))
     q = query.select(
         F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_qvec")
     )
     scored = emb.crossJoin(F.broadcast(q)).select(
         query_id_col,
-        id_col,
+        *passthrough,
         cosine_similarity(F.col("_vec"), F.col("_qvec")).alias("cosine"),
     )
     w = F.row_number().over(
@@ -93,8 +92,9 @@ def lsh_bucketed_topk(
     keyed on the signature.
     """
     planes = _hyperplanes(dim, n_planes, seed)
-    emb = embeddings.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_vec")
+    passthrough = [c for c in embeddings.columns if c != vec_col]
+    emb = embeddings.withColumn(
+        "_vec", F.col(vec_col).cast("array<double>")
     ).withColumn("bucket", lsh_signature(F.col("_vec"), planes))
 
     q = query.select(
@@ -115,7 +115,7 @@ def lsh_bucketed_topk(
         F.broadcast(q), emb["bucket"] == q["qbucket"]
     ).select(
         query_id_col,
-        id_col,
+        *passthrough,
         cosine_similarity(F.col("_vec"), F.col("_qvec")).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))

@@ -541,14 +541,15 @@ GROUP BY 1
 
 # ---------------------------------------------------------------------------
 # Q11: n-gram Jaccard near-dup pairs (LLM-pipeline op).
-# Candidate pairs are length-and-source-banded before the quadratic
-# shingle comparison — the oracle-checkable small-scale form of the
-# MinHash-LSH pipeline in operators/dedup.py (which replaces the band
-# with hash buckets at 100 TB).
+# Candidate pairs come from an EQUI join on (source, length-bucket) —
+# the LSH-bucketing plan shape: one hash shuffle on the composite key,
+# quadratic comparison only within tiny buckets.  The oracle-checkable
+# small-scale form of the MinHash-LSH pipeline in operators/dedup.py.
 # ---------------------------------------------------------------------------
 
 SHINGLE_K = 5
 JACCARD_THRESHOLD = 0.2
+LEN_BUCKET = 32
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,13 +558,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "n_chars",
+        F.expr(f"n_chars div {LEN_BUCKET}").alias("len_bucket"),
         F.array_distinct(char_shingles(F.col("text"), SHINGLE_K)).alias("shingles"),
-    )
+    ).repartition("source", "len_bucket")
     a = docs.alias("a")
     b = docs.alias("b")
     pairs = a.join(
         b,
         (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
         & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 20),
     )
@@ -582,7 +585,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_DEDUP_NGRAM_JACCARD_SQL = f"""
 WITH docs AS (
-  SELECT doc_id, source, n_chars,
+  SELECT doc_id, source, n_chars, n_chars // {LEN_BUCKET} AS len_bucket,
          list_distinct(list_transform(
            range(1, GREATEST(length(text) - {SHINGLE_K - 1}, 1) + 1),
            i -> substr(lower(text), i, {SHINGLE_K}))) AS shingles
@@ -595,8 +598,8 @@ FROM (
                / CAST(length(list_distinct(list_concat(a.shingles, b.shingles)))
                       AS DOUBLE), 6) AS jaccard
   FROM docs a JOIN docs b
-    ON a.source = b.source AND a.doc_id < b.doc_id
-   AND ABS(a.n_chars - b.n_chars) <= 20
+    ON a.source = b.source AND a.len_bucket = b.len_bucket
+   AND a.doc_id < b.doc_id AND ABS(a.n_chars - b.n_chars) <= 20
 )
 WHERE jaccard >= {JACCARD_THRESHOLD}
 """

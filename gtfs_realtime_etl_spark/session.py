@@ -44,6 +44,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # TIMESTAMP_MICROS (isAdjustedToUTC=true) instead of legacy INT96:
+        # external readers (DuckDB/Trino/PyArrow) then see a proper
+        # instant, not a naive UTC wall time — required for lake
+        # interoperability (reference stores tz-aware timestamps).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # ICU case mappings trigger a multi-minute CollationAwareUTF8String
         # static init on first lower()/upper(); JVM mappings are equivalent
         # for our ASCII-dominated data and skip that cost entirely.

@@ -78,7 +78,10 @@ def generate(base_dir: str) -> GtfsFixtures:
         start = int(rng.integers(6 * 3600, 20 * 3600))
         for seq, si in enumerate(stop_idx, start=1):
             secs = start + seq * 120
-            if rng.random() < 0.03:
+            # Real GTFS past-midnight times stay under 36:00:00 (the
+            # reference regex excludes exactly hours 24-35); only early
+            # starts can wrap without leaving that band.
+            if rng.random() < 0.12 and secs < 11 * 3600:
                 secs += 24 * 3600  # "25:10:00"-style
             st_rows.append(
                 {

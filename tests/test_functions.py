@@ -57,8 +57,9 @@ def test_norm_cdf_vs_erf(spark):
 
 
 def test_norm_cdf_sql_matches_spark(spark):
-    """The SQL rendering must be algebraically identical to the Column
-    version — bit-equal results."""
+    """The SQL rendering is algebraically identical to the Column
+    version; results agree to ULP level (JVM Math.exp and C libm may
+    differ in the last bit, which the queries' 6-dp rounding absorbs)."""
     import duckdb
 
     xs = [-2.0, -0.5, 0.0, 0.77, 2.5]
@@ -68,7 +69,7 @@ def test_norm_cdf_sql_matches_spark(spark):
     con = duckdb.connect()
     for i, x in enumerate(xs):
         (dv,) = con.execute(f"SELECT {norm_cdf_sql(repr(x))}").fetchone()
-        assert srow[i] == dv  # exact
+        assert srow[i] == pytest.approx(dv, abs=1e-14)
 
 
 def test_point_wkb_bytes(spark):
