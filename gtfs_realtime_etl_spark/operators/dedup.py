@@ -66,27 +66,40 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def minhash_signature(
-    text: Column, num_hashes: int = 32, shingle_k: int = 5
-) -> Column:
-    """MinHash signature (array<bigint>) over distinct k-shingles.
-
-    One xxhash64 per shingle, then ``num_hashes`` affine permutations
-    folded with array-min — all higher-order Column ops, no Python.
-    """
-    base = F.transform(
+def shingle_hashes(text: Column, shingle_k: int = 5) -> Column:
+    """One 31-bit hash per distinct k-shingle (array<bigint>)."""
+    return F.transform(
         F.array_distinct(char_shingles(text, shingle_k)),
         lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)),
     )
+
+
+def minhash_from_hashes(hashes: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature (array<bigint>) from a shingle-hash array.
+
+    ``hashes`` should be a MATERIALIZED attribute (its own projection
+    step), not an inline expression: this builds ``num_hashes``
+    permutation folds that each reference it, and an inlined expression
+    would be recomputed once per permutation.
+    """
     mins = []
     for a, b in _perm_params(num_hashes):
         # (a*h + b) mod M_31; a, b, h < 2^31 so no int64 overflow.
         permuted = F.transform(
-            base,
+            hashes,
             lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_31)),  # noqa: B023
         )
         mins.append(F.array_min(permuted))
     return F.array(*mins)
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 32, shingle_k: int = 5
+) -> Column:
+    """MinHash signature as a single Column expression (convenience form;
+    prefer shingle_hashes + minhash_from_hashes across a projection
+    boundary in hot paths — see minhash_lsh_candidates)."""
+    return minhash_from_hashes(shingle_hashes(text, shingle_k), num_hashes)
 
 
 def minhash_lsh_candidates(
@@ -107,9 +120,14 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
 
+    # Three projection steps so each stage's expression is evaluated
+    # exactly once per row: shingle-hash array → signature → bands.
     sig = docs.select(
         F.col(id_col),
-        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig"),
+        shingle_hashes(F.col(text_col), shingle_k).alias("_hashes"),
+    ).select(
+        F.col(id_col),
+        minhash_from_hashes(F.col("_hashes"), num_hashes).alias("sig"),
     )
     banded = sig.select(
         id_col,
@@ -124,18 +142,32 @@ def minhash_lsh_candidates(
             )
         ).alias("band_id", "band_hash"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Pairs come from ONE aggregation on (band_id, band_hash) plus an
+    # in-bucket pair explosion (all JVM higher-order ops) — not a
+    # self-join, which would evaluate the signature pipeline twice and
+    # shuffle both copies.  LSH buckets are tiny by construction, so the
+    # per-bucket quadratic explosion is bounded.
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("ids"), i + F.lit(2), F.size(F.col("ids"))
+                    ),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        buckets.select(pair.alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
 
@@ -154,7 +186,15 @@ def jaccard_pairs(
     pairs with Jaccard ≥ threshold.  Only candidates are compared — at
     scale this is the cheap tail of the pipeline.
     """
-    sh = docs.select(
+    # Shingle only the docs that appear in some candidate pair (semi-join
+    # pruning): at scale the candidate set is a tiny fraction of the
+    # corpus, so this avoids re-shingling everything twice.
+    involved = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = docs.join(involved, id_col, "left_semi").select(
         F.col(id_col),
         F.array_distinct(char_shingles(F.col(text_col), shingle_k)).alias("sh"),
     )
@@ -194,15 +234,10 @@ def minhash_lsh_dedup(
     return jaccard_pairs(docs, cands, text_col, id_col, shingle_k, threshold)
 
 
-def simhash(text: Column, bits: int = 64) -> Column:
-    """64-bit SimHash over whitespace tokens as a Column expression.
-
-    Per token: xxhash64; per bit: +1/-1 vote; sign of the vote sum sets
-    the bit.  Implemented as a sum over bit-masks with higher-order
-    functions — stays JVM-side.
-    """
-    toks = tokens(text)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+def simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
+    """SimHash from a token-hash array.  ``hashes`` should be a
+    materialized attribute — this builds ``bits`` vote aggregations that
+    each reference it (an inline expression would be recomputed per bit)."""
     out = F.lit(0).cast("long")
     for i in range(bits):
         votes = F.aggregate(
@@ -215,6 +250,19 @@ def simhash(text: Column, bits: int = 64) -> Column:
     return out
 
 
+def token_hashes(text: Column) -> Column:
+    """xxhash64 of each whitespace token (array<bigint>)."""
+    return F.transform(tokens(text), lambda t: F.xxhash64(t))
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over whitespace tokens as a single Column
+    expression.  Per token: xxhash64; per bit: +1/-1 vote; sign of the
+    vote sum sets the bit.  Prefer token_hashes + simhash_from_hashes
+    across a projection boundary in hot paths (see simhash_dedup)."""
+    return simhash_from_hashes(token_hashes(text), bits)
+
+
 def simhash_dedup(
     docs: DataFrame,
     text_col: str = "text",
@@ -223,17 +271,43 @@ def simhash_dedup(
 ) -> DataFrame:
     """Near-dup candidates: identical SimHash prefix (one shuffle on the
     prefix).  Returns pairs with the hamming distance of full hashes."""
-    sh = docs.select(
-        F.col(id_col), simhash(F.col(text_col)).alias("simhash")
-    ).withColumn("prefix", F.shiftrightunsigned("simhash", 64 - prefix_bits))
-    a, b = sh.alias("a"), sh.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return a.join(
-        b,
-        (F.col("a.prefix") == F.col("b.prefix"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        ham.alias("hamming"),
+    sh = (
+        docs.select(
+            F.col(id_col), token_hashes(F.col(text_col)).alias("_hashes")
+        )
+        .select(
+            F.col(id_col), simhash_from_hashes(F.col("_hashes")).alias("simhash")
+        )
+        .withColumn("prefix", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+    )
+    # One aggregation on the prefix + in-bucket pair explosion (same
+    # plan shape as minhash_lsh_candidates): simhash is computed once.
+    buckets = (
+        sh.groupBy("prefix")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash"))
+            ).alias("rows")
+        )
+        .filter(F.size("rows") > 1)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("rows"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("rows"), i + F.lit(2), F.size(F.col("rows"))),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        F.bit_count(
+                            x["simhash"].bitwiseXOR(y["simhash"])
+                        ).alias("hamming"),
+                    ),
+                ),
+            )
+        )
+    )
+    return buckets.select(pair.alias("p")).select(
+        F.col("p.id_a"), F.col("p.id_b"), F.col("p.hamming")
     )

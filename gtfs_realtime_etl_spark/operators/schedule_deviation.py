@@ -114,10 +114,15 @@ def schedule_deviation(
     # Band filter BEFORE the window (cell-11 subquery nesting).
     banded = matched.filter(F.col("diff").between(*band))
 
-    # Closest-ping-wins dedup per scheduled stop event.
+    # Closest-ping-wins dedup per scheduled stop event.  The reference
+    # orders only by (arrival_time, ABS(diff)) — an early ping at -X and
+    # a late ping at +X tie, and ROW_NUMBER picks one nondeterministically
+    # (in DuckDB too).  We append `diff ASC` as a final tie-break so the
+    # result is a deterministic function of the data; within a partition
+    # every other column is constant, so this is the only deviation.
     w = Window.partitionBy(
         "trip_id", "stop_id", "arrival_time", "stop_sequence"
-    ).orderBy(F.asc("arrival_time"), F.asc(F.abs(F.col("diff"))))
+    ).orderBy(F.asc("arrival_time"), F.asc(F.abs(F.col("diff"))), F.asc("diff"))
     ranked = banded.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
 
     return ranked.groupBy("stop_id", "stop_lon", "stop_lat").agg(

@@ -30,6 +30,14 @@ from pyspark.sql import functions as F
 from gtfs_realtime_etl_spark.functions.stats import norm_cdf, norm_cdf_sql
 from gtfs_realtime_etl_spark.functions.text import STOPWORDS, char_shingles, tokens
 from gtfs_realtime_etl_spark.functions.vector import cosine_similarity
+from gtfs_realtime_etl_spark.operators.asof import asof_join
+from gtfs_realtime_etl_spark.operators.dedup import minhash_lsh_dedup, simhash_dedup
+from gtfs_realtime_etl_spark.operators.multimodal import (
+    extract_features,
+    media_stats,
+    synthesize_media,
+)
+from gtfs_realtime_etl_spark.operators.sessions import session_stats
 from gtfs_realtime_etl_spark.sources.testdata import load_testdata
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -831,6 +839,420 @@ GROUP BY label, dim
 
 
 # ---------------------------------------------------------------------------
+# Q17: global top-k — ORDER BY + LIMIT with explicit integer tie-break
+# (Spark plans TakeOrderedAndProject: per-partition heaps, no full sort).
+# ---------------------------------------------------------------------------
+
+TOPK_ORDERS = 20
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(TOPK_ORDERS)
+    )
+
+
+Q_TOPK_ORDERS_SQL = f"""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT {TOPK_ORDERS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18: set operations — INTERSECT / EXCEPT / UNION-DISTINCT over the
+# customer cohorts of two order years.
+# ---------------------------------------------------------------------------
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+
+    def cohort(year: int) -> DataFrame:
+        return (
+            orders.filter(
+                F.col("o_orderdate").between(f"{year}-01-01", f"{year}-12-31 23:59:59")
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    a, b = cohort(1994), cohort(1995)
+    rows = [
+        ("both_years", a.intersect(b)),
+        ("only_1994", a.exceptAll(b).distinct()),
+        ("either_year", a.union(b).distinct()),
+    ]
+    out = None
+    for tag, df in rows:
+        r = df.agg(F.count(F.lit(1)).alias("n_customers")).select(
+            F.lit(tag).alias("cohort"), "n_customers"
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+Q_SET_OPS_SQL = """
+WITH a AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderdate BETWEEN '1994-01-01' AND '1995-01-01'::TIMESTAMP - INTERVAL 1 SECOND),
+     b AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderdate BETWEEN '1995-01-01' AND '1996-01-01'::TIMESTAMP - INTERVAL 1 SECOND)
+SELECT 'both_years' AS cohort, COUNT(*) AS n_customers
+FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+UNION ALL
+SELECT 'only_1994', COUNT(*) FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+UNION ALL
+SELECT 'either_year', COUNT(*) FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19: semi / anti joins — per nation, customers with and without any
+# order.  Semi/anti never materialize the right side, so at scale the
+# orders probe is one broadcast-or-shuffled hash join with no payload.
+# ---------------------------------------------------------------------------
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, nation = _t(spark, sf_dir, "customer", "orders", "nation")
+    total = customer.groupBy(
+        F.col("c_nationkey").alias("t_nationkey")
+    ).agg(F.count(F.lit(1)).alias("n_customers"))
+    active = (
+        customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "left_semi")
+        .groupBy(F.col("c_nationkey").alias("a_nationkey"))
+        .agg(F.count(F.lit(1)).alias("with_orders"))
+    )
+    return (
+        F.broadcast(nation)
+        .join(total, nation["n_nationkey"] == total["t_nationkey"])
+        .join(active, nation["n_nationkey"] == active["a_nationkey"], "left")
+        .select(
+            "n_name",
+            "n_customers",
+            F.coalesce("with_orders", F.lit(0)).alias("with_orders"),
+            (F.col("n_customers") - F.coalesce("with_orders", F.lit(0))).alias(
+                "without_orders"
+            ),
+        )
+    )
+
+
+Q_SEMI_ANTI_JOIN_SQL = """
+SELECT n_name,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS with_orders,
+       CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS without_orders
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20: ROLLUP — hierarchical aggregate with grouping id (subtotal rows).
+# Spark evaluates rollups as a single Expand + hash aggregate; no
+# multiple scans of the fact table.
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+Q_ROLLUP_REVENUE_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       {dsum_sql('l_extendedprice')} AS sum_price,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21: gap-based sessionization (lag + running sum; SURVEY §2.7 T5
+# extension).  One shuffle on user_id; both window passes reuse it.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_NS = 1_800 * 1_000_000_000  # 30 min
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    stats = session_stats(
+        events, key_col="user_id", ts_col="ts", gap=SESSION_GAP_NS,
+        order_cols=["event_id"],
+    )
+    return stats.select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        "n_events",
+        F.expr("session_start div 1000").alias("start_us"),
+        F.expr("duration div 1000000000").alias("duration_s"),
+    )
+
+
+Q_SESSIONIZATION_SQL = f"""
+WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
+flagged AS (
+  SELECT user_id, event_id, tns,
+         CASE WHEN lag(tns) OVER w IS NULL
+                OR tns - lag(tns) OVER w > {SESSION_GAP_NS} THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
+),
+sessioned AS (
+  SELECT user_id, tns,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       MIN(tns) // 1000 AS start_us,
+       (MAX(tns) - MIN(tns)) // 1000000000 AS duration_s
+FROM sessioned
+GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22: JSON extraction — parse the events.props JSON payload JVM-side
+# (get_json_object; no Python in the loop).
+# ---------------------------------------------------------------------------
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select(k.alias("k"), "value")
+        .withColumn("k_bucket", F.expr("k div 10"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+Q_JSON_EXTRACT_SQL = f"""
+SELECT k // 10 AS k_bucket,
+       COUNT(*) AS n_events,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       {dsum_sql('value')} AS sum_value
+FROM (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value FROM events)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q23: token statistics — whitespace tokens + a BPE-ish regex
+# tokenization (letter runs / single digits / single punctuation), all
+# in JVM regex (RE2-compatible pattern so the DuckDB oracle agrees).
+# ---------------------------------------------------------------------------
+
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    ws = F.size(tokens(F.col("text")))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0)))
+    per_doc = documents.select("lang", ws.alias("n_ws"), bpe.alias("n_bpe"))
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws").alias("total_ws_tokens"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        (F.sum("n_bpe").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_bpe_per_doc"
+        ),
+    )
+
+
+Q_TOKEN_STATS_SQL = f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(n_ws) AS total_ws_tokens,
+       SUM(n_bpe) AS total_bpe_tokens,
+       (CAST(SUM(n_bpe) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS avg_bpe_per_doc
+FROM (
+  SELECT lang,
+         length(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS n_ws,
+         length(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe
+  FROM documents
+)
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q24: embedding-cosine near-dup profile (LLM-pipeline op) — exact
+# quadratic comparison within label blocks (the oracle-checkable stand-in
+# for the LSH bucketing in operators/similarity.py), aggregated per label.
+# ---------------------------------------------------------------------------
+
+NEARDUP_COSINE = 0.8
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    emb = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    ).repartition("label")
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = F.round(cosine_similarity(F.col("a.vec"), F.col("b.vec")), 6)
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(F.col("a.label").alias("label"), cos.alias("cosine"))
+    return pairs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("cosine") >= NEARDUP_COSINE, 1).otherwise(0)).alias(
+            "n_near_dups"
+        ),
+        F.round(
+            F.sum(F.col("cosine").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_cosine"),
+    )
+
+
+Q_EMBEDDING_NEARDUP_SQL = f"""
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+pairs AS (
+  SELECT a.label AS label,
+         ROUND(list_cosine_similarity(a.vec, b.vec), 6) AS cosine
+  FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT label,
+       COUNT(*) AS n_pairs,
+       SUM(CASE WHEN cosine >= {NEARDUP_COSINE} THEN 1 ELSE 0 END) AS n_near_dups,
+       ROUND(CAST(SUM(CAST(cosine AS DECIMAL(18,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_cosine
+FROM pairs
+GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q25: multimodal metadata profile — the column-pruned path over a
+# media table (binary payload + typed metadata).  The oracle recomputes
+# the synthesized metadata from documents; payload bytes are the UTF-8
+# text bytes (DuckDB strlen).
+# ---------------------------------------------------------------------------
+
+
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    media = synthesize_media(spark, documents, modality="image")
+    return media_stats(media)
+
+
+Q_MEDIA_STATS_SQL = """
+SELECT 'image' AS modality,
+       COUNT(*) AS n_items,
+       AVG(strlen(text)) AS avg_bytes,
+       MAX(CAST(doc_id % 640 + 64 AS INTEGER)) AS max_width,
+       MAX(CAST(doc_id % 480 + 48 AS INTEGER)) AS max_height,
+       AVG(CAST(doc_id % 60000 AS INTEGER)) AS avg_duration_ms
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q26: as-of join — for each purchase event, the latest click by the
+# same user at or before it (operators/asof.py: union + carry-forward,
+# exactly one shuffle on user_id).  DuckDB oracle uses native ASOF JOIN.
+# ---------------------------------------------------------------------------
+
+
+def q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        direction="backward",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.expr("ts div 1000").alias("purchase_us"),
+        F.expr("ts_right div 1000").alias("click_us"),
+        F.expr("(ts - ts_right) div 1000000000").alias("gap_s"),
+    )
+
+
+Q_ASOF_CLICKS_SQL = """
+WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS tns
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, epoch_ns(ts) AS tns
+           FROM events WHERE event_type = 'click')
+SELECT p.purchase_id, p.user_id,
+       p.tns // 1000 AS purchase_us,
+       c.tns // 1000 AS click_us,
+       (p.tns - c.tns) // 1000000000 AS gap_s
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tns >= c.tns
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q27-Q29: engine-native ops with no SQL-expressible oracle (the driver
+# records a rows-only check): MinHash-LSH near-dedup, SimHash candidate
+# pairs, and the multimodal mapInPandas feature extraction.  All fully
+# deterministic (fixed permutation params / hyperplanes / stub codec).
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        documents, num_hashes=32, bands=8, shingle_k=5, threshold=0.2
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    return simhash_dedup(documents, prefix_bits=8).filter(F.col("hamming") <= 16)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    media = synthesize_media(spark, documents, modality="image")
+    feats = extract_features(media, dim=16)
+    return feats.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 16), 6).alias("f15"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
 
@@ -851,6 +1273,19 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "embedding_centroids": q_embedding_centroids,
+    "topk_orders": q_topk_orders,
+    "set_ops": q_set_ops,
+    "semi_anti_join": q_semi_anti_join,
+    "rollup_revenue": q_rollup_revenue,
+    "sessionization": q_sessionization,
+    "json_extract": q_json_extract,
+    "token_stats": q_token_stats,
+    "embedding_neardup": q_embedding_neardup,
+    "media_stats": q_media_stats,
+    "asof_clicks": q_asof_clicks,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -870,6 +1305,18 @@ ORACLE_SQL: dict[str, str] = {
     "lang_id": Q_LANG_ID_SQL,
     "doc_fingerprint": Q_DOC_FINGERPRINT_SQL,
     "embedding_centroids": Q_EMBEDDING_CENTROIDS_SQL,
+    "topk_orders": Q_TOPK_ORDERS_SQL,
+    "set_ops": Q_SET_OPS_SQL,
+    "semi_anti_join": Q_SEMI_ANTI_JOIN_SQL,
+    "rollup_revenue": Q_ROLLUP_REVENUE_SQL,
+    "sessionization": Q_SESSIONIZATION_SQL,
+    "json_extract": Q_JSON_EXTRACT_SQL,
+    "token_stats": Q_TOKEN_STATS_SQL,
+    "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
+    "media_stats": Q_MEDIA_STATS_SQL,
+    "asof_clicks": Q_ASOF_CLICKS_SQL,
+    # minhash_lsh_pairs / simhash_pairs / multimodal_features are
+    # engine-native (xxhash64 / mapInPandas) — rows-only driver check.
 }
 
 

@@ -55,7 +55,11 @@ def get_spark(
         .config("spark.sql.icu.caseMappings.enabled", "false")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] runs all executor threads inside the driver JVM; the
+        # array-heavy ops (shingle sets, signatures) churn real memory at
+        # 32-way parallelism, and an undersized heap turns into GC storms
+        # with 10x run-to-run variance.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -36,7 +36,7 @@ SELECT stop_id, stop_lon, stop_lat,
 FROM (
   SELECT *, ROW_NUMBER() OVER (
       PARTITION BY trip_id, stop_id, arrival_time, stop_sequence
-      ORDER BY arrival_time ASC, ABS(diff) ASC) AS rn
+      ORDER BY arrival_time ASC, ABS(diff) ASC, diff ASC) AS rn
   FROM (
     SELECT X.trip_id, S.stop_sequence, S.arrival_time,
            DATEDIFF('seconds', S.arrival_time::TIME,
