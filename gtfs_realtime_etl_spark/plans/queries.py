@@ -1219,7 +1219,84 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tns >= c.tns
 
 
 # ---------------------------------------------------------------------------
-# Q27-Q29: engine-native ops with no SQL-expressible oracle (the driver
+# Q27: analytic window battery — lag delta + frame-spec moving average
+# (rows between 3 preceding and current).  Both window passes share one
+# (user_id) shuffle+sort; the moving sum accumulates in DECIMAL so the
+# frame aggregation is order-independent across engines.
+# ---------------------------------------------------------------------------
+
+
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-3, Window.currentRow)
+    mov = (
+        F.sum(F.col("value").cast("decimal(18,2)")).over(frame).cast("double")
+        / F.count(F.lit(1)).over(frame).cast("double")
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.round(mov, 6).alias("moving_avg"),
+    )
+
+
+Q_WINDOW_ANALYTICS_SQL = """
+SELECT user_id, event_id, value,
+       value - lag(value) OVER w AS delta,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER f AS DOUBLE)
+             / CAST(COUNT(*) OVER f AS DOUBLE), 6) AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       f AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q28: ranking battery — rank / dense_rank / percent_rank / ntile over a
+# total order (price DESC, key ASC tie-break ⇒ deterministic everywhere).
+# ---------------------------------------------------------------------------
+
+
+def q_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.rank().over(w).alias("price_rank"),
+            F.dense_rank().over(w).alias("price_dense_rank"),
+            F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+            F.ntile(10).over(w).alias("decile"),
+        )
+        .filter(F.col("price_rank") <= 100)
+    )
+
+
+Q_RANK_ORDERS_SQL = """
+SELECT * FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         RANK() OVER w AS price_rank,
+         DENSE_RANK() OVER w AS price_dense_rank,
+         ROUND(PERCENT_RANK() OVER w, 6) AS price_pct_rank,
+         NTILE(10) OVER w AS decile
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC)
+)
+WHERE price_rank <= 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q29+: engine-native ops with no SQL-expressible oracle (the driver
 # records a rows-only check): MinHash-LSH near-dedup, SimHash candidate
 # pairs, and the multimodal mapInPandas feature extraction.  All fully
 # deterministic (fixed permutation params / hyperplanes / stub codec).
@@ -1283,6 +1360,8 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_neardup": q_embedding_neardup,
     "media_stats": q_media_stats,
     "asof_clicks": q_asof_clicks,
+    "window_analytics": q_window_analytics,
+    "rank_orders": q_rank_orders,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "multimodal_features": q_multimodal_features,
@@ -1315,6 +1394,8 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
     "media_stats": Q_MEDIA_STATS_SQL,
     "asof_clicks": Q_ASOF_CLICKS_SQL,
+    "window_analytics": Q_WINDOW_ANALYTICS_SQL,
+    "rank_orders": Q_RANK_ORDERS_SQL,
     # minhash_lsh_pairs / simhash_pairs / multimodal_features are
     # engine-native (xxhash64 / mapInPandas) — rows-only driver check.
 }
