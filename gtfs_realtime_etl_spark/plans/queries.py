@@ -1296,6 +1296,158 @@ WHERE price_rank <= 100
 
 
 # ---------------------------------------------------------------------------
+# Q29: distinct + pivot-style conditional aggregation.  COUNT(DISTINCT)
+# adds an expand/two-phase agg; the per-status revenue columns are the
+# manual (engine-portable) form of PIVOT, accumulated in DECIMAL.
+# ---------------------------------------------------------------------------
+
+
+def q_distinct_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+
+    def rev(status: str) -> Column:
+        return dsum(F.when(F.col("o_orderstatus") == status, F.col("o_totalprice")))
+
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count(F.lit(1)).alias("n_orders"),
+        rev("F").alias("rev_f"),
+        rev("O").alias("rev_o"),
+        rev("P").alias("rev_p"),
+    )
+
+
+def _rev_case_sql(status: str) -> str:
+    return dsum_sql(f"CASE WHEN o_orderstatus = '{status}' THEN o_totalprice END")
+
+
+Q_DISTINCT_PIVOT_SQL = f"""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_custs,
+       COUNT(*) AS n_orders,
+       {_rev_case_sql("F")} AS rev_f,
+       {_rev_case_sql("O")} AS rev_o,
+       {_rev_case_sql("P")} AS rev_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q30: exact interpolated percentiles per group.  Spark `percentile`
+# and DuckDB `quantile_cont` both use the linear-interpolation
+# definition over the sorted values, so the doubles agree bit-for-bit
+# after fixed rounding.
+# ---------------------------------------------------------------------------
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("qty_p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("qty_p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("price_p25"),
+    )
+
+
+Q_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+       ROUND(quantile_cont(l_quantity, 0.9), 6) AS qty_p90,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q31: collection aggregation — per-user sorted distinct event types as
+# one CSV string (order pinned by an explicit sort, so the set-typed
+# aggregate is hash-comparable across engines).
+# ---------------------------------------------------------------------------
+
+
+def q_array_agg_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "types_csv"
+        ),
+    )
+
+
+Q_ARRAY_AGG_USERS_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv
+FROM events
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q32: scalar string-function battery (upper / substring / lpad /
+# regexp_extract / levenshtein / length) — all JVM-side, no UDFs.
+# ---------------------------------------------------------------------------
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
+        F.levenshtein("p_brand", F.lit("Brand#13")).alias("brand_lev"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+Q_STRING_FUNCS_SQL = r"""
+SELECT p_partkey,
+       UPPER(p_brand) AS brand_u,
+       SUBSTRING(p_name, 1, 8) AS name8,
+       LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+       regexp_extract(p_name, '(\w+)$', 1) AS last_word,
+       levenshtein(p_brand, 'Brand#13') AS brand_lev,
+       LENGTH(p_name) AS name_len
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q33: calendar rollup — revenue by order month.  The month key is a
+# formatted string so both engines group on identical values, and the
+# partial agg keeps the shuffle at O(distinct months).
+# ---------------------------------------------------------------------------
+
+
+def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+Q_MONTHLY_REVENUE_SQL = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       COUNT(*) AS n_orders,
+       {dsum_sql("o_totalprice")} AS revenue
+FROM orders
+GROUP BY order_month
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q29+: engine-native ops with no SQL-expressible oracle (the driver
 # records a rows-only check): MinHash-LSH near-dedup, SimHash candidate
 # pairs, and the multimodal mapInPandas feature extraction.  All fully
@@ -1314,6 +1466,24 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
     return simhash_dedup(documents, prefix_bits=8).filter(F.col("hamming") <= 16)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the 100 TB-scale ANN path; exact
+    twin is ``ann_cosine_topk``).  Deterministic hyperplanes → rows-only
+    driver check; recall vs brute force is asserted in tests."""
+    from gtfs_realtime_etl_spark.operators.similarity import lsh_bucketed_topk
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    q = embeddings.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    res = lsh_bucketed_topk(
+        embeddings.filter("vec_id != 0"), q, k=TOP_K, n_planes=8, dim=64
+    )
+    return res.select(
+        "query_id", "vec_id", "label", F.round("cosine", 6).alias("cosine"), "rank"
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1362,6 +1532,12 @@ QUERIES: dict[str, QueryFn] = {
     "asof_clicks": q_asof_clicks,
     "window_analytics": q_window_analytics,
     "rank_orders": q_rank_orders,
+    "distinct_pivot": q_distinct_pivot,
+    "percentiles": q_percentiles,
+    "array_agg_users": q_array_agg_users,
+    "string_funcs": q_string_funcs,
+    "monthly_revenue": q_monthly_revenue,
+    "ann_lsh_topk": q_ann_lsh_topk,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "multimodal_features": q_multimodal_features,
@@ -1396,8 +1572,14 @@ ORACLE_SQL: dict[str, str] = {
     "asof_clicks": Q_ASOF_CLICKS_SQL,
     "window_analytics": Q_WINDOW_ANALYTICS_SQL,
     "rank_orders": Q_RANK_ORDERS_SQL,
-    # minhash_lsh_pairs / simhash_pairs / multimodal_features are
-    # engine-native (xxhash64 / mapInPandas) — rows-only driver check.
+    "distinct_pivot": Q_DISTINCT_PIVOT_SQL,
+    "percentiles": Q_PERCENTILES_SQL,
+    "array_agg_users": Q_ARRAY_AGG_USERS_SQL,
+    "string_funcs": Q_STRING_FUNCS_SQL,
+    "monthly_revenue": Q_MONTHLY_REVENUE_SQL,
+    # ann_lsh_topk / minhash_lsh_pairs / simhash_pairs /
+    # multimodal_features are engine-native (seeded hyperplanes,
+    # xxhash64, mapInPandas) — rows-only driver check.
 }
 
 
