@@ -18,8 +18,11 @@ across runs/partitions, so signatures are deterministic engine state.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 from gtfs_realtime_etl_spark.functions.text import char_shingles, tokens
 
@@ -102,6 +105,37 @@ def minhash_signature(
     return minhash_from_hashes(shingle_hashes(text, shingle_k), num_hashes)
 
 
+def minhash_pd(num_hashes: int = 32):
+    """Arrow-batched numpy MinHash kernel (hot-path twin of
+    :func:`minhash_from_hashes`, bit-identical output).
+
+    Spark's higher-order functions evaluate interpreted (outside
+    whole-stage codegen), so the Column form pays ``num_hashes`` full
+    array passes per row in the expression interpreter.  This kernel
+    does the same affine-permutation fold as ONE vectorized
+    ``(P, n) = (a*h + b) mod M → min`` per row inside an Arrow batch —
+    two orders of magnitude faster at equal semantics.  Input stays
+    JVM-hashed (xxhash64), so signatures remain engine-deterministic.
+    """
+    params = np.asarray(_perm_params(num_hashes), dtype=np.int64)
+    a = params[:, 0][:, None]  # (P, 1)
+    b = params[:, 1][:, None]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _kernel(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            arr = np.asarray(h, dtype=np.int64)
+            if arr.size == 0:
+                out.append([None] * num_hashes)  # array_min([]) → NULL
+            else:
+                # a, b, h < 2^31 ⇒ a*h + b < 2^62: no int64 overflow.
+                out.append(((a * arr[None, :] + b) % _MERSENNE_31).min(axis=1))
+        return pd.Series(out)
+
+    return _kernel
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     text_col: str = "text",
@@ -127,7 +161,7 @@ def minhash_lsh_candidates(
         shingle_hashes(F.col(text_col), shingle_k).alias("_hashes"),
     ).select(
         F.col(id_col),
-        minhash_from_hashes(F.col("_hashes"), num_hashes).alias("sig"),
+        minhash_pd(num_hashes)(F.col("_hashes")).alias("sig"),
     )
     banded = sig.select(
         id_col,
@@ -255,6 +289,31 @@ def token_hashes(text: Column) -> Column:
     return F.transform(tokens(text), lambda t: F.xxhash64(t))
 
 
+@F.pandas_udf(LongType())
+def simhash_pd(hashes: pd.Series) -> pd.Series:
+    """Arrow-batched numpy SimHash kernel (hot-path twin of
+    :func:`simhash_from_hashes`, bit-identical output).
+
+    The Column form runs 64 interpreted vote passes over the token-hash
+    array per row; this does one ``(n, 64)`` bit-unpack + vote sum per
+    row inside an Arrow batch.  Bit i is set iff the +1/-1 vote sum of
+    that bit across token hashes is positive — identical rule, and the
+    uint64→int64 view preserves Spark's long bit pattern exactly.
+    """
+    shifts = np.arange(64, dtype=np.uint64)
+    ones = np.uint64(1) << shifts
+    res = np.zeros(len(hashes), dtype=np.int64)
+    for j, h in enumerate(hashes):
+        arr = np.asarray(h, dtype=np.int64)
+        if arr.size == 0:
+            continue  # aggregate over [] → all-zero votes → 0
+        bits = (arr.astype(np.uint64)[:, None] >> shifts) & np.uint64(1)
+        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        word = ones[votes > 0].sum(dtype=np.uint64)
+        res[j] = word.astype(np.int64)
+    return pd.Series(res)
+
+
 def simhash(text: Column, bits: int = 64) -> Column:
     """64-bit SimHash over whitespace tokens as a single Column
     expression.  Per token: xxhash64; per bit: +1/-1 vote; sign of the
@@ -275,9 +334,7 @@ def simhash_dedup(
         docs.select(
             F.col(id_col), token_hashes(F.col(text_col)).alias("_hashes")
         )
-        .select(
-            F.col(id_col), simhash_from_hashes(F.col("_hashes")).alias("simhash")
-        )
+        .select(F.col(id_col), simhash_pd(F.col("_hashes")).alias("simhash"))
         .withColumn("prefix", F.shiftrightunsigned("simhash", 64 - prefix_bits))
     )
     # One aggregation on the prefix + in-bucket pair explosion (same
