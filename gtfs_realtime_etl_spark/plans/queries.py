@@ -676,8 +676,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        (
-            F.sum("n_tokens").cast("double") / F.count(F.lit(1)).cast("double")
+        F.round(
+            F.sum("n_tokens").cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("avg_tokens"),
         F.round(
             F.sum(F.col("punct_ratio").cast("decimal(18,12)")).cast("double")
@@ -693,7 +693,7 @@ Q_TEXT_QUALITY_SQL = """
 SELECT source,
        COUNT(*) AS n_docs,
        SUM(n_tokens) AS total_tokens,
-       (CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS avg_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_tokens,
        ROUND(CAST(SUM(CAST(punct_ratio AS DECIMAL(18,12))) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE), 6) AS avg_punct_ratio,
        MIN(n_chars_live) AS min_chars,
@@ -1080,9 +1080,9 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_ws").alias("total_ws_tokens"),
         F.sum("n_bpe").alias("total_bpe_tokens"),
-        (F.sum("n_bpe").cast("double") / F.count(F.lit(1)).cast("double")).alias(
-            "avg_bpe_per_doc"
-        ),
+        F.round(
+            F.sum("n_bpe").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_bpe_per_doc"),
     )
 
 
@@ -1091,7 +1091,7 @@ SELECT lang,
        COUNT(*) AS n_docs,
        SUM(n_ws) AS total_ws_tokens,
        SUM(n_bpe) AS total_bpe_tokens,
-       (CAST(SUM(n_bpe) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS avg_bpe_per_doc
+       ROUND(CAST(SUM(n_bpe) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_bpe_per_doc
 FROM (
   SELECT lang,
          length(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
@@ -1137,11 +1137,29 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The cosine is an explicit left fold (initial 0.0 via list_prepend, the
+# DuckDB-1.x list_reduce has no seed argument) so the accumulation order is
+# bit-identical to the Spark ``zip_with``/``aggregate`` expression in
+# functions/vector.py — DuckDB's builtin list_cosine_similarity makes no
+# such op-order guarantee and can flip ROUND(x, 6) at a .5e-6 boundary.
+_FOLD_SUM = "list_reduce(list_prepend(0.0, {terms}), (acc, x) -> acc + x)"
+_COS_DOT = _FOLD_SUM.format(
+    terms="list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * b.vec[i])"
+)
+_COS_NORM_A = "sqrt(" + _FOLD_SUM.format(
+    terms="list_transform(a.vec, v -> v * v)"
+) + ")"
+_COS_NORM_B = "sqrt(" + _FOLD_SUM.format(
+    terms="list_transform(b.vec, v -> v * v)"
+) + ")"
+
 Q_EMBEDDING_NEARDUP_SQL = f"""
 WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
 pairs AS (
   SELECT a.label AS label,
-         ROUND(list_cosine_similarity(a.vec, b.vec), 6) AS cosine
+         ROUND(CASE WHEN {_COS_NORM_A} * {_COS_NORM_B} > 0
+                    THEN {_COS_DOT} / ({_COS_NORM_A} * {_COS_NORM_B})
+                    ELSE 0.0 END, 6) AS cosine
   FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
 )
 SELECT label,
