@@ -27,11 +27,21 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gtfs_realtime_etl_spark.functions.hashing import (
+    sql_minhash_sig,
+    sql_shingle_hashes,
+    sql_simhash,
+    sql_token_hash64,
+)
 from gtfs_realtime_etl_spark.functions.stats import norm_cdf, norm_cdf_sql
 from gtfs_realtime_etl_spark.functions.text import STOPWORDS, char_shingles, tokens
 from gtfs_realtime_etl_spark.functions.vector import cosine_similarity
 from gtfs_realtime_etl_spark.operators.asof import asof_join
-from gtfs_realtime_etl_spark.operators.dedup import minhash_lsh_dedup, simhash_dedup
+from gtfs_realtime_etl_spark.operators.dedup import (
+    DEFAULT_MAX_BUCKET,
+    minhash_lsh_dedup,
+    simhash_dedup,
+)
 from gtfs_realtime_etl_spark.operators.multimodal import (
     extract_features,
     media_stats,
@@ -1466,30 +1476,139 @@ GROUP BY order_month
 
 
 # ---------------------------------------------------------------------------
-# Q29+: engine-native ops with no SQL-expressible oracle (the driver
-# records a rows-only check): MinHash-LSH near-dedup, SimHash candidate
-# pairs, and the multimodal mapInPandas feature extraction.  All fully
-# deterministic (fixed permutation params / hyperplanes / stub codec).
+# Q29+: the near-dedup / ANN / multimodal family.  Round 1 built these on
+# Spark-only primitives (xxhash64, driver-side hyperplanes) so the driver
+# recorded rows-only checks; they now run on the portable polynomial
+# hashes of functions/hashing.py and explicit-literal hyperplanes, so
+# every one has a full DuckDB oracle.
 # ---------------------------------------------------------------------------
+
+MINHASH_NUM = 32
+MINHASH_BANDS = 8
+MINHASH_SHINGLE_K = 5
+MINHASH_THRESHOLD = 0.2
+SIMHASH_HAMMING = 3
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_dedup(
-        documents, num_hashes=32, bands=8, shingle_k=5, threshold=0.2
+        documents,
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        shingle_k=MINHASH_SHINGLE_K,
+        threshold=MINHASH_THRESHOLD,
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _minhash_rpb() -> int:
+    return MINHASH_NUM // MINHASH_BANDS
+
+
+Q_MINHASH_LSH_PAIRS_SQL = f"""
+WITH h AS (
+  SELECT doc_id, {sql_shingle_hashes("text", MINHASH_SHINGLE_K)} AS hashes
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, {sql_minhash_sig("hashes", MINHASH_NUM)} AS sig FROM h
+),
+banded AS (
+  SELECT doc_id, band_id,
+         list_slice(sig, band_id * {_minhash_rpb()} + 1,
+                    band_id * {_minhash_rpb()} + {_minhash_rpb()}) AS band_key
+  FROM sig, (SELECT unnest(range(0, {MINHASH_BANDS})) AS band_id)
+),
+ok AS (
+  SELECT band_id, band_key FROM banded GROUP BY band_id, band_key
+  HAVING COUNT(*) BETWEEN 2 AND {DEFAULT_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN ok ON a.band_id = ok.band_id AND a.band_key = ok.band_key
+  JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(hashes) AS s FROM h),
+scored AS (
+  SELECT id_a, id_b,
+         CAST(length(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         / CAST(length(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS j
+  FROM cand
+  JOIN sets sa ON sa.doc_id = cand.id_a
+  JOIN sets sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, ROUND(j, 6) AS jaccard
+FROM scored WHERE j >= {MINHASH_THRESHOLD}
+"""
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
-    return simhash_dedup(documents, prefix_bits=8).filter(F.col("hamming") <= 16)
+    return simhash_dedup(documents, hamming_threshold=SIMHASH_HAMMING)
+
+
+def _simhash_bands_sql() -> str:
+    """(band_id, lo, mask) VALUES rows mirroring simhash_dedup's banded
+    segmentation of the 62-bit hash."""
+    from gtfs_realtime_etl_spark.functions.hashing import H64_BITS
+
+    bands = SIMHASH_HAMMING + 1
+    seg_bits = H64_BITS // bands
+    rows = []
+    for i in range(bands):
+        lo = i * seg_bits
+        width = (H64_BITS - lo) if i == bands - 1 else seg_bits
+        rows.append(f"({i}, {lo}, {(1 << width) - 1})")
+    return ", ".join(rows)
+
+
+Q_SIMHASH_PAIRS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+th AS (
+  SELECT doc_id,
+         list_transform(toks, t -> {sql_token_hash64("t")}) AS hs,
+         len(toks) AS n
+  FROM tok
+),
+sh AS (SELECT doc_id, {sql_simhash("hs", "n")} AS simhash FROM th),
+banded AS (
+  SELECT doc_id, simhash, band_id, (simhash >> lo) & mask AS segment
+  FROM sh, (SELECT * FROM (VALUES {_simhash_bands_sql()}) t(band_id, lo, mask))
+),
+ok AS (
+  SELECT band_id, segment FROM banded GROUP BY band_id, segment
+  HAVING COUNT(*) BETWEEN 2 AND {DEFAULT_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM banded a
+  JOIN ok ON a.band_id = ok.band_id AND a.segment = ok.segment
+  JOIN banded b ON a.band_id = b.band_id AND a.segment = b.segment
+             AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {SIMHASH_HAMMING}
+"""
+
+
+ANN_LSH_PLANES = 8
+ANN_LSH_DIM = 64
+ANN_LSH_SEED = 42
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (the 100 TB-scale ANN path; exact
-    twin is ``ann_cosine_topk``).  Deterministic hyperplanes → rows-only
-    driver check; recall vs brute force is asserted in tests."""
+    twin is ``ann_cosine_topk``).  Hyperplanes are deterministic and the
+    oracle embeds them as SQL literals, so the driver verifies the full
+    bucket → multi-probe → score → rank pipeline."""
     from gtfs_realtime_etl_spark.operators.similarity import lsh_bucketed_topk
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
@@ -1497,11 +1616,81 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("query_id"), F.col("embedding").alias("qvec")
     )
     res = lsh_bucketed_topk(
-        embeddings.filter("vec_id != 0"), q, k=TOP_K, n_planes=8, dim=64
+        embeddings.filter("vec_id != 0"),
+        q,
+        k=TOP_K,
+        n_planes=ANN_LSH_PLANES,
+        dim=ANN_LSH_DIM,
+        seed=ANN_LSH_SEED,
     )
     return res.select(
         "query_id", "vec_id", "label", F.round("cosine", 6).alias("cosine"), "rank"
     )
+
+
+def _ann_lsh_sql() -> str:
+    """Oracle for q_ann_lsh_topk: hyperplanes as literal DOUBLE[] rows;
+    dot/norm folds seeded with 0.0 so accumulation order matches the
+    Spark zip_with/aggregate expressions exactly (sign decisions at
+    proj >= 0 therefore agree bit-for-bit)."""
+    from gtfs_realtime_etl_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(ANN_LSH_DIM, ANN_LSH_PLANES, ANN_LSH_SEED)
+    plane_rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in row)}])"
+        for i, row in enumerate(planes)
+    )
+    fold = "list_reduce(list_prepend(0.0, {terms}), (acc, x) -> acc + x)"
+    dot_plane = fold.format(
+        terms=f"list_transform(range(1, {ANN_LSH_DIM} + 1), j -> e.vec[j] * pl.p[j])"
+    )
+    dot_q = fold.format(
+        terms=f"list_transform(range(1, {ANN_LSH_DIM} + 1), j -> e.vec[j] * qv.vec[j])"
+    )
+    norm_e = "sqrt(" + fold.format(terms="list_transform(e.vec, v -> v * v)") + ")"
+    norm_q = "sqrt(" + fold.format(terms="list_transform(qv.vec, v -> v * v)") + ")"
+    cosine = (
+        f"CASE WHEN {norm_e} * {norm_q} > 0 "
+        f"THEN {dot_q} / ({norm_e} * {norm_q}) ELSE 0.0 END"
+    )
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(ANN_LSH_PLANES)]
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+planes AS (SELECT * FROM (VALUES {plane_rows}) t(plane_id, p)),
+sigs AS (
+  SELECT e.vec_id,
+         CAST(SUM(CASE WHEN {dot_plane} >= 0
+                       THEN (CAST(1 AS BIGINT) << plane_id) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM emb e CROSS JOIN planes pl
+  GROUP BY e.vec_id
+),
+probes AS (
+  SELECT DISTINCT unnest([{probes}]) AS pb FROM sigs WHERE vec_id = 0
+),
+scored AS (
+  SELECT DISTINCT CAST(0 AS INTEGER) AS query_id, e.vec_id, e.label,
+         {cosine} AS cosine
+  FROM emb e
+  JOIN sigs s ON e.vec_id = s.vec_id
+  JOIN probes ON s.bucket = probes.pb
+  CROSS JOIN (SELECT vec FROM emb WHERE vec_id = 0) qv
+  WHERE e.vec_id <> 0
+),
+ranked AS (
+  SELECT query_id, vec_id, label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, label, ROUND(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+Q_ANN_LSH_TOPK_SQL = _ann_lsh_sql()
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1515,6 +1704,29 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 1), 6).alias("f0"),
         F.round(F.element_at("feature", 16), 6).alias("f15"),
     )
+
+
+# The stub codec is a 16-bin byte histogram over the UTF-8 payload (the
+# documents text bytes), so bin 0 counts bytes < 16 and bin 15 bytes
+# >= 240 — both recomputable in SQL (char positions == byte positions
+# for the ASCII corpus; strlen is the byte length either way).
+def _byte_bin_count_sql(cond: str) -> str:
+    return (
+        "CAST(len(list_filter(range(1, length(text) + 1), "
+        f"i -> ascii(substr(text, i, 1)) {cond})) AS DOUBLE)"
+    )
+
+
+Q_MULTIMODAL_FEATURES_SQL = f"""
+SELECT doc_id AS media_id,
+       'image' AS modality,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       ROUND({_byte_bin_count_sql("< 16")}
+             / CAST(greatest(strlen(text), 1) AS DOUBLE), 6) AS f0,
+       ROUND({_byte_bin_count_sql(">= 240")}
+             / CAST(greatest(strlen(text), 1) AS DOUBLE), 6) AS f15
+FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1595,9 +1807,10 @@ ORACLE_SQL: dict[str, str] = {
     "array_agg_users": Q_ARRAY_AGG_USERS_SQL,
     "string_funcs": Q_STRING_FUNCS_SQL,
     "monthly_revenue": Q_MONTHLY_REVENUE_SQL,
-    # ann_lsh_topk / minhash_lsh_pairs / simhash_pairs /
-    # multimodal_features are engine-native (seeded hyperplanes,
-    # xxhash64, mapInPandas) — rows-only driver check.
+    "ann_lsh_topk": Q_ANN_LSH_TOPK_SQL,
+    "minhash_lsh_pairs": Q_MINHASH_LSH_PAIRS_SQL,
+    "simhash_pairs": Q_SIMHASH_PAIRS_SQL,
+    "multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
 }
 
 

@@ -55,12 +55,28 @@ def test_minhash_lsh_finds_near_dups(corpus):
 
 
 def test_simhash_near_dups(corpus):
-    pairs = simhash_dedup(corpus, prefix_bits=8).toPandas()
+    pairs = simhash_dedup(corpus, hamming_threshold=3).toPandas()
     ham = {
         (a, b): h for a, b, h in pairs[["id_a", "id_b", "hamming"]].values
     }
     for i in range(5):
         assert ham.get((i, 100 + i)) == 0  # identical text → identical simhash
+    # banded-segment LSH is exact for the threshold: nothing above it leaks
+    assert (pairs["hamming"] <= 3).all()
+
+
+def test_simhash_bucket_cap_bounds_blowup(spark):
+    """An adversarial corpus (many identical docs → one giant bucket)
+    must not explode quadratically: the per-bucket cap drops oversized
+    buckets entirely, so pair output is bounded by construction."""
+    rows = [(i, "same text everywhere forever") for i in range(50)]
+    rows += [(100 + i, f"unique document number {i} alpha beta") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = simhash_dedup(docs, hamming_threshold=3, max_bucket=10).toPandas()
+    # the 50-identical-doc bucket (size 50 > cap 10) contributes nothing
+    assert not ((capped["id_a"] < 100) & (capped["id_b"] < 100)).any()
+    uncapped = simhash_dedup(docs, hamming_threshold=3, max_bucket=1000).toPandas()
+    assert ((uncapped["id_a"] < 100) & (uncapped["id_b"] < 100)).sum() == 50 * 49 / 2
 
 
 @pytest.fixture(scope="module")
