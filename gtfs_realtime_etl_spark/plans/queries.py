@@ -1362,20 +1362,52 @@ GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
-# Q30: exact interpolated percentiles per group.  Spark `percentile`
-# and DuckDB `quantile_cont` both use the linear-interpolation
-# definition over the sorted values, so the doubles agree bit-for-bit
-# after fixed rounding.
+# Q30: exact interpolated percentiles per group — rank-selection form.
+#
+# `F.percentile` buffers every value of a group inside ONE aggregation
+# state (an in-memory counts map sorted at the end): 7.3 s at sf0.1 and
+# a per-reducer memory bomb at 100 TB.  Equivalent plan here: one
+# exchange on the group key, in-partition sorts (two orders share the
+# exchange), then pick the two rows straddling the target rank and
+# interpolate with the SAME arithmetic Spark's percentile and DuckDB's
+# quantile_cont use (lower + (upper - lower) * (pos - floor(pos))), so
+# the oracle is unchanged.  Whole-stage codegen throughout; per-group
+# state is O(1).  Exact percentiles still need a per-group total order —
+# the unordered scale path is `approx_percentile` (t-digest, mergeable,
+# one pass), which trades the oracle's bit-exactness for boundedness.
 # ---------------------------------------------------------------------------
 
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = _t(spark, sf_dir, "lineitem")
-    return lineitem.groupBy("l_returnflag").agg(
+    flag = F.col("l_returnflag")
+    lin = lineitem.select("l_returnflag", "l_quantity", "l_extendedprice")
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = lin.select(
+        flag,
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.row_number().over(wq).alias("rq"),
+        F.row_number().over(wp).alias("rp"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p: float, rank_col: str, val_col: str) -> Column:
+        pos = F.lit(p) * (F.col("n") - 1).cast("double")
+        lo = F.floor(pos).cast("long") + 1  # row_number is 1-based
+        hi = F.ceil(pos).cast("long") + 1
+        v_lo = F.max(F.when(F.col(rank_col) == lo, F.col(val_col)))
+        v_hi = F.max(F.when(F.col(rank_col) == hi, F.col(val_col)))
+        frac = F.max(pos - F.floor(pos))
+        return v_lo + (v_hi - v_lo) * frac
+
+    return ranked.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("qty_p50"),
-        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("qty_p90"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("price_p25"),
+        F.round(pick(0.5, "rq", "qty"), 6).alias("qty_p50"),
+        F.round(pick(0.9, "rq", "qty"), 6).alias("qty_p90"),
+        F.round(pick(0.25, "rp", "price"), 6).alias("price_p25"),
     )
 
 
