@@ -17,12 +17,14 @@ is strictly safer and faster at scale (no sampling pass over 100 TB).
 from __future__ import annotations
 
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 #: The raw flattened feed record (ingest input).
@@ -40,6 +42,41 @@ VEHICLE_POSITIONS_RAW = StructType(
         StructField("bearing", DoubleType()),
         StructField("speed", DoubleType()),
         StructField("timestamp", LongType()),  # epoch seconds
+    ]
+)
+
+#: The enriched lake table ("locations") — the post-ingest schema as the
+#: reference observes it via DESCRIBE locations (ipynb:440-461), plus
+#: the lat/lon doubles we deliberately keep (operators/ingest.py) and
+#: the hive partition columns.  Readers PIN this schema: the reference
+#: hit exactly the schema-drift failure this prevents and works around
+#: it by forcing a unified schema at compaction time
+#: (compaction/runtime/handler.py:86-102) — with a pinned read schema a
+#: corrupt or evolved file can never silently mutate the table shape.
+LOCATIONS_LAKE = StructType(
+    [
+        StructField("trip_id", StringType()),
+        StructField("route_id", StringType()),
+        StructField("direction_id", StringType()),
+        StructField("vehicle_id", StringType()),
+        StructField("latitude", DoubleType()),
+        StructField("longitude", DoubleType()),
+        StructField("bearing", DoubleType()),
+        StructField("speed", DoubleType()),
+        StructField("timestamp", TimestampType()),
+        StructField("geohash", StringType()),
+        StructField("bbox", StructType(
+            [
+                StructField("xmin", DoubleType()),
+                StructField("ymin", DoubleType()),
+                StructField("xmax", DoubleType()),
+                StructField("ymax", DoubleType()),
+            ]
+        )),
+        StructField("geometry", BinaryType()),
+        StructField("year", IntegerType()),
+        StructField("month", IntegerType()),
+        StructField("day", IntegerType()),
     ]
 )
 

@@ -35,8 +35,19 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql.types import BinaryType, StringType, StructField, StructType
 
 from gtfs_realtime_etl_spark.schemas import VEHICLE_POSITIONS_RAW
+
+#: Quarantined (undecodable) payloads: the bytes plus the parse failure.
+#: The DLQ analog of the reference's SQS dead-letter queue
+#: (etl/infrastructure/construct.py:186).
+QUARANTINE_SCHEMA = StructType(
+    [
+        StructField("payload", BinaryType()),
+        StructField("reason", StringType()),
+    ]
+)
 
 _F32 = struct.Struct("<f")
 _F64 = struct.Struct("<d")
@@ -159,11 +170,28 @@ def parse_feed(payload: bytes) -> list[dict]:
     return rows
 
 
-def decode_feed_frames(frames: DataFrame, payload_col: str = "payload") -> DataFrame:
+def try_parse_feed(payload: bytes) -> tuple[list[dict] | None, str | None]:
+    """(records, None) on success; (None, reason) on any parse failure
+    (truncated varint/field → IndexError, bad wire type → ValueError,
+    short float buffer → struct.error, bad UTF-8 → UnicodeDecodeError)."""
+    try:
+        return parse_feed(payload), None
+    except Exception as exc:  # noqa: BLE001 - every parse failure quarantines
+        return None, f"{type(exc).__name__}: {exc}"
+
+
+def decode_feed_frames(
+    frames: DataFrame, payload_col: str = "payload", on_error: str = "skip"
+) -> DataFrame:
     """DataFrame of feed payloads (binary) → flattened position rows.
 
     Arrow-batched mapInPandas: each feed blob fans out to its vehicle
     rows; partitioning of the payload frames is preserved (narrow op).
+
+    ``on_error="skip"`` (default) drops undecodable payloads so one
+    poisonous blob cannot fail the task (and with it the whole streaming
+    query); pair with :func:`quarantine_feed_frames` to capture them.
+    ``on_error="raise"`` propagates — the strict mode for tests.
     """
     cols = [f.name for f in VEHICLE_POSITIONS_RAW.fields]
 
@@ -171,8 +199,13 @@ def decode_feed_frames(frames: DataFrame, payload_col: str = "payload") -> DataF
         for pdf in it:
             rows: list[dict] = []
             for payload in pdf[payload_col]:
-                if payload is not None:
-                    rows.extend(parse_feed(bytes(payload)))
+                if payload is None:
+                    continue
+                recs, err = try_parse_feed(bytes(payload))
+                if err is None:
+                    rows.extend(recs)
+                elif on_error == "raise":
+                    raise ValueError(f"undecodable feed payload: {err}")
             out = pd.DataFrame(rows, columns=cols)
             for c in ("latitude", "longitude", "bearing", "speed"):
                 out[c] = out[c].astype("float64")
@@ -180,6 +213,28 @@ def decode_feed_frames(frames: DataFrame, payload_col: str = "payload") -> DataF
             yield out
 
     return frames.mapInPandas(decode, schema=VEHICLE_POSITIONS_RAW)
+
+
+def quarantine_feed_frames(
+    frames: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """The bad-record side channel: payloads :func:`parse_feed` rejects,
+    with the failure reason (DLQ analog, construct.py:186).  Works batch
+    or streaming; narrow, column-pruned to the payload column."""
+
+    def sift(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            bad: list[tuple[bytes, str]] = []
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    bad.append((None, "null payload"))
+                    continue
+                _, err = try_parse_feed(bytes(payload))
+                if err is not None:
+                    bad.append((bytes(payload), err))
+            yield pd.DataFrame(bad, columns=["payload", "reason"])
+
+    return frames.select(payload_col).mapInPandas(sift, schema=QUARANTINE_SCHEMA)
 
 
 # --- test/bench-side encoder (synthetic feeds; public wire format) ---------

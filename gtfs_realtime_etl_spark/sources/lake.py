@@ -15,6 +15,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from gtfs_realtime_etl_spark.schemas import LOCATIONS_LAKE
 
 PARTITION_COLS = ("year", "month", "day")
 
@@ -56,13 +59,25 @@ def write_locations_batch(
     writer.parquet(root)
 
 
-def read_locations(spark: SparkSession, root: str) -> DataFrame:
+def read_locations(
+    spark: SparkSession, root: str, schema: StructType | None = LOCATIONS_LAKE
+) -> DataFrame:
     """Read the whole lake as one logical table (reference: DuckDB
     ``read_parquet('…/year=*/month=*/day=*/*.parquet',
     hive_partitioning=true)``, schedule_deviation.ipynb:489-490).
     Partition-column filters applied by the caller are pruned at plan
-    time — never a full scan."""
-    return spark.read.parquet(root)
+    time — never a full scan.
+
+    The schema is PINNED to the canonical lake StructType (S8): one
+    evolved/corrupt file cannot silently change the table shape, and
+    no inference listing pass runs over a 100 TB lake.  The reference
+    needed a unified-schema workaround for exactly this drift
+    (compaction/runtime/handler.py:86-102).  ``schema=None`` restores
+    inference (parity/debug mode)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(root)
 
 
 def register_locations_view(

@@ -17,19 +17,32 @@ parquet append) onto the native Spark construct:
 - Beyond-reference hardening (flagged in SURVEY §2.7 T5): optional
   event-time watermark + dropDuplicates on (vehicle_id, timestamp).
 
-In production the frame source is Kafka/Kinesis carrying feed bytes
-(``spark.readStream.format("kafka")... value AS payload``); tests use
-the file stream below — the pipeline after the source is identical.
+Three interchangeable frame sources feed the same pipeline:
+
+- :func:`kafka_feed_frames` — the production path (BASELINE approach:
+  "Structured Streaming + Kafka/Kinesis source"): one feed payload per
+  Kafka record value.
+- :func:`rate_feed_frames` — broker-free stand-in: the built-in ``rate``
+  source drives a stream-static join against a payload table, emitting
+  real FeedMessage bytes at a controlled cadence (the containerized test
+  path for the Kafka shape).
+- the ``binaryFile`` stream in :func:`start_feed_file_stream` — one
+  payload per file, the shape the reference's poller writes to S3.
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from gtfs_realtime_etl_spark.operators.ingest import enrich_positions
-from gtfs_realtime_etl_spark.sources.gtfs_rt import decode_feed_frames
+from gtfs_realtime_etl_spark.sources.gtfs_rt import (
+    decode_feed_frames,
+    quarantine_feed_frames,
+)
 from gtfs_realtime_etl_spark.sources.lake import write_locations_batch
 
 
@@ -49,31 +62,65 @@ def feed_pipeline(
     return enriched
 
 
-def start_feed_file_stream(
+def kafka_feed_frames(
     spark: SparkSession,
-    feed_dir: str,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Feed frames from a Kafka topic — one protobuf FeedMessage per
+    record value (the production source; replaces the reference's
+    EventBridge/SFN poll loop, construct.py:26-110,188-221).
+
+    Requires the Kafka connector on the classpath
+    (``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark
+    version>``); without it ``load()`` raises "Failed to find data
+    source: kafka" — see :func:`rate_feed_frames` for the broker-free
+    twin used in tests.
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .select(F.col("value").alias("payload"))
+    )
+
+
+def rate_feed_frames(
+    spark: SparkSession,
+    payloads: Sequence[bytes],
+    rows_per_second: int = 10,
+) -> DataFrame:
+    """Kafka-shaped feed frames without a broker: the built-in ``rate``
+    source emits a monotonically increasing ``value``, which indexes
+    (mod n, broadcast stream-static join) into a static table of real
+    FeedMessage payloads.  Same schema as :func:`kafka_feed_frames`
+    (``payload binary``), so everything downstream is identical.
+    """
+    table = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "idx long, payload binary",
+    )
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+        .withColumn("idx", F.col("value") % F.lit(len(payloads)))
+    )
+    return rate.join(F.broadcast(table), "idx").select("payload")
+
+
+def _start_lake_sink(
+    enriched: DataFrame,
     lake_root: str,
     checkpoint_dir: str,
-    trigger_seconds: int = 30,
-    dedup: bool = True,
-    available_now: bool = False,
+    trigger_seconds: int,
+    available_now: bool,
 ) -> StreamingQuery:
-    """Stream feed payload files (one protobuf FeedMessage per file —
-    the shape the reference's poller writes) into the lake.
-
-    ``available_now=True`` drains the backlog and stops — the testable
-    mode; otherwise runs at the reference's poll cadence.
-    """
-    frames = (
-        spark.readStream.format("binaryFile")
-        # streaming sources need the schema up front (binaryFile's is fixed)
-        .schema(
-            "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
-        )
-        .load(feed_dir)
-        .select(F.col("content").alias("payload"))
-    )
-    enriched = feed_pipeline(frames, dedup=dedup)
+    """Common tail of every ingest stream: foreachBatch append into the
+    hive-partitioned lake with the empty-batch short-circuit."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():  # empty-batch short-circuit (handler.py:82-84)
@@ -90,3 +137,102 @@ def start_feed_file_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def _file_frames(spark: SparkSession, feed_dir: str) -> DataFrame:
+    return (
+        spark.readStream.format("binaryFile")
+        # streaming sources need the schema up front (binaryFile's is fixed)
+        .schema(
+            "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+        )
+        .load(feed_dir)
+        .select(F.col("content").alias("payload"))
+    )
+
+
+def start_feed_file_stream(
+    spark: SparkSession,
+    feed_dir: str,
+    lake_root: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 30,
+    dedup: bool = True,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Stream feed payload files (one protobuf FeedMessage per file —
+    the shape the reference's poller writes) into the lake.
+
+    ``available_now=True`` drains the backlog and stops — the testable
+    mode; otherwise runs at the reference's poll cadence.  Undecodable
+    payloads are skipped here; run :func:`start_feed_quarantine_stream`
+    on the same directory to capture them (DLQ analog).
+    """
+    enriched = feed_pipeline(_file_frames(spark, feed_dir), dedup=dedup)
+    return _start_lake_sink(
+        enriched, lake_root, checkpoint_dir, trigger_seconds, available_now
+    )
+
+
+def start_feed_quarantine_stream(
+    spark: SparkSession,
+    feed_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 30,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Side-channel query: payloads the decoder rejects land in a
+    parquet quarantine with their failure reason, while the main ingest
+    keeps flowing — the reference's DLQ (construct.py:186) as a second
+    reader over the same source (each query has its own checkpoint, so
+    delivery guarantees are independent)."""
+    bad = quarantine_feed_frames(_file_frames(spark, feed_dir))
+    writer = (
+        bad.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", quarantine_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def start_feed_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    lake_root: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 30,
+    dedup: bool = True,
+    starting_offsets: str = "latest",
+) -> StreamingQuery:
+    """Kafka topic → decode → enrich → partitioned lake (the BASELINE
+    production shape)."""
+    frames = kafka_feed_frames(spark, bootstrap_servers, topic, starting_offsets)
+    enriched = feed_pipeline(frames, dedup=dedup)
+    return _start_lake_sink(
+        enriched, lake_root, checkpoint_dir, trigger_seconds, available_now=False
+    )
+
+
+def start_feed_rate_stream(
+    spark: SparkSession,
+    payloads: Sequence[bytes],
+    lake_root: str,
+    checkpoint_dir: str,
+    rows_per_second: int = 10,
+    trigger_seconds: int = 1,
+    dedup: bool = True,
+) -> StreamingQuery:
+    """Broker-free twin of :func:`start_feed_kafka_stream` for tests and
+    local soak runs: same pipeline, rate-driven payload replay."""
+    frames = rate_feed_frames(spark, payloads, rows_per_second)
+    enriched = feed_pipeline(frames, dedup=dedup)
+    return _start_lake_sink(
+        enriched, lake_root, checkpoint_dir, trigger_seconds, available_now=False
+    )

@@ -8,12 +8,21 @@ import os
 
 import pytest
 
-from gtfs_realtime_etl_spark.sources.gtfs_rt import encode_feed, parse_feed
+from gtfs_realtime_etl_spark.sources.gtfs_rt import (
+    encode_feed,
+    parse_feed,
+    try_parse_feed,
+)
 from gtfs_realtime_etl_spark.streaming.compaction import (
     compact_partition,
     dates_in_range,
 )
-from gtfs_realtime_etl_spark.streaming.ingest import start_feed_file_stream
+from gtfs_realtime_etl_spark.streaming.ingest import (
+    kafka_feed_frames,
+    start_feed_file_stream,
+    start_feed_quarantine_stream,
+    start_feed_rate_stream,
+)
 
 
 def _mk_records(tick: int, n: int = 5) -> list[dict]:
@@ -84,6 +93,87 @@ def test_stream_ingest_to_lake(spark, tmp_path):
     assert lake.filter("year = 2024 AND month = 3 AND day = 5").count() == lake.count()
 
 
+def test_corrupt_payload_quarantined_batch_succeeds(spark, tmp_path):
+    """A poisonous payload must not fail ingest: good rows land in the
+    lake, the bad payload lands in quarantine with a reason."""
+    feed_dir = tmp_path / "feeds"
+    feed_dir.mkdir()
+    good = encode_feed(_mk_records(0, 5))
+    corrupt = good[: len(good) // 2] + b"\xff\xff\xff\xff\xff\xff\xff"
+    assert try_parse_feed(corrupt)[1] is not None  # genuinely undecodable
+    (feed_dir / "feed_good.pb").write_bytes(good)
+    (feed_dir / "feed_bad.pb").write_bytes(corrupt)
+
+    lake_root = str(tmp_path / "lake")
+    q = start_feed_file_stream(
+        spark, str(feed_dir), lake_root, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(lake_root).count() == 5  # good rows survived
+
+    qdir = str(tmp_path / "quarantine")
+    q2 = start_feed_quarantine_stream(
+        spark, str(feed_dir), qdir, str(tmp_path / "ckpt_q"), available_now=True
+    )
+    q2.awaitTermination(120)
+    bad = spark.read.parquet(qdir).toPandas()
+    assert len(bad) == 1
+    assert bad["reason"].iloc[0]  # non-empty failure reason
+    assert bytes(bad["payload"].iloc[0]) == corrupt
+
+
+def test_kafka_shaped_rate_stream_to_lake(spark, tmp_path):
+    """End-to-end through the Kafka-shaped source twin: rate-driven
+    payload replay → decode → enrich → dedup → partitioned lake, same
+    assertions as the file-stream test."""
+    import time
+
+    n_ticks, per_tick = 4, 5
+    payloads = [encode_feed(_mk_records(t, per_tick)) for t in range(n_ticks)]
+    lake_root = str(tmp_path / "lake")
+    q = start_feed_rate_stream(
+        spark,
+        payloads,
+        lake_root,
+        str(tmp_path / "ckpt"),
+        rows_per_second=20,
+        trigger_seconds=1,
+    )
+    try:
+        expected = n_ticks * per_tick
+        deadline = time.time() + 120
+        count = 0
+        while time.time() < deadline:
+            try:
+                count = spark.read.parquet(lake_root).count()
+            except Exception:  # lake not created yet
+                count = 0
+            if count >= expected:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    # every distinct (vehicle, ts) lands exactly once despite payload
+    # replay — the watermark+dropDuplicates hardening
+    lake = spark.read.parquet(lake_root)
+    assert lake.count() == expected
+    assert {"trip_id", "geohash", "year", "month", "day"} <= set(lake.columns)
+    assert lake.filter("year = 2024 AND month = 3 AND day = 5").count() == expected
+
+
+def test_kafka_source_shape(spark):
+    """kafka_feed_frames builds the production source; without the
+    connector jar the failure is Spark's missing-data-source error (not
+    an error in our pipeline wiring)."""
+    try:
+        frames = kafka_feed_frames(spark, "broker:9092", "gtfs-rt")
+    except Exception as exc:  # pragma: no cover - connector absent here
+        assert "kafka" in str(exc).lower()
+        return
+    # connector present: the frame schema must match the pipeline input
+    assert frames.schema.simpleString() == "struct<payload:binary>"
+
+
 def test_compaction_conserves_rows(spark, tmp_path):
     feed_dir = tmp_path / "feeds"
     feed_dir.mkdir()
@@ -108,6 +198,44 @@ def test_compaction_conserves_rows(spark, tmp_path):
         os.path.join(compacted_root, "year=2024/month=3/day=5", "*.parquet")
     )
     assert len(files) == 1  # small files collapsed
+
+
+def test_pinned_lake_schema_survives_drift(spark, tmp_path):
+    """S8: a rogue file with an extra/changed column must not mutate the
+    table schema — read_locations pins the canonical StructType (the
+    reference needed a unified-schema workaround for this drift,
+    compaction handler.py:86-102)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gtfs_realtime_etl_spark.schemas import LOCATIONS_LAKE
+    from gtfs_realtime_etl_spark.sources.lake import read_locations
+
+    feed_dir = tmp_path / "feeds"
+    feed_dir.mkdir()
+    (feed_dir / "feed.pb").write_bytes(encode_feed(_mk_records(0, 5)))
+    lake_root = str(tmp_path / "lake")
+    q = start_feed_file_stream(
+        spark, str(feed_dir), lake_root, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    # plant an evolved file: extra column, missing most canonical ones
+    part_dir = f"{lake_root}/year=2024/month=3/day=5"
+    rogue = pa.Table.from_pandas(
+        pd.DataFrame({"trip_id": ["T999"], "rogue_col": [1.5]})
+    )
+    pq.write_table(rogue, f"{part_dir}/part-rogue.parquet")
+
+    lake = read_locations(spark, lake_root)
+    assert [f.name for f in lake.schema.fields] == [
+        f.name for f in LOCATIONS_LAKE.fields
+    ]
+    assert "rogue_col" not in lake.columns
+    # the rogue file's rows surface with nulls, not a changed schema
+    assert lake.count() == 6
+    assert lake.filter("vehicle_id IS NULL").count() == 1
 
 
 def test_dates_in_range():
