@@ -1577,6 +1577,45 @@ FROM scored WHERE j >= {MINHASH_THRESHOLD}
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters over the verified MinHash pairs —
+    iterative min-label propagation (operators/clusters.py), the
+    genuinely iterative operator of the dedup family.  Deterministic
+    (cluster id = min member id), so a DuckDB recursive CTE replays it
+    exactly."""
+    from gtfs_realtime_etl_spark.operators.clusters import connected_components
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        documents,
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        shingle_k=MINHASH_SHINGLE_K,
+        threshold=MINHASH_THRESHOLD,
+    )
+    comp = connected_components(pairs)
+    return comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("node").alias("max_doc_id"),
+    )
+
+
+Q_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+mh AS ({Q_MINHASH_LSH_PAIRS_SQL}),
+edges AS (SELECT id_a AS s, id_b AS d FROM mh
+          UNION SELECT id_b AS s, id_a AS d FROM mh),
+reach(node, r) AS (
+  SELECT s AS node, s AS r FROM edges
+  UNION
+  SELECT e.s AS node, reach.r AS r FROM edges e JOIN reach ON e.d = reach.node
+),
+comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT cluster_id, COUNT(*) AS n_docs, MAX(node) AS max_doc_id
+FROM comp GROUP BY cluster_id
+"""
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
     return simhash_dedup(documents, hamming_threshold=SIMHASH_HAMMING)
@@ -1802,6 +1841,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1842,6 +1882,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_lsh_topk": Q_ANN_LSH_TOPK_SQL,
     "minhash_lsh_pairs": Q_MINHASH_LSH_PAIRS_SQL,
     "simhash_pairs": Q_SIMHASH_PAIRS_SQL,
+    "dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
     "multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
 }
 

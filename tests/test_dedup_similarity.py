@@ -7,6 +7,10 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from gtfs_realtime_etl_spark.operators.clusters import (
+    connected_components,
+    resolve_duplicates,
+)
 from gtfs_realtime_etl_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup,
@@ -77,6 +81,32 @@ def test_simhash_bucket_cap_bounds_blowup(spark):
     assert not ((capped["id_a"] < 100) & (capped["id_b"] < 100)).any()
     uncapped = simhash_dedup(docs, hamming_threshold=3, max_bucket=1000).toPandas()
     assert ((uncapped["id_a"] < 100) & (uncapped["id_b"] < 100)).sum() == 50 * 49 / 2
+
+
+def test_connected_components_chain_and_triangle(spark):
+    """A 4-node chain (transitivity across pairs) and a separate
+    triangle both collapse to min-id clusters."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    comp = dict(connected_components(pairs).collect())
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_resolve_duplicates_keeps_min_id_survivors(spark, corpus):
+    pairs = minhash_lsh_dedup(corpus, threshold=0.5)
+    survivors = resolve_duplicates(corpus, pairs)
+    ids = {r.doc_id for r in survivors.select("doc_id").collect()}
+    # exact dups of 0..4 (ids 100..104) lose to their originals
+    assert {0, 1, 2, 3, 4} <= ids
+    assert not ids & {100, 101, 102, 103, 104}
+    # untouched docs pass through: survivors + losers == corpus
+    assert len(ids) == corpus.count() - (
+        connected_components(pairs)
+        .filter("node != cluster_id")
+        .count()
+    )
 
 
 @pytest.fixture(scope="module")
