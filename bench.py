@@ -14,6 +14,10 @@ import re
 import sys
 import time
 
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
 from gtfs_realtime_etl_spark.plans.queries import QUERIES
 from gtfs_realtime_etl_spark.session import get_spark
 
@@ -28,6 +32,20 @@ def main() -> None:
 
     # Warm the JVM (codegen, parquet reader paths) outside the timings.
     QUERIES["filter_scan"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    # Warm the Python worker pool too: each executor thread spawns its
+    # pandas/pyarrow worker lazily on first Arrow-UDF use, which would
+    # otherwise bill ~5-8 s of interpreter startup to whichever kernel
+    # query runs first (environment init, not query work — same rationale
+    # as the JVM warmup above).
+    @F.pandas_udf(LongType())
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+
+    par = spark.sparkContext.defaultParallelism
+    spark.range(0, par * 4, 1, par).select(_warm("id")).write.format("noop").mode(
         "overwrite"
     ).save()
 

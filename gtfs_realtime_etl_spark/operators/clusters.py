@@ -36,10 +36,14 @@ def connected_components(
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``pairs``;
     cluster_id is the minimum node id reachable through the pair graph."""
+    # Materialize the edge set ONCE: every iteration joins against it,
+    # and without this the full upstream pair pipeline (e.g. the MinHash
+    # kernel + LSH + verification) would re-execute per round.
     edges = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
         .union(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("s").alias("node"))

@@ -107,6 +107,17 @@ def minhash_signature(
     return minhash_from_hashes(shingle_hashes(text, shingle_k), num_hashes)
 
 
+def _saturate(docs: DataFrame) -> DataFrame:
+    """Ensure the expensive Arrow kernel stage runs on every core: a
+    small corpus (one parquet file → one input split) would otherwise
+    serialize the signature computation on a single task.  No-op when
+    the scan already yields enough splits (the 100 TB case)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
+
 def _pair_explode(rows_col: str, fields) -> Column:
     """All ordered in-bucket pairs from a sorted collect_list column —
     JVM higher-order ops, no self-join (which would recompute and
@@ -150,7 +161,7 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
 
-    sig = docs.select(
+    sig = _saturate(docs).select(
         F.col(id_col),
         minhash_text_kernel(num_hashes, shingle_k)(F.col(text_col)).alias("sig"),
     )
@@ -185,15 +196,23 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     threshold: float = 0.5,
+    broadcast_sets: bool = True,
 ) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate pairs.
 
-    Joins the (small) candidate set back to the distinct shingle-hash
-    sets and keeps pairs with Jaccard ≥ threshold.  Only candidates are
-    compared — at scale this is the cheap tail of the pipeline.
-    Jaccard is computed on hash SETS (array_intersect/array_union over
-    sorted distinct int64), identical to the oracle's
+    Joins the candidate pairs back to the distinct shingle-hash sets and
+    keeps pairs with Jaccard ≥ threshold.  Only candidates are compared
+    — at scale this is the cheap tail of the pipeline.  Jaccard is
+    computed on hash SETS (array_intersect/array_union over sorted
+    distinct int64), identical to the oracle's
     list_intersect/list_distinct form.
+
+    ``broadcast_sets`` (default) broadcasts the involved-doc hash sets:
+    the candidate side then streams through a broadcast hash join and
+    the (heavy) set arrays are never shuffled or duplicated in a shuffle
+    file — a dup-dense corpus puts one doc in thousands of pairs.  Turn
+    it off when the involved-doc set outgrows executor memory (extreme
+    candidate volume); the plan degrades to a shuffle join.
     """
     involved = (
         candidates.select(F.col("id_a").alias(id_col))
@@ -204,6 +223,15 @@ def jaccard_pairs(
         F.col(id_col),
         shingle_hash_set_kernel(shingle_k)(F.col(text_col)).alias("sh"),
     )
+    if broadcast_sets:
+        sh = F.broadcast(sh)
+    # The candidate rows are skinny (two ids) but each drives an O(set)
+    # intersect/union — spread them across the cluster with a PINNED
+    # partition count: AQE sizes exchanges by BYTES and would coalesce
+    # the post-distinct pairs to one partition, serializing the verify
+    # compute (an explicit count is exempt from AQE re-coalescing).
+    n_tasks = candidates.sparkSession.sparkContext.defaultParallelism
+    candidates = candidates.repartition(n_tasks, F.col("id_a"))
     out = (
         candidates.join(
             sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
@@ -289,7 +317,7 @@ def simhash_dedup(
     """
     bands = hamming_threshold + 1
     seg_bits = H64_BITS // bands  # trailing bits spill into the last segment
-    sh = docs.select(
+    sh = _saturate(docs).select(
         F.col(id_col),
         simhash_tokens_kernel()(tokens(F.col(text_col))).alias("simhash"),
     )
