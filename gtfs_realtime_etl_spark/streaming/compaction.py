@@ -67,6 +67,7 @@ def compact_partition(
     compression: str = "zstd",
     max_records_per_file: int = MAX_RECORDS_PER_FILE,
     sort_col: str | None = "timestamp",
+    geoparquet: bool = False,
 ) -> int:
     """Rewrite one partition (day, or whole month when ``day`` is None)
     from the raw zone into the compacted zone.  Returns rows written.
@@ -74,6 +75,11 @@ def compact_partition(
     Partition-scoped read → partition pruning keeps this O(partition),
     never O(lake).  The rewrite itself is shuffle-free: coalesce only
     narrows parallelism, and the sort is within partitions.
+
+    ``geoparquet=True`` stamps the spec'd ``geo`` footer metadata on the
+    compacted files (S5 external-reader parity: the reference's writer
+    emits GeoParquet, handler.py:146-152) — done here because the
+    compaction rewrite is the natural place to pay a footer rewrite.
     """
     part = f"year={year}/month={month}"
     if day is not None:
@@ -90,6 +96,10 @@ def compact_partition(
         .option("maxRecordsPerFile", str(max_records_per_file))
         .parquet(f"{target_root}/{part}")
     )
+    if geoparquet and "geometry" in df.columns:
+        from gtfs_realtime_etl_spark.sources.geoparquet import stamp_geoparquet
+
+        stamp_geoparquet(f"{target_root}/{part}", compression=compression)
     return n
 
 

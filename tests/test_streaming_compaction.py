@@ -200,6 +200,46 @@ def test_compaction_conserves_rows(spark, tmp_path):
     assert len(files) == 1  # small files collapsed
 
 
+def test_compaction_stamps_geoparquet_footer(spark, tmp_path):
+    """S5: compacted files carry spec'd GeoParquet `geo` footer metadata
+    (reference writes GeoParquet, handler.py:146-152) and stay readable
+    by Spark."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    feed_dir = tmp_path / "feeds"
+    feed_dir.mkdir()
+    (feed_dir / "feed.pb").write_bytes(encode_feed(_mk_records(0, 10)))
+    raw_root = str(tmp_path / "raw")
+    q = start_feed_file_stream(
+        spark, str(feed_dir), raw_root, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    compacted = str(tmp_path / "compacted")
+    n = compact_partition(
+        spark, raw_root, compacted, 2024, 3, 5, target_files=1, geoparquet=True
+    )
+    files = glob.glob(
+        os.path.join(compacted, "year=2024/month=3/day=5", "*.parquet")
+    )
+    assert len(files) == 1
+    meta = pq.read_schema(files[0]).metadata
+    geo = json.loads(meta[b"geo"])
+    assert geo["version"] == "1.1.0"
+    assert geo["primary_column"] == "geometry"
+    col = geo["columns"]["geometry"]
+    assert col["encoding"] == "WKB"
+    assert col["geometry_types"] == ["Point"]
+    assert col["covering"]["bbox"]["xmin"] == ["bbox", "xmin"]
+    # dataset bbox matches the data (lon ~ -79.38.., lat ~ 43.65..)
+    xmin, ymin, xmax, ymax = col["bbox"]
+    assert -79.39 < xmin <= xmax < -79.37 and 43.64 < ymin <= ymax < 43.66
+    # stamped file still reads fine in Spark, rows conserved
+    assert spark.read.parquet(compacted).count() == n
+
+
 def test_pinned_lake_schema_survives_drift(spark, tmp_path):
     """S8: a rogue file with an extra/changed column must not mutate the
     table schema — read_locations pins the canonical StructType (the
