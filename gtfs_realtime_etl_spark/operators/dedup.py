@@ -214,14 +214,24 @@ def jaccard_pairs(
     it off when the involved-doc set outgrows executor memory (extreme
     candidate volume); the plan degrades to a shuffle join.
     """
+    # Lazy checkpoints: the candidate set feeds three plan legs (both
+    # sides of `involved` plus the verify join) and the hash-set kernel
+    # feeds two broadcast builds — without a materialization point the
+    # whole upstream pipeline would replay per leg.  Lazy (not eager) so
+    # building the DataFrame stays side-effect free.
+    candidates = candidates.localCheckpoint(eager=False)
     involved = (
         candidates.select(F.col("id_a").alias(id_col))
         .union(candidates.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = docs.join(involved, id_col, "left_semi").select(
-        F.col(id_col),
-        shingle_hash_set_kernel(shingle_k)(F.col(text_col)).alias("sh"),
+    sh = (
+        docs.join(involved, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            shingle_hash_set_kernel(shingle_k)(F.col(text_col)).alias("sh"),
+        )
+        .localCheckpoint(eager=False)
     )
     if broadcast_sets:
         sh = F.broadcast(sh)

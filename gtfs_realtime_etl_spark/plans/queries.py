@@ -722,6 +722,69 @@ GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# Q13b: composite quality-score filter (LLM-pipeline op) — the corpus
+# curation gate: per-source kept/dropped counts at a score threshold
+# plus the decimal-stabilized mean score.  Same op order on both
+# engines, so the doubles agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+QUALITY_KEEP = 0.8
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gtfs_realtime_etl_spark.functions.text import quality_score
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    score = quality_score(F.col("text"))
+    scored = documents.select("source", score.alias("score"))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("score") >= QUALITY_KEEP, 1).otherwise(0)).alias(
+            "n_kept"
+        ),
+        F.round(
+            F.sum(F.col("score").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_score"),
+    )
+
+
+# Mirrors functions/text.py::quality_score term by term: least/greatest
+# clamps, the punct/digit char-class strip ratios, left-associated sum.
+_QS_NTOK = (
+    "length(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+    "x -> x <> ''))"
+)
+_QS_PUNCT = (
+    "(CASE WHEN length(text) > 0 THEN "
+    "CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)"
+    " / CAST(length(text) AS DOUBLE) ELSE 0.0 END)"
+)
+_QS_DIGIT = (
+    "(CASE WHEN length(text) > 0 THEN "
+    "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)"
+    " / CAST(length(text) AS DOUBLE) ELSE 0.0 END)"
+)
+_QS_SCORE = (
+    f"(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) "
+    f"+ least(CAST({_QS_NTOK} AS DOUBLE) / 40.0, 1.0) "
+    f"+ greatest(1.0 - {_QS_PUNCT} * 4.0, 0.0) "
+    f"+ greatest(1.0 - {_QS_DIGIT} * 4.0, 0.0)) / 4.0"
+)
+
+Q_QUALITY_FILTER_SQL = f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN score >= {QUALITY_KEEP} THEN 1 ELSE 0 END) AS n_kept,
+       ROUND(CAST(SUM(CAST(score AS DECIMAL(18,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_score
+FROM (SELECT source, {_QS_SCORE} AS score FROM documents)
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q14: language-ID heuristic distribution (LLM-pipeline op).
 # First-in-order argmax over per-language stopword hits; 'und' when no
 # stopword matches at all.
@@ -1818,6 +1881,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "ann_cosine_topk": q_ann_cosine_topk,
     "text_quality": q_text_quality,
+    "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "embedding_centroids": q_embedding_centroids,
@@ -1859,6 +1923,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_ngram_jaccard": Q_DEDUP_NGRAM_JACCARD_SQL,
     "ann_cosine_topk": Q_ANN_COSINE_TOPK_SQL,
     "text_quality": Q_TEXT_QUALITY_SQL,
+    "quality_filter": Q_QUALITY_FILTER_SQL,
     "lang_id": Q_LANG_ID_SQL,
     "doc_fingerprint": Q_DOC_FINGERPRINT_SQL,
     "embedding_centroids": Q_EMBEDDING_CENTROIDS_SQL,
