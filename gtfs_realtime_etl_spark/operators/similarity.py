@@ -1,17 +1,24 @@
 """Similarity search over embedding columns (``array<float|double>``).
 
-Two paths, mirroring what a 100 TB ANN pipeline needs:
+Three paths, mirroring what a 100 TB ANN pipeline needs:
 
 - :func:`brute_force_topk` — the exact baseline: broadcast the query
   vectors, compute cosine with JVM higher-order functions, global top-k
   via TakeOrderedAndProject (no full sort, no Python).
-- :func:`lsh_bucketed_topk` — the scale path: random-hyperplane LSH
-  signs bucket both sides; only same-bucket pairs are scored.  Probes
-  neighboring buckets by flipping each sign bit once (multi-probe), so
-  recall degrades gracefully instead of cliff-dropping.
+- :func:`lsh_bucketed_topk` — data-independent scale path:
+  random-hyperplane LSH signs bucket both sides; only same-bucket pairs
+  are scored.  Probes neighboring buckets by flipping each sign bit
+  once (multi-probe), so recall degrades gracefully.
+- :func:`ivf_topk` — data-dependent scale path (inverted-file index):
+  a small coarse-quantizer centroid table partitions the corpus into
+  cells; the query scans only the ``nprobe`` nearest cells.  Centroids
+  come from :func:`centroids_from_labels` (decimal-stabilized per-label
+  means — deterministic across engines and cluster layouts; swap in any
+  k-means table at production scale).  Cell assignment is one broadcast
+  join + min_by; the probe is one shuffle on cell_id.
 
-The hyperplanes are derived deterministically from a seed so results
-are reproducible across runs and cluster sizes.
+Hyperplanes/centroids are deterministic so results are reproducible
+across runs and cluster sizes (and oracle-checkable).
 """
 
 from __future__ import annotations
@@ -69,6 +76,125 @@ def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
             F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i
         )
     return sig
+
+
+def centroids_from_labels(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 8,
+) -> DataFrame:
+    """Coarse-quantizer centroids: the per-``label_col`` mean vector,
+    decimal-accumulated per dimension and rounded to ``scale`` — the
+    same cross-engine-exact arithmetic as the embedding_centroids
+    query, so an oracle can rebuild the identical table.  Returns
+    (cell_id, centroid array<double>)."""
+    exploded = embeddings.select(
+        F.col(label_col).alias("cell_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")),
+    ).select("cell_id", (F.col("pos") + 1).alias("dim"), F.col("col").alias("val"))
+    per_dim = exploded.groupBy("cell_id", "dim").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            scale,
+        ).alias("cval")
+    )
+    return per_dim.groupBy("cell_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+            lambda s: s["cval"],
+        ).alias("centroid")
+    )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance, left-to-right fold (oracle-matchable)."""
+    diffs = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def assign_cells(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid cell id per vector, as a PURE PROJECTION.
+
+    A coarse quantizer is tiny by definition, so the centroid table is
+    collected to the driver (same cost class as a broadcast) and the
+    argmin becomes a narrow Column expression — no shuffle, no join, no
+    aggregation; assignment scales linearly with the corpus scan.  Ties
+    break on cell_id via lexicographic struct ordering (deterministic)."""
+    cents = sorted(
+        centroids.collect(), key=lambda r: r["cell_id"]
+    )  # tiny by definition
+    emb = embeddings.withColumn("_vec", F.col(vec_col).cast("array<double>"))
+    entries = [
+        F.struct(
+            _l2sq(
+                F.col("_vec"),
+                F.array(*[F.lit(float(v)) for v in row["centroid"]]),
+            ).alias("dist"),
+            F.lit(row["cell_id"]).alias("cell"),
+        )
+        for row in cents
+    ]
+    best = F.array_min(F.array(*entries))
+    return emb.withColumn("cell_id", best["cell"]).drop("_vec")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors whose cell is among the
+    query's ``nprobe`` nearest centroids.
+
+    Plan shape at scale: the inverted lists are the corpus partitioned
+    by cell_id (at rest: a table written with partitionBy(cell_id), so
+    the probe is partition pruning, not even a shuffle); here the cell
+    assignment is one broadcast join and the probe one equi join on
+    cell_id.  Scanned fraction ≈ nprobe / n_cells.
+    """
+    assigned = assign_cells(embeddings, centroids, vec_col)
+    emb = assigned.withColumn("_vec", F.col(vec_col).cast("array<double>"))
+
+    q = query.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).cast("array<double>").alias("_qvec"),
+    )
+    qcells = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_dist", _l2sq(F.col("_qvec"), F.col("centroid")))
+        .withColumn(
+            "_rank",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy("_dist", "cell_id")
+            ),
+        )
+        .filter(F.col("_rank") <= nprobe)
+        .select(query_id_col, "_qvec", "cell_id")
+    )
+
+    passthrough = [c for c in embeddings.columns if c != vec_col]
+    scored = emb.join(F.broadcast(qcells), "cell_id").select(
+        query_id_col,
+        *passthrough,
+        cosine_similarity(F.col("_vec"), F.col("_qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
 
 
 def lsh_bucketed_topk(

@@ -1827,6 +1827,111 @@ FROM ranked WHERE rank <= {TOP_K}
 Q_ANN_LSH_TOPK_SQL = _ann_lsh_sql()
 
 
+IVF_NPROBE = 2
+IVF_DIM = 64
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (the data-dependent ANN scale path; the
+    data-independent twin is ``ann_lsh_topk``, the exact baseline
+    ``ann_cosine_topk``).  Coarse quantizer: decimal-stabilized
+    per-label centroids, so the oracle rebuilds the identical table in
+    SQL and replays cell assignment, probing, and ranking exactly."""
+    from gtfs_realtime_etl_spark.operators.similarity import (
+        centroids_from_labels,
+        ivf_topk,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    cents = centroids_from_labels(embeddings, dim=IVF_DIM)
+    q = embeddings.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    res = ivf_topk(
+        embeddings.filter("vec_id != 0"), q, cents, k=TOP_K, nprobe=IVF_NPROBE
+    )
+    return res.select(
+        "query_id", "vec_id", "label", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def _ann_ivf_sql() -> str:
+    fold = "list_reduce(list_prepend(0.0, {terms}), (acc, x) -> acc + x)"
+
+    def l2sq(a: str, b: str) -> str:
+        return fold.format(
+            terms=(
+                f"list_transform(range(1, {IVF_DIM} + 1), "
+                f"j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j]))"
+            )
+        )
+
+    dot_q = fold.format(
+        terms=f"list_transform(range(1, {IVF_DIM} + 1), j -> e.vec[j] * qv.vec[j])"
+    )
+    norm_e = "sqrt(" + fold.format(terms="list_transform(e.vec, v -> v * v)") + ")"
+    norm_q = "sqrt(" + fold.format(terms="list_transform(qv.vec, v -> v * v)") + ")"
+    cosine = (
+        f"CASE WHEN {norm_e} * {norm_q} > 0 "
+        f"THEN {dot_q} / ({norm_e} * {norm_q}) ELSE 0.0 END"
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+cdim AS (
+  SELECT label AS cell_id, dim,
+         ROUND(CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 8) AS cval
+  FROM (
+    SELECT label, pos AS dim, vec[pos] AS val
+    FROM (SELECT label, embedding::DOUBLE[] AS vec,
+                 unnest(range(1, len(embedding) + 1)) AS pos
+          FROM embeddings)
+  )
+  GROUP BY cell_id, dim
+),
+cent AS (
+  SELECT cell_id, list(cval ORDER BY dim) AS centroid FROM cdim GROUP BY cell_id
+),
+assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {l2sq("e.vec", "c.centroid")}, c.cell_id) AS rn
+    FROM emb e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+qcells AS (
+  SELECT cell_id FROM (
+    SELECT c.cell_id,
+           ROW_NUMBER() OVER (
+             ORDER BY {l2sq("qv.vec", "c.centroid")}, c.cell_id) AS rn
+    FROM (SELECT vec FROM emb WHERE vec_id = 0) qv CROSS JOIN cent c
+  ) WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT CAST(0 AS INTEGER) AS query_id, e.vec_id, e.label,
+         {cosine} AS cosine
+  FROM emb e
+  JOIN assigned a ON e.vec_id = a.vec_id
+  JOIN qcells ON a.cell_id = qcells.cell_id
+  CROSS JOIN (SELECT vec FROM emb WHERE vec_id = 0) qv
+  WHERE e.vec_id <> 0
+),
+ranked AS (
+  SELECT query_id, vec_id, label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, label, ROUND(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+Q_ANN_IVF_TOPK_SQL = _ann_ivf_sql()
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
     media = synthesize_media(spark, documents, modality="image")
@@ -1903,6 +2008,7 @@ QUERIES: dict[str, QueryFn] = {
     "string_funcs": q_string_funcs,
     "monthly_revenue": q_monthly_revenue,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
@@ -1945,6 +2051,7 @@ ORACLE_SQL: dict[str, str] = {
     "string_funcs": Q_STRING_FUNCS_SQL,
     "monthly_revenue": Q_MONTHLY_REVENUE_SQL,
     "ann_lsh_topk": Q_ANN_LSH_TOPK_SQL,
+    "ann_ivf_topk": Q_ANN_IVF_TOPK_SQL,
     "minhash_lsh_pairs": Q_MINHASH_LSH_PAIRS_SQL,
     "simhash_pairs": Q_SIMHASH_PAIRS_SQL,
     "dedup_clusters": Q_DEDUP_CLUSTERS_SQL,

@@ -17,7 +17,10 @@ from gtfs_realtime_etl_spark.operators.dedup import (
     simhash_dedup,
 )
 from gtfs_realtime_etl_spark.operators.similarity import (
+    assign_cells,
     brute_force_topk,
+    centroids_from_labels,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 
@@ -130,6 +133,27 @@ def test_brute_force_topk_is_same_cluster(vectors):
     assert len(top) == 10
     assert (top["label"] == 0).all()  # same cluster as query
     assert top["cosine"].is_monotonic_decreasing
+
+
+def test_ivf_assignment_and_recall(vectors):
+    """Cluster-generated vectors must assign back to their own cluster's
+    centroid, and probing nprobe=1 cell must recover the exact top-k
+    (the query's neighbors all live in its cell)."""
+    cents = centroids_from_labels(vectors, label_col="label", dim=64)
+    assert cents.count() == 3
+    assigned = assign_cells(vectors, cents).toPandas()
+    acc = (assigned["cell_id"] == assigned["label"]).mean()
+    assert acc > 0.95, f"cell assignment accuracy {acc}"
+
+    q = vectors.filter("vec_id = 0").select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    others = vectors.filter("vec_id != 0")
+    exact = set(brute_force_topk(others, q, k=10).toPandas()["vec_id"])
+    approx = set(
+        ivf_topk(others, q, cents, k=10, nprobe=1).toPandas()["vec_id"]
+    )
+    assert len(exact & approx) / 10 >= 0.9
 
 
 def test_lsh_recall_vs_brute_force(vectors):

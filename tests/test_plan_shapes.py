@@ -1,0 +1,89 @@
+"""Plan-shape regression tests: the scale-critical physical-plan
+properties the engine was tuned for must not silently regress.
+
+These assert on `explain("formatted")` text — brittle against Spark
+version changes by nature, so each assertion targets a property that is
+load-bearing at 100 TB (exchange counts, join strategies, scan
+pruning), not cosmetic plan details.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from gtfs_realtime_etl_spark.plans.queries import QUERIES
+from tests.conftest import SF_CORRECTNESS
+
+
+def plan_of(spark, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, SF_CORRECTNESS).explain("formatted")
+    return buf.getvalue()
+
+
+def count(plan: str, pattern: str) -> int:
+    return len(re.findall(pattern, plan))
+
+
+def test_percentiles_single_exchange_pruned_scan(spark):
+    """Rank-selection percentiles: ONE exchange shared by both sort
+    orders, and the lineitem scan reads only the three needed columns."""
+    p = plan_of(spark, "percentiles")
+    assert count(p, r"\(\d+\) Exchange") == 1
+    assert count(p, r"\(\d+\) Sort") == 2
+    (read,) = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert set(re.findall(r"(\w+):", read.split("struct<")[1])) == {
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+    }
+
+
+def test_minhash_verify_joins_are_broadcast(spark):
+    """The Jaccard verify must stay a broadcast join (no sort-merge:
+    the heavy hash-set arrays would be shuffled and duplicated)."""
+    p = plan_of(spark, "minhash_lsh_pairs")
+    assert count(p, r"SortMergeJoin") == 0
+    assert count(p, r"BroadcastHashJoin") >= 2
+
+
+def test_flagship_broadcasts_dimensions(spark):
+    """Flagship star join: dimension tables broadcast, single fact
+    shuffle path (no sort-merge join of the fact table)."""
+    p = plan_of(spark, "flagship_punctuality")
+    assert count(p, r"BroadcastHashJoin") >= 2
+    assert count(p, r"SortMergeJoin") == 0
+
+
+def test_filter_scan_pushes_predicates(spark):
+    """Filters reach the parquet scan (PushedFilters non-empty)."""
+    p = plan_of(spark, "filter_scan")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert pushed and "[]" not in pushed[0]
+
+
+def test_ivf_assignment_is_projection(spark):
+    """IVF cell assignment is a narrow projection: no aggregation or
+    join anywhere before the probe join (the corpus side has exactly
+    the probe's broadcast join plus the top-k window exchange)."""
+    p = plan_of(spark, "ann_ivf_topk")
+    assert count(p, r"SortMergeJoin") == 0
+    # one probe join (cells) + one query-vector join; assignment itself
+    # contributes zero joins/aggregates on the corpus path
+    assert count(p, r"BroadcastHashJoin") <= 2
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_exact", "agg_pricing", "monthly_revenue", "rollup_revenue"]
+)
+def test_aggregations_have_partial_phase(spark, name):
+    """Wide aggs keep map-side partial aggregation (two HashAggregate
+    phases around one exchange) — the shuffle carries group states, not
+    raw rows."""
+    p = plan_of(spark, name)
+    assert count(p, r"\(\d+\) HashAggregate") >= 2
