@@ -108,6 +108,83 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize plumbing: payload binary → payload binary with updated
+    width/height metadata, via Arrow-batched mapInPandas (same schema in
+    and out, so it composes anywhere in a media pipeline).
+
+    STUB transform (no PIL in this container): the "resized" payload is
+    a deterministic byte subsampling with stride ceil(max(w,h)/max_side)
+    — shape-faithful (output length shrinks by the stride, metadata
+    scales exactly as a real resize would), so tests exercise real batch
+    plumbing and the codec swap-in point is one function.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            new_payload, new_w, new_h = [], [], []
+            for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                w = int(w or 0)
+                h = int(h or 0)
+                stride = max((max(w, h) + max_side - 1) // max_side, 1)
+                new_payload.append(None if p is None else bytes(p)[::stride])
+                new_w.append(max(w // stride, 1) if w else w)
+                new_h.append(max(h // stride, 1) if h else h)
+            out["payload"] = new_payload
+            out["width"] = pd.array(new_w, dtype="Int32")
+            out["height"] = pd.array(new_h, dtype="Int32")
+            yield out
+
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+#: Rows produced by frame sampling: one row per sampled frame.
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_ms", IntegerType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 16
+) -> DataFrame:
+    """Frame-sampling plumbing for video rows: one input row fans out to
+    ≤ ``max_frames`` frame rows at a fixed cadence — the 1→N mapInPandas
+    shape a real ffmpeg-backed sampler uses (and the row-explosion the
+    Arrow batch size cap protects against).
+
+    STUB decode: frame bytes are deterministic equal-length slices of
+    the payload; a real deployment swaps the slicer for a demuxer.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: list[tuple] = []
+            for mid, p, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if p is None or dur is None or int(dur) <= 0:
+                    continue
+                p = bytes(p)
+                n = min(max(int(dur) // every_ms, 1), max_frames)
+                step = max(len(p) // n, 1)
+                for i in range(n):
+                    rows.append(
+                        (int(mid), i, i * every_ms, p[i * step : (i + 1) * step])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_index", "frame_ms", "frame_payload"],
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Metadata-only profile — never touches payload bytes, so parquet
     column pruning skips the heavy binary column entirely."""

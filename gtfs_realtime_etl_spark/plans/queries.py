@@ -1486,6 +1486,32 @@ GROUP BY l_returnflag
 
 
 # ---------------------------------------------------------------------------
+# Q30b: CUBE aggregation — all 2^2 grouping sets in one pass, with the
+# grouping-id bit vector (identical LSB-first bit convention on both
+# engines) disambiguating aggregated-away NULLs from data NULLs.
+# ---------------------------------------------------------------------------
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+Q_CUBE_REVENUE_SQL = f"""
+SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderpriority, o_orderstatus) AS gid,
+       COUNT(*) AS n_orders,
+       {dsum_sql("o_totalprice")} AS revenue
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q31: collection aggregation — per-user sorted distinct event types as
 # one CSV string (order pinned by an explicit sort, so the set-typed
 # aggregate is hash-comparable across engines).
@@ -1994,6 +2020,7 @@ QUERIES: dict[str, QueryFn] = {
     "set_ops": q_set_ops,
     "semi_anti_join": q_semi_anti_join,
     "rollup_revenue": q_rollup_revenue,
+    "cube_revenue": q_cube_revenue,
     "sessionization": q_sessionization,
     "json_extract": q_json_extract,
     "token_stats": q_token_stats,
@@ -2037,6 +2064,7 @@ ORACLE_SQL: dict[str, str] = {
     "set_ops": Q_SET_OPS_SQL,
     "semi_anti_join": Q_SEMI_ANTI_JOIN_SQL,
     "rollup_revenue": Q_ROLLUP_REVENUE_SQL,
+    "cube_revenue": Q_CUBE_REVENUE_SQL,
     "sessionization": Q_SESSIONIZATION_SQL,
     "json_extract": Q_JSON_EXTRACT_SQL,
     "token_stats": Q_TOKEN_STATS_SQL,

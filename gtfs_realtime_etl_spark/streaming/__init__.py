@@ -1,6 +1,36 @@
-"""Structured Streaming ingest + lake maintenance (compaction)."""
+"""Structured Streaming ingest (Kafka / rate / file sources), lake
+maintenance (compaction), stateful operators, and watermarked windows."""
 
-from gtfs_realtime_etl_spark.streaming.compaction import compact_partitions
-from gtfs_realtime_etl_spark.streaming.ingest import start_feed_file_stream
+from gtfs_realtime_etl_spark.streaming.compaction import (
+    compact_partition,
+    compact_partitions,
+)
+from gtfs_realtime_etl_spark.streaming.ingest import (
+    feed_pipeline,
+    kafka_feed_frames,
+    rate_feed_frames,
+    start_feed_file_stream,
+    start_feed_kafka_stream,
+    start_feed_quarantine_stream,
+    start_feed_rate_stream,
+)
+from gtfs_realtime_etl_spark.streaming.stateful import (
+    streaming_sessionize,
+    streaming_vehicle_state,
+)
+from gtfs_realtime_etl_spark.streaming.windows import windowed_counts
 
-__all__ = ["compact_partitions", "start_feed_file_stream"]
+__all__ = [
+    "compact_partition",
+    "compact_partitions",
+    "feed_pipeline",
+    "kafka_feed_frames",
+    "rate_feed_frames",
+    "start_feed_file_stream",
+    "start_feed_kafka_stream",
+    "start_feed_quarantine_stream",
+    "start_feed_rate_stream",
+    "streaming_sessionize",
+    "streaming_vehicle_state",
+    "windowed_counts",
+]
