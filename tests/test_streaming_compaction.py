@@ -240,6 +240,29 @@ def test_compaction_stamps_geoparquet_footer(spark, tmp_path):
     assert spark.read.parquet(compacted).count() == n
 
 
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Stop/restart with the same checkpoint: already-committed feed
+    files are not reprocessed (no duplicate rows), new files are —
+    the delivery guarantee the reference's at-most-once lambda lacks."""
+    feed_dir = tmp_path / "feeds"
+    feed_dir.mkdir()
+    (feed_dir / "feed_0.pb").write_bytes(encode_feed(_mk_records(0, 5)))
+    lake_root = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+
+    q1 = start_feed_file_stream(spark, str(feed_dir), lake_root, ckpt, available_now=True)
+    q1.awaitTermination(120)
+    assert spark.read.parquet(lake_root).count() == 5
+
+    # second run, same checkpoint: one new file, old one must not replay
+    (feed_dir / "feed_1.pb").write_bytes(encode_feed(_mk_records(1, 5)))
+    q2 = start_feed_file_stream(spark, str(feed_dir), lake_root, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    lake = spark.read.parquet(lake_root)
+    assert lake.count() == 10
+    assert lake.select("vehicle_id", "timestamp").distinct().count() == 10
+
+
 def test_pinned_lake_schema_survives_drift(spark, tmp_path):
     """S8: a rogue file with an extra/changed column must not mutate the
     table schema — read_locations pins the canonical StructType (the
