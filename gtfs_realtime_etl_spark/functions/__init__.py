@@ -64,3 +64,15 @@ __all__ = [
     "whitespace_ratio",
     "z_score",
 ]
+
+from gtfs_realtime_etl_spark.functions.hashing import (  # noqa: E402
+    minhash_text_kernel,
+    shingle_hash_kernel,
+    simhash_tokens_kernel,
+)
+
+__all__ += [
+    "minhash_text_kernel",
+    "shingle_hash_kernel",
+    "simhash_tokens_kernel",
+]

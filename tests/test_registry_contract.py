@@ -1,0 +1,58 @@
+"""Driver-contract guards: the registry must stay internally consistent
+(every query has an oracle, names stay aligned, entry() works)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from gtfs_realtime_etl_spark.plans.queries import ORACLE_SQL, QUERIES
+
+
+def test_every_query_has_an_oracle():
+    assert set(QUERIES) == set(ORACLE_SQL), (
+        "queries() and oracle_sql() keys diverged: "
+        f"only-query={sorted(set(QUERIES) - set(ORACLE_SQL))} "
+        f"only-oracle={sorted(set(ORACLE_SQL) - set(QUERIES))}"
+    )
+
+
+def test_entry_module_exposes_contract(spark):
+    import __spark_entry__ as ep
+
+    assert set(ep.queries()) == set(QUERIES)
+    assert set(ep.oracle_sql()) == set(ORACLE_SQL)
+    df = ep.entry(spark)
+    assert df.columns  # stable schema, no collect here (driver's job)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SCALE_SMOKE"),
+    reason="opt-in: SPARK_GRAFT_SCALE_SMOKE=1 runs the 20x corpus smoke",
+)
+def test_minhash_scale_smoke(spark):
+    """Opt-in scale probe: a 20x-replicated corpus (100k docs, heavy
+    duplicate clusters) must keep LSH buckets capped and finish without
+    skew blowups — the local stand-in for the 100 TB posture."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gtfs_realtime_etl_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .crossJoin(spark.range(20).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("doc_id") * 100 + F.col("rep")).alias("doc_id"),
+            "text",
+        )
+    )
+    t0 = time.time()
+    n = minhash_lsh_candidates(docs, max_bucket=1000).count()
+    dt = time.time() - t0
+    assert n > 0
+    # 20x data with giant planted clusters: capped buckets keep the pair
+    # explosion bounded — anything quadratic would blow far past this
+    assert dt < 300, f"scale smoke took {dt:.0f}s"
