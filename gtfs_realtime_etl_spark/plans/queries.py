@@ -1310,6 +1310,58 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tns >= c.tns
 
 
 # ---------------------------------------------------------------------------
+# Q26b: forward as-of join with tolerance — "next click within an hour
+# of each purchase" (operators/asof.py direction="forward"); matches
+# beyond the tolerance are nulled, the left row kept.  Oracle: DuckDB
+# forward ASOF (p.ts <= c.ts) + the same tolerance CASE.
+# ---------------------------------------------------------------------------
+
+ASOF_TOL_NS = 3_600_000_000_000  # 1 hour
+
+
+def q_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        direction="forward",
+        tolerance=ASOF_TOL_NS,
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.expr("ts div 1000").alias("purchase_us"),
+        F.expr("ts_right div 1000").alias("next_click_us"),
+        F.expr("(ts_right - ts) div 1000000000").alias("gap_s"),
+    )
+
+
+Q_ASOF_NEXT_CLICK_SQL = f"""
+WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS tns
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, epoch_ns(ts) AS tns
+           FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.purchase_id, p.user_id, p.tns,
+         CASE WHEN c.tns - p.tns <= {ASOF_TOL_NS} THEN c.tns END AS ctns
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tns <= c.tns
+)
+SELECT purchase_id, user_id,
+       tns // 1000 AS purchase_us,
+       ctns // 1000 AS next_click_us,
+       (ctns - tns) // 1000000000 AS gap_s
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q27: analytic window battery — lag delta + frame-spec moving average
 # (rows between 3 preceding and current).  Both window passes share one
 # (user_id) shuffle+sort; the moving sum accumulates in DECIMAL so the
@@ -2027,6 +2079,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_neardup": q_embedding_neardup,
     "media_stats": q_media_stats,
     "asof_clicks": q_asof_clicks,
+    "asof_next_click": q_asof_next_click,
     "window_analytics": q_window_analytics,
     "rank_orders": q_rank_orders,
     "distinct_pivot": q_distinct_pivot,
@@ -2071,6 +2124,7 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
     "media_stats": Q_MEDIA_STATS_SQL,
     "asof_clicks": Q_ASOF_CLICKS_SQL,
+    "asof_next_click": Q_ASOF_NEXT_CLICK_SQL,
     "window_analytics": Q_WINDOW_ANALYTICS_SQL,
     "rank_orders": Q_RANK_ORDERS_SQL,
     "distinct_pivot": Q_DISTINCT_PIVOT_SQL,
