@@ -30,11 +30,27 @@ fold ``a*h + b`` under 2^62.
 
 from __future__ import annotations
 
+import string
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
+
+#: Case folding for shingle hashing is ASCII-ONLY (A-Z → a-z) in all
+#: three implementations.  Full Unicode lowercasing is engine-specific
+#: (Python 'İ'.lower() → 2 codepoints, DuckDB/utf8proc → 1, JVM locale
+#: rules differ again) and would break bit-identity on non-ASCII text —
+#: ASCII folding is deterministic everywhere and is the conventional
+#: normalization for dedup fingerprints.
+_ASCII_UPPER = string.ascii_uppercase
+_ASCII_LOWER = string.ascii_lowercase
+_LOWER_TABLE = str.maketrans(_ASCII_UPPER, _ASCII_LOWER)
+
+
+def _ascii_lower(t: str) -> str:
+    return t.translate(_LOWER_TABLE)
 
 #: Mersenne prime 2^31 - 1 — the hash modulus everywhere.
 MOD = 2147483647
@@ -125,7 +141,7 @@ def shingle_hash_kernel(k: int = 5):
             if t is None:
                 out.append(None)
                 continue
-            out.append(_shingle_hashes_np(_char_codes(t.lower()), k, pow_vec))
+            out.append(_shingle_hashes_np(_char_codes(_ascii_lower(t)), k, pow_vec))
         return pd.Series(out)
 
     return _kernel
@@ -144,7 +160,7 @@ def shingle_hash_set_kernel(k: int = 5):
                 out.append(None)
                 continue
             out.append(
-                np.unique(_shingle_hashes_np(_char_codes(t.lower()), k, pow_vec))
+                np.unique(_shingle_hashes_np(_char_codes(_ascii_lower(t)), k, pow_vec))
             )
         return pd.Series(out)
 
@@ -168,7 +184,7 @@ def minhash_text_kernel(num_hashes: int = 32, k: int = 5):
             if t is None:
                 out.append(None)
                 continue
-            h = _shingle_hashes_np(_char_codes(t.lower()), k, pow_vec)
+            h = _shingle_hashes_np(_char_codes(_ascii_lower(t)), k, pow_vec)
             # a, b, h < 2^31 ⇒ a*h + b < 2^62: no int64 overflow.
             out.append(((a * h[None, :] + b) % MOD).min(axis=1))
         return pd.Series(out)
@@ -231,7 +247,7 @@ def simhash_tokens_kernel():
 
 def shingle_hashes_column(text: Column, k: int = 5) -> Column:
     """Column twin of :func:`shingle_hash_kernel` (bit-identical)."""
-    lower = F.lower(text)
+    lower = F.translate(text, _ASCII_UPPER, _ASCII_LOWER)
     n = F.length(lower)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
     pow_vec = _pow_vec(BASE_A, k)
@@ -272,7 +288,7 @@ def sql_shingle_hashes(text_expr: str, k: int = 5) -> str:
     """Window hashes of ``lower(text_expr)``; out-of-range chars hash as
     ascii('') = 0, matching the kernel's zero padding."""
     pow_vec = _pow_vec(BASE_A, k)
-    t = f"lower({text_expr})"
+    t = f"translate({text_expr}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
     terms = " + ".join(
         f"CAST(ascii(substr({t}, i + {j}, 1)) AS BIGINT) * {int(pow_vec[j])}"
         for j in range(k)

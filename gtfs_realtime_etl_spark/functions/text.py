@@ -10,6 +10,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+#: ASCII-only case folding — engine-portable (see functions/hashing.py).
+_AZ_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_AZ_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
 #: Tiny per-language stopword lists for the n-gram/stopword language-ID
 #: heuristic.  Deliberately small + deterministic.
 STOPWORDS = {
@@ -21,8 +25,15 @@ STOPWORDS = {
 
 
 def tokens(text: Column) -> Column:
-    """Lower-cased whitespace tokens (empty strings removed)."""
-    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+    """ASCII-case-folded whitespace tokens (empty strings removed).
+
+    Case folding is ASCII-only (A-Z → a-z) so token values are
+    bit-identical across Spark / DuckDB / Python — full Unicode
+    lowercasing is engine-specific (see functions/hashing.py)."""
+    return F.filter(
+        F.split(F.translate(F.trim(text), _AZ_UPPER, _AZ_LOWER), r"\s+"),
+        lambda t: t != "",
+    )
 
 
 def token_count(text: Column) -> Column:
@@ -35,7 +46,7 @@ def char_shingles(text: Column, k: int = 5) -> Column:
     Expressed with sequence+transform so it runs JVM-side; short texts
     (< k chars) yield a single shingle of the whole text.
     """
-    lower = F.lower(text)
+    lower = F.translate(text, _AZ_UPPER, _AZ_LOWER)
     n = F.length(lower)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
     return F.transform(idx, lambda i: F.substring(lower, i, k))

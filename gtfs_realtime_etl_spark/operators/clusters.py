@@ -52,6 +52,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         prop = edges.join(labels, edges["d"] == labels["node"]).select(
             F.col("s").alias("node"), "label"
@@ -65,8 +66,19 @@ def connected_components(
         # labels only ever decrease; a stable sum means a fixed point.
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # The min label travels one hop per round, so a component whose
+        # min-id eccentricity exceeds max_iter would get silently WRONG
+        # labels (e.g. a 100-link drift chain of near-dups).  Fail loud;
+        # the caller raises max_iter.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds — a component's diameter exceeds the iteration budget; "
+            "raise max_iter"
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

@@ -51,8 +51,13 @@ DEFAULT_MAX_BUCKET = 1000
 
 
 def normalized_text(text: Column) -> Column:
-    """Whitespace-collapsed, lower-cased canonical form for hashing."""
-    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    """Whitespace-collapsed, ASCII-case-folded canonical form for
+    hashing (engine-portable; see functions/hashing.py)."""
+    return F.translate(
+        F.trim(F.regexp_replace(text, r"\s+", " ")),
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        "abcdefghijklmnopqrstuvwxyz",
+    )
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -240,8 +245,11 @@ def jaccard_pairs(
     # partition count: AQE sizes exchanges by BYTES and would coalesce
     # the post-distinct pairs to one partition, serializing the verify
     # compute (an explicit count is exempt from AQE re-coalescing).
+    # Key on BOTH ids: sorted buckets emit a dup cluster's pairs with
+    # the cluster minimum as id_a, so id_a alone would funnel a whole
+    # cluster's verify work to one task.
     n_tasks = candidates.sparkSession.sparkContext.defaultParallelism
-    candidates = candidates.repartition(n_tasks, F.col("id_a"))
+    candidates = candidates.repartition(n_tasks, F.col("id_a"), F.col("id_b"))
     out = (
         candidates.join(
             sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
@@ -322,8 +330,13 @@ def simhash_dedup(
     least one segment, so bucketing per (band_id, segment) finds every
     qualifying pair.  One shuffle on the bucket key; per-bucket pair
     explosion is bounded by ``max_bucket``; cross-band duplicates are
-    removed by the final distinct.  Recall is exact (pigeonhole), unlike
-    round 1's prefix bucketing which was also an OOM risk at scale.
+    removed by the final distinct.  Recall is exact by pigeonhole UP TO
+    the bucket cap: a duplicate group larger than ``max_bucket`` (e.g.
+    >1000 identical boilerplate docs) overflows its buckets in every
+    band and contributes NO pairs — deliberately, because its pair
+    explosion is quadratic; route such groups through
+    :func:`exact_dedup` (which has no cap) and raise ``max_bucket``
+    only with bounded cluster sizes.
     """
     bands = hamming_threshold + 1
     seg_bits = H64_BITS // bands  # trailing bits spill into the last segment

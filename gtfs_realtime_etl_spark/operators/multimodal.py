@@ -125,12 +125,15 @@ def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
             out = pdf.copy()
             new_payload, new_w, new_h = [], [], []
             for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
-                w = int(w or 0)
-                h = int(h or 0)
-                stride = max((max(w, h) + max_side - 1) // max_side, 1)
+                # NULL metadata stays NULL ("unknown dimension" must not
+                # become "0 pixels"); unknown dims resize with stride 1.
+                w = None if pd.isna(w) else int(w)
+                h = None if pd.isna(h) else int(h)
+                side = max(w or 0, h or 0)
+                stride = max((side + max_side - 1) // max_side, 1)
                 new_payload.append(None if p is None else bytes(p)[::stride])
-                new_w.append(max(w // stride, 1) if w else w)
-                new_h.append(max(h // stride, 1) if h else h)
+                new_w.append(None if w is None else max(w // stride, 1))
+                new_h.append(None if h is None else max(h // stride, 1))
             out["payload"] = new_payload
             out["width"] = pd.array(new_w, dtype="Int32")
             out["height"] = pd.array(new_h, dtype="Int32")

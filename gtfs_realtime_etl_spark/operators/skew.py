@@ -37,8 +37,17 @@ def salted_join(
     The salt is derived from a hash of the large side's whole row (so
     rows sharing a hot key still scatter); the small side is replicated
     once per salt value.  Result columns match ``large.join(small, on,
-    how)``.
+    how)``.  Only large-side-preserving joins are valid: a right/full
+    outer join would surface each unmatched small-side row once PER
+    REPLICA (×salt duplicates), so those modes are rejected.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "cross"):
+        raise ValueError(
+            f"salted_join supports large-side-preserving joins only, got {how!r}: "
+            "the replicated small side would duplicate unmatched rows in "
+            "right/full outer modes"
+        )
     lcols = [F.col(c) for c in large.columns]
     lsalt = large.withColumn("_salt", F.pmod(F.xxhash64(*lcols), F.lit(salt)))
     ssalt = small.withColumn(

@@ -52,6 +52,11 @@ from gtfs_realtime_etl_spark.sources.testdata import load_testdata
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# ASCII-only case folding (see functions/hashing.py): full Unicode
+# lowercasing is engine-specific and breaks cross-engine value parity.
+_AZ_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_AZ_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
 # ---------------------------------------------------------------------------
 # Cross-engine deterministic float helpers.
 #
@@ -537,7 +542,9 @@ WHERE count > 1
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    norm = F.translate(
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), _AZ_UPPER, _AZ_LOWER
+    )
     return (
         documents.withColumn("content_hash", F.md5(norm))
         .groupBy("content_hash")
@@ -549,7 +556,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_DEDUP_EXACT_SQL = """
-SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+SELECT md5(translate(trim(regexp_replace(text, '\\s+', ' ', 'g')), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS content_hash,
        MIN(doc_id) AS survivor_doc_id,
        COUNT(*) AS n_copies
 FROM documents
@@ -606,7 +613,7 @@ WITH docs AS (
   SELECT doc_id, source, n_chars, n_chars // {LEN_BUCKET} AS len_bucket,
          list_distinct(list_transform(
            range(1, GREATEST(length(text) - {SHINGLE_K - 1}, 1) + 1),
-           i -> substr(lower(text), i, {SHINGLE_K}))) AS shingles
+           i -> substr(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), i, {SHINGLE_K}))) AS shingles
   FROM documents
 )
 SELECT doc_a, doc_b, jaccard
@@ -710,7 +717,7 @@ SELECT source,
        MAX(n_chars_live) AS max_chars
 FROM (
   SELECT source,
-         length(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         length(list_filter(string_split_regex(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'),
                             x -> x <> '')) AS n_tokens,
          CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))
               AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
@@ -753,7 +760,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Mirrors functions/text.py::quality_score term by term: least/greatest
 # clamps, the punct/digit char-class strip ratios, left-associated sum.
 _QS_NTOK = (
-    "length(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+    "length(list_filter(string_split_regex(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), "
     "x -> x <> ''))"
 )
 _QS_PUNCT = (
@@ -815,7 +822,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lang_hits_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     return (
-        "length(list_filter(list_filter(string_split_regex(lower(trim(text)), "
+        "length(list_filter(list_filter(string_split_regex(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), "
         f"'\\s+'), x -> x <> ''), x -> x IN ({words})))"
     )
 
@@ -849,7 +856,7 @@ _FP_MOD = 2147483647
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
-    lower = F.lower(F.col("text"))
+    lower = F.translate(F.col("text"), _AZ_UPPER, _AZ_LOWER)
     codes = F.transform(
         F.sequence(F.lit(1), F.length(lower)),
         lambda i: F.ascii(F.substring(lower, i, 1)).cast("long"),
@@ -866,8 +873,8 @@ Q_DOC_FINGERPRINT_SQL = f"""
 SELECT doc_id,
        list_reduce(
          list_prepend(CAST(0 AS BIGINT),
-           list_transform(range(1, length(lower(text)) + 1),
-                          i -> CAST(ascii(substr(lower(text), i, 1)) AS BIGINT))),
+           list_transform(range(1, length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) + 1),
+                          i -> CAST(ascii(substr(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), i, 1)) AS BIGINT))),
          (acc, c) -> (acc * 31 + c) % {_FP_MOD}) AS fingerprint
 FROM documents
 """
@@ -1167,7 +1174,7 @@ SELECT lang,
        ROUND(CAST(SUM(n_bpe) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_bpe_per_doc
 FROM (
   SELECT lang,
-         length(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         length(list_filter(string_split_regex(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'),
                             x -> x <> '')) AS n_ws,
          length(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe
   FROM documents
@@ -1780,7 +1787,7 @@ def _simhash_bands_sql() -> str:
 Q_SIMHASH_PAIRS_SQL = f"""
 WITH tok AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         list_filter(string_split_regex(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'),
                      x -> x <> '') AS toks
   FROM documents
 ),
@@ -1852,7 +1859,7 @@ def _ann_lsh_sql() -> str:
         f"({i}, [{', '.join(repr(float(x)) for x in row)}])"
         for i, row in enumerate(planes)
     )
-    fold = "list_reduce(list_prepend(0.0, {terms}), (acc, x) -> acc + x)"
+    fold = _FOLD_SUM  # the ONE seeded-fold template (op-order contract)
     dot_plane = fold.format(
         terms=f"list_transform(range(1, {ANN_LSH_DIM} + 1), j -> e.vec[j] * pl.p[j])"
     )
@@ -1934,7 +1941,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_ivf_sql() -> str:
-    fold = "list_reduce(list_prepend(0.0, {terms}), (acc, x) -> acc + x)"
+    fold = _FOLD_SUM  # the ONE seeded-fold template (op-order contract)
 
     def l2sq(a: str, b: str) -> str:
         return fold.format(

@@ -101,7 +101,13 @@ def stamp_geoparquet(
             geo_metadata(geometry_col, bbox_col, bbox)
         ).encode()
         table = table.replace_schema_metadata(meta)
-        pq.write_table(table, f, compression=compression)
+        # Write-aside + atomic rename: a crash mid-rewrite must never
+        # leave the ONLY copy of a compacted file truncated.
+        tmp = os.path.join(
+            os.path.dirname(f), f".{os.path.basename(f)}.stamping"
+        )
+        pq.write_table(table, tmp, compression=compression)
+        os.replace(tmp, f)
         # Hadoop's checksummed LocalFileSystem keeps a .crc sidecar per
         # file it wrote; the rewrite invalidates it — drop it or Spark
         # refuses to read the stamped file back.

@@ -14,9 +14,15 @@ file-stream source never observes a half-written payload.
 
 from __future__ import annotations
 
+import itertools
 import os
 import time
 import urllib.request
+
+#: Process-wide tick counter: two fetches in the same clock microsecond
+#: (concurrent pollers, coarse clocks) must not collide on a filename —
+#: os.replace would silently clobber the earlier payload.
+_seq = itertools.count()
 
 
 def poll_feed_once(
@@ -33,7 +39,10 @@ def poll_feed_once(
         payload = resp.read()
     os.makedirs(out_dir, exist_ok=True)
     ts = clock.time()
-    name = f"feed_{int(ts)}_{int((ts % 1) * 1e6):06d}.pb"
+    name = (
+        f"feed_{int(ts)}_{int((ts % 1) * 1e6):06d}"
+        f"_{os.getpid()}_{next(_seq):06d}.pb"
+    )
     tmp = os.path.join(out_dir, f".{name}.tmp")
     final = os.path.join(out_dir, name)
     with open(tmp, "wb") as f:

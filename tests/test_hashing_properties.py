@@ -94,6 +94,10 @@ TRICKY = [
     "x" * 300,
     "word " * 50,
     "tab\tseparated\ttokens here",
+    # Unicode special-casing chars: Python lower('İ') expands to 2
+    # codepoints while DuckDB's collapses to 1 — ASCII-only folding
+    # (the fix) must keep all three implementations identical here.
+    "İSTANBUL Mixed ẞHARP çöğüş",
 ]
 
 
@@ -137,8 +141,10 @@ def test_kernel_equals_column_twin_equals_duckdb(spark, k):
         i: (sh, tk)
         for i, sh, tk in con.sql(
             f"""SELECT doc_id, {sql_shingle_hashes('text', k)},
-            list_transform(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                                       x -> x <> ''), t -> {sql_token_hash64('t')})
+            list_transform(list_filter(string_split_regex(
+                translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                          'abcdefghijklmnopqrstuvwxyz'), '\\s+'),
+                x -> x <> ''), t -> {sql_token_hash64('t')})
             FROM d ORDER BY doc_id"""
         ).fetchall()
     }
