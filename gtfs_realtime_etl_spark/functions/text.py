@@ -40,13 +40,20 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
-def char_shingles(text: Column, k: int = 5) -> Column:
-    """All k-character shingles of the lower-cased text (array<string>).
+def char_shingles(text: Column, k: int = 5, prefolded: bool = False) -> Column:
+    """All k-character shingles of the ASCII-case-folded text
+    (array<string>).
 
     Expressed with sequence+transform so it runs JVM-side; short texts
     (< k chars) yield a single shingle of the whole text.
+
+    HOT-PATH NOTE: the folded text appears inside the per-shingle
+    lambda, where a non-attribute expression is re-evaluated PER ELEMENT
+    (O(n²) per document).  In hot paths, materialize
+    ``F.translate(text, A-Z, a-z)`` as its own projected column first
+    and call with ``prefolded=True``.
     """
-    lower = F.translate(text, _AZ_UPPER, _AZ_LOWER)
+    lower = text if prefolded else F.translate(text, _AZ_UPPER, _AZ_LOWER)
     n = F.length(lower)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
     return F.transform(idx, lambda i: F.substring(lower, i, k))

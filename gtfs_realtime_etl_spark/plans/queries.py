@@ -579,13 +579,27 @@ LEN_BUCKET = 32
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
-    docs = documents.select(
+    # Fold case ONCE into an attribute, and only shingle AFTER the
+    # repartition: an expression inside the per-shingle lambda would be
+    # re-evaluated per element (O(n²) per doc), and shingling before the
+    # exchange would run on the scan's (often single) input partition.
+    n_tasks = spark.sparkContext.defaultParallelism
+    folded = documents.select(
         "doc_id",
         "source",
         "n_chars",
         F.expr(f"n_chars div {LEN_BUCKET}").alias("len_bucket"),
-        F.array_distinct(char_shingles(F.col("text"), SHINGLE_K)).alias("shingles"),
-    ).repartition("source", "len_bucket")
+        F.translate(F.col("text"), _AZ_UPPER, _AZ_LOWER).alias("_t"),
+    ).repartition(n_tasks, "source", "len_bucket")  # pinned: AQE-exempt
+    docs = folded.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "len_bucket",
+        F.array_distinct(
+            char_shingles(F.col("_t"), SHINGLE_K, prefolded=True)
+        ).alias("shingles"),
+    )
     a = docs.alias("a")
     b = docs.alias("b")
     pairs = a.join(
@@ -800,7 +814,13 @@ GROUP BY source
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    # Tokenize ONCE into an attribute: four per-language filters each
+    # referencing an inline tokens() expression would re-split the text
+    # four times per row.
+    documents = documents.select(
+        F.col("lang"), tokens(F.col("text")).alias("_toks")
+    )
+    toks = F.col("_toks")
     hits = {
         lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
         for lang, words in sorted(STOPWORDS.items())
@@ -856,7 +876,12 @@ _FP_MOD = 2147483647
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
-    lower = F.translate(F.col("text"), _AZ_UPPER, _AZ_LOWER)
+    # Fold case once into an attribute: inside the per-char lambda a
+    # non-attribute expression re-evaluates per element — O(n²)/doc.
+    folded = documents.select(
+        "doc_id", F.translate(F.col("text"), _AZ_UPPER, _AZ_LOWER).alias("_t")
+    )
+    lower = F.col("_t")
     codes = F.transform(
         F.sequence(F.lit(1), F.length(lower)),
         lambda i: F.ascii(F.substring(lower, i, 1)).cast("long"),
@@ -866,7 +891,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + c) % F.lit(_FP_MOD).cast("long"),
     )
-    return documents.select("doc_id", fp.alias("fingerprint"))
+    return folded.select("doc_id", fp.alias("fingerprint"))
 
 
 Q_DOC_FINGERPRINT_SQL = f"""
