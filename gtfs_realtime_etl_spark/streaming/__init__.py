@@ -5,6 +5,7 @@ from gtfs_realtime_etl_spark.streaming.compaction import (
     compact_partition,
     compact_partitions,
 )
+from gtfs_realtime_etl_spark.streaming.joins import interval_join
 from gtfs_realtime_etl_spark.streaming.ingest import (
     feed_pipeline,
     kafka_feed_frames,
@@ -24,6 +25,7 @@ __all__ = [
     "compact_partition",
     "compact_partitions",
     "feed_pipeline",
+    "interval_join",
     "kafka_feed_frames",
     "rate_feed_frames",
     "start_feed_file_stream",
