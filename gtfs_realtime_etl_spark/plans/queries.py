@@ -723,7 +723,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_TEXT_QUALITY_SQL = """
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        ROUND(CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_tokens,
        ROUND(CAST(SUM(CAST(punct_ratio AS DECIMAL(18,12))) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE), 6) AS avg_punct_ratio,
@@ -797,7 +797,7 @@ _QS_SCORE = (
 Q_QUALITY_FILTER_SQL = f"""
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN score >= {QUALITY_KEEP} THEN 1 ELSE 0 END) AS n_kept,
+       CAST(SUM(CASE WHEN score >= {QUALITY_KEEP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        ROUND(CAST(SUM(CAST(score AS DECIMAL(18,12))) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE), 6) AS avg_score
 FROM (SELECT source, {_QS_SCORE} AS score FROM documents)
@@ -1194,8 +1194,8 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_TOKEN_STATS_SQL = f"""
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(n_ws) AS total_ws_tokens,
-       SUM(n_bpe) AS total_bpe_tokens,
+       CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
        ROUND(CAST(SUM(n_bpe) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_bpe_per_doc
 FROM (
   SELECT lang,
@@ -1269,7 +1269,7 @@ pairs AS (
 )
 SELECT label,
        COUNT(*) AS n_pairs,
-       SUM(CASE WHEN cosine >= {NEARDUP_COSINE} THEN 1 ELSE 0 END) AS n_near_dups,
+       CAST(SUM(CASE WHEN cosine >= {NEARDUP_COSINE} THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
        ROUND(CAST(SUM(CAST(cosine AS DECIMAL(18,12))) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE), 6) AS avg_cosine
 FROM pairs
