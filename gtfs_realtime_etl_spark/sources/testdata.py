@@ -26,10 +26,11 @@ def load_testdata(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
     if "events" in tables:
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read it as a raw nanoseconds bigint.  Queries
-        # derive calendar fields with integer arithmetic (tz-free),
-        # matching DuckDB's naive-timestamp semantics exactly.
+        # Older testdata drops wrote events.ts as parquet TIMESTAMP(NANOS),
+        # which Spark's vectorized reader rejects; this flag reads that
+        # layout as a raw nanoseconds bigint.  Newer drops use
+        # TIMESTAMP(MICROS), which Spark reads as timestamp_ntz — the
+        # normalization below converts either form to the same bigint.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     # The local testdata files are single-row-group parquet, so a scan is
@@ -43,7 +44,32 @@ def load_testdata(
     out = {}
     for t in tables:
         df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        if t == "events":
+            df = _normalize_event_ts(df)
         if t in heavy:
             df = df.repartition(parallelism)
         out[t] = df
     return out
+
+
+def _normalize_event_ts(events: DataFrame) -> DataFrame:
+    """Canonicalize ``events.ts`` to epoch-nanoseconds bigint.
+
+    The driver's parquet has shipped ``ts`` both as TIMESTAMP(NANOS)
+    (read as bigint via ``nanosAsLong``) and as TIMESTAMP(MICROS) (read
+    as ``timestamp_ntz``).  All downstream calendar math is tz-free
+    integer arithmetic on nanoseconds, mirroring DuckDB's
+    ``epoch_ns(ts)`` on the same naive timestamp — so the wall-clock
+    value is converted without any session-timezone dependency
+    (``timestampdiff`` on TIMESTAMP_NTZ operands is pure wall-clock).
+    """
+    (ts_type,) = [f.dataType.simpleString() for f in events.schema.fields if f.name == "ts"]
+    if ts_type in ("bigint", "long"):
+        return events
+    from pyspark.sql import functions as F
+
+    nanos = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " cast(ts as timestamp_ntz)) * CAST(1000 AS BIGINT)"
+    )
+    return events.withColumn("ts", nanos)

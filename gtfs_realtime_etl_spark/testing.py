@@ -16,6 +16,7 @@ from dataclasses import dataclass, field
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import SparkSession
 
 from gtfs_realtime_etl_spark.sources.testdata import TABLES
@@ -42,7 +43,12 @@ class ParityResult:
         )
 
 
-def run_oracle(sql: str, sf_dir: str, timezone: str = "America/Toronto") -> pd.DataFrame:
+def run_oracle_arrow(
+    sql: str, sf_dir: str, timezone: str = "America/Toronto"
+) -> "pa.Table":
+    """Execute the oracle SQL once, returning the Arrow Table — both the
+    values (``.to_pandas()``) and the ACTUAL Arrow schema the driver
+    hashes come from this single execution on one connection."""
     con = duckdb.connect()
     try:
         con.execute(f"SET timezone = '{timezone}'")
@@ -52,9 +58,13 @@ def run_oracle(sql: str, sf_dir: str, timezone: str = "America/Toronto") -> pd.D
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
                 )
-        return con.execute(sql).df()
+        return con.execute(sql).arrow()
     finally:
         con.close()
+
+
+def run_oracle(sql: str, sf_dir: str, timezone: str = "America/Toronto") -> pd.DataFrame:
+    return run_oracle_arrow(sql, sf_dir, timezone).to_pandas()
 
 
 # --- driver-visible dtype gate -------------------------------------------
@@ -63,107 +73,55 @@ def run_oracle(sql: str, sf_dir: str, timezone: str = "America/Toronto") -> pd.D
 # HUGEINT -> decimal128(38,0) while Spark's is bigint -> int64: bit-equal
 # values, different hashes. `.df()` flattens HUGEINT to float64, which is
 # exactly what masked this class locally in round 2 (VERDICT r2, item 2).
-# So we compare *un-normalized* type classes: Spark schema mapped through
-# its Arrow conversion rules vs DuckDB `DESCRIBE <sql>` (binds only, no
-# execution). Integer widths unify (the driver passes int32-vs-int64) but
-# decimal/int/float/string are distinct classes.
+# So we compare the REAL Arrow schemas both engines produce — DuckDB's
+# from the executed result Table, Spark's via its own Arrow conversion
+# rules (pyspark.sql.pandas.types.to_arrow_schema, the exact mapping
+# toPandas/toArrow applies) — normalizing only integer and string/binary
+# widths (the driver passes int32-vs-int64).  Nested types recurse, so a
+# struct-vs-map or a differing nested field type is flagged too.
 
-def _spark_type_class(dt) -> str:
-    from pyspark.sql import types as T
 
-    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+def _norm_arrow_type(t: "pa.DataType") -> str:
+    if pa.types.is_integer(t):
         return "int"
-    if isinstance(dt, (T.FloatType, T.DoubleType)):
+    if pa.types.is_floating(t):
         return "float"
-    if isinstance(dt, T.DecimalType):
-        return f"decimal({dt.precision},{dt.scale})"
-    if isinstance(dt, T.StringType):
-        return "string"
-    if isinstance(dt, T.BinaryType):
-        return "binary"
-    if isinstance(dt, T.BooleanType):
-        return "bool"
-    if isinstance(dt, T.TimestampNTZType):
-        return "timestamp(ntz)"
-    if isinstance(dt, T.TimestampType):
-        return "timestamp(tz)"
-    if isinstance(dt, T.DateType):
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_timestamp(t):
+        return f"timestamp({'tz' if t.tz else 'ntz'})"
+    if pa.types.is_date(t):
         return "date"
-    if isinstance(dt, T.ArrayType):
-        return f"list<{_spark_type_class(dt.elementType)}>"
-    if isinstance(dt, (T.StructType, T.MapType)):
-        return "complex"
-    return dt.simpleString()
-
-
-_DUCK_INT = {
-    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
-    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
-}
-
-
-def _duck_type_class(t: str) -> str:
-    t = t.strip()
-    if t.endswith("[]"):
-        return f"list<{_duck_type_class(t[:-2])}>"
-    u = t.upper()
-    if u in _DUCK_INT:
-        return "int"
-    if u in ("HUGEINT", "UHUGEINT"):
-        # DuckDB surfaces 128-bit ints as decimal128(38,0) in Arrow.
-        return "decimal(38,0)"
-    if u.startswith("DECIMAL"):
-        inner = t[t.index("(") + 1 : t.rindex(")")].replace(" ", "")
-        return f"decimal({inner})"
-    if u in ("DOUBLE", "FLOAT", "REAL"):
-        return "float"
-    if u in ("VARCHAR", "TEXT", "STRING"):
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
         return "string"
-    if u in ("BLOB", "BYTEA"):
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return "binary"
-    if u == "BOOLEAN":
+    if pa.types.is_boolean(t):
         return "bool"
-    if u == "TIMESTAMP WITH TIME ZONE" or u == "TIMESTAMPTZ":
-        return "timestamp(tz)"
-    if u.startswith("TIMESTAMP"):
-        return "timestamp(ntz)"
-    if u == "DATE":
-        return "date"
-    if u.startswith(("STRUCT", "MAP", "UNION")):
-        return "complex"
-    return t
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return f"list<{_norm_arrow_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{_norm_arrow_type(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{_norm_arrow_type(t.key_type)},{_norm_arrow_type(t.item_type)}>"
+    return str(t)
 
 
-def oracle_described_types(
-    sql: str, sf_dir: str, timezone: str = "America/Toronto"
-) -> dict[str, str]:
-    """Column -> DuckDB type name for the oracle SQL, without executing it."""
-    con = duckdb.connect()
-    try:
-        con.execute(f"SET timezone = '{timezone}'")
-        for t in TABLES:
-            path = os.path.join(sf_dir, f"{t}.parquet")
-            if os.path.exists(path):
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-                )
-        rows = con.execute(f"DESCRIBE {sql}").fetchall()
-        return {r[0]: r[1] for r in rows}
-    finally:
-        con.close()
-
-
-def check_dtypes(res: ParityResult, spark_df, oracle_types: dict[str, str]) -> None:
+def check_dtypes(res: ParityResult, spark_df, oracle_schema: "pa.Schema") -> None:
     """Flag driver-hash-relevant dtype divergence on a ParityResult."""
-    spark_types = {f.name: _spark_type_class(f.dataType) for f in spark_df.schema.fields}
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    spark_types = {
+        f.name: _norm_arrow_type(f.type) for f in to_arrow_schema(spark_df.schema)
+    }
+    oracle_types = {f.name: _norm_arrow_type(f.type) for f in oracle_schema}
     for col in sorted(set(spark_types) & set(oracle_types)):
-        s_cls = spark_types[col]
-        o_cls = _duck_type_class(oracle_types[col])
-        if s_cls != o_cls:
+        if spark_types[col] != oracle_types[col]:
             res.dtype_match = False
             res.notes.append(
-                f"dtype col {col}: spark={s_cls} oracle={o_cls} "
-                f"(duckdb {oracle_types[col]}) — driver hash will diverge"
+                f"dtype col {col}: spark={spark_types[col]} "
+                f"oracle={oracle_types[col]} — driver hash will diverge"
             )
 
 
@@ -230,7 +188,7 @@ def compare_to_oracle(
 
     q = QUERIES[name](spark, sf_dir)
     sdf = q.toPandas()
-    odf = run_oracle(ORACLE_SQL[name], sf_dir)
-    res = compare_frames(name, sdf, odf)
-    check_dtypes(res, q, oracle_described_types(ORACLE_SQL[name], sf_dir))
+    otbl = run_oracle_arrow(ORACLE_SQL[name], sf_dir)
+    res = compare_frames(name, sdf, otbl.to_pandas())
+    check_dtypes(res, q, otbl.schema)
     return res

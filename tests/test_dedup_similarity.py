@@ -97,6 +97,35 @@ def test_connected_components_chain_and_triangle(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
 
 
+def test_components_paths_equivalent(spark):
+    """The driver union-find gate path and the distributed propagation
+    path produce identical labels (driver_max_edges=0 forces the
+    iterative path on the same graph)."""
+    import random
+
+    rng = random.Random(7)
+    # random graph: chains, triangles, singles-by-absence, dense blobs
+    edges = set()
+    for base in (0, 100, 200):
+        nodes = [base + i for i in range(20)]
+        for _ in range(30):
+            a, b = rng.sample(nodes, 2)
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    fast = dict(connected_components(pairs).collect())
+    slow = dict(connected_components(pairs, driver_max_edges=0).collect())
+    assert fast == slow and len(fast) > 0
+
+
+def test_components_nonconvergence_fails_loud(spark):
+    """A chain longer than max_iter hops must raise (silent wrong labels
+    are the failure mode at 100 TB), on the distributed path."""
+    chain = [(i, i + 1) for i in range(10)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2, driver_max_edges=0)
+
+
 def test_resolve_duplicates_keeps_min_id_survivors(spark, corpus):
     pairs = minhash_lsh_dedup(corpus, threshold=0.5)
     survivors = resolve_duplicates(corpus, pairs)

@@ -146,3 +146,42 @@ def test_partition_pruning(spark, lake):
     n_all = locations.count()
     n_day = pruned.count()
     assert 0 < n_day < n_all
+
+
+def test_day_slice_arrow_handoff(spark, lake):
+    """E3-secondary (visualize_locations.ipynb:46-48,97-129): a single
+    day's partition, pruned at the file index, handed off as Arrow with
+    the lake schema."""
+    import pyarrow as pa
+
+    from gtfs_realtime_etl_spark.sources.lake import day_slice, day_slice_arrow
+
+    root = lake["lake_root"]
+    sliced = day_slice(spark, root, 2024, 3, 5)
+    # plan-time pruning: the scan's partition filters carry all 3 keys
+    explained = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in explained
+    # files read == exactly that day's files on disk (the scan node's
+    # runtime numFiles metric — inputFiles() is pre-pruning)
+    day_dir = os.path.join(root, "year=2024", "month=3", "day=5")
+    n_files_on_disk = sum(f.endswith(".parquet") for f in os.listdir(day_dir))
+    sliced.collect()
+    jplan = sliced._jdf.queryExecution().executedPlan()
+    leaves = jplan.collectLeaves()
+    n_files_read = sum(
+        leaves.apply(i).metrics().apply("numFiles").value()
+        for i in range(leaves.length())
+    )
+    assert n_files_read == n_files_on_disk
+
+    tbl = day_slice_arrow(spark, root, 2024, 3, 5)
+    assert isinstance(tbl, pa.Table)
+    assert tbl.num_rows == sliced.count() > 0
+    assert set(tbl.column_names) == set(sliced.columns)
+
+    # column pruning variant: the handoff carries only the viz columns
+    viz = day_slice_arrow(
+        spark, root, 2024, 3, 5, columns=("longitude", "latitude", "trip_id")
+    )
+    assert viz.column_names == ["longitude", "latitude", "trip_id"]
+    assert viz.num_rows == tbl.num_rows

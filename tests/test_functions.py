@@ -117,3 +117,48 @@ def test_token_count(spark):
     df = spark.createDataFrame([("  a b   c  ",), ("", ), ("one",)], "t string")
     got = [r.n for r in df.select(token_count(F.col("t")).alias("n")).collect()]
     assert got == [3, 0, 1]
+
+
+def test_lang_id_kernel_matches_column(spark):
+    """The Arrow lang-ID kernel (hot path) is bit-identical to the
+    Column form on adversarial inputs: ties, zero hits, mixed case,
+    tabs/newlines, empties, nulls, non-ASCII."""
+    from gtfs_realtime_etl_spark.functions.text import lang_id_kernel
+
+    texts = [
+        "THE cat AND the dog IS it",
+        "le chat est sur la table",
+        "el perro y el gato",          # es words
+        "de la en es",                 # fr/es tie → earliest sorted lang
+        "zzz qqq",                     # und
+        "  \t the \n and\tof  ",      # odd whitespace
+        "",
+        None,
+        "das ist nicht von zu der die und ein mit",
+        "café déjà vu the the",       # non-ASCII chars present
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    from gtfs_realtime_etl_spark.functions.text import lang_id
+
+    rows = df.select(
+        lang_id(F.col("text")).alias("col_form"),
+        lang_id_kernel()(F.col("text")).alias("kernel"),
+    ).collect()
+    for r in rows:
+        assert r.col_form == r.kernel
+
+
+def test_doc_fingerprint_kernel_matches_column(spark):
+    """The Arrow fingerprint kernel is bit-identical to the interpreted
+    Column Horner fold (same base/modulus) on edge-shaped inputs."""
+    from gtfs_realtime_etl_spark.functions.hashing import doc_fingerprint_kernel
+    from gtfs_realtime_etl_spark.plans.queries import doc_fingerprint_column
+
+    texts = ["", "A", "abc", "The QUICK brown FOX! 123", "é" * 5, "x" * 3000, None]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        doc_fingerprint_column(F.col("text")).alias("col_form"),
+        doc_fingerprint_kernel()(F.col("text")).alias("kernel"),
+    ).collect()
+    for r in rows:
+        assert r.col_form == r.kernel

@@ -27,6 +27,7 @@ def test_entry_module_exposes_contract(spark):
     assert df.columns  # stable schema, no collect here (driver's job)
 
 
+@pytest.mark.scale_smoke
 @pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_SCALE_SMOKE"),
     reason="opt-in: SPARK_GRAFT_SCALE_SMOKE=1 runs the 20x corpus smoke",
@@ -56,3 +57,31 @@ def test_minhash_scale_smoke(spark):
     # 20x data with giant planted clusters: capped buckets keep the pair
     # explosion bounded — anything quadratic would blow far past this
     assert dt < 300, f"scale smoke took {dt:.0f}s"
+
+
+@pytest.mark.scale_smoke
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SCALE_SMOKE"),
+    reason="opt-in: SPARK_GRAFT_SCALE_SMOKE=1 runs the 20x corpus smoke",
+)
+def test_simhash_scale_smoke(spark):
+    """Opt-in scale probe for the banded-segment SimHash path: 20x
+    corpus (100k docs) with planted heavy duplicate groups — the bucket
+    cap must bound the pair explosion (round-1's prefix-bucket version
+    blew up quadratically on exactly this shape)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gtfs_realtime_etl_spark.operators.dedup import simhash_dedup
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .crossJoin(spark.range(20).select(F.col("id").alias("rep")))
+        .select((F.col("doc_id") * 100 + F.col("rep")).alias("doc_id"), "text")
+    )
+    t0 = time.time()
+    n = simhash_dedup(docs, hamming_threshold=3, max_bucket=1000).count()
+    dt = time.time() - t0
+    assert n >= 0
+    assert dt < 300, f"simhash scale smoke took {dt:.0f}s"
