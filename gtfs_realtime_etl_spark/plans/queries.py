@@ -728,6 +728,11 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NB the CAST(SUM(<int>) AS BIGINT) wrappers in the oracle SQLs are
+# deliberate overflow parity, not cosmetics: DuckDB widens integer SUM
+# to HUGEINT (Arrow decimal128(38,0) — a different driver hash), while
+# Spark's bigint SUM overflows at 2^63.  The cast makes DuckDB raise
+# where Spark would, narrowing the oracle's range on purpose.
 Q_TEXT_QUALITY_SQL = """
 SELECT source,
        COUNT(*) AS n_docs,
@@ -1808,6 +1813,46 @@ FROM comp GROUP BY cluster_id
 """
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the dedup funnel: the corpus with every non-survivor
+    dropped (min-id survives per cluster; operators/clusters.py
+    resolve_duplicates), summarized per source.  Reuses the same
+    session-cached verified pair set as the pair/cluster queries — the
+    persist-pairs-once production shape."""
+    from gtfs_realtime_etl_spark.operators.clusters import resolve_duplicates
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = _minhash_verified_pairs(spark, sf_dir)
+    survivors = resolve_duplicates(documents, pairs)
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+Q_DEDUP_SURVIVORS_SQL = f"""
+WITH RECURSIVE
+mh AS ({Q_MINHASH_LSH_PAIRS_SQL}),
+edges AS (SELECT id_a AS s, id_b AS d FROM mh
+          UNION SELECT id_b AS s, id_a AS d FROM mh),
+reach(node, r) AS (
+  SELECT s AS node, s AS r FROM edges
+  UNION
+  SELECT e.s AS node, reach.r AS r FROM edges e JOIN reach ON e.d = reach.node
+),
+comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+losers AS (SELECT node FROM comp WHERE node <> cluster_id)
+SELECT source,
+       COUNT(*) AS n_survivors,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents
+WHERE doc_id NOT IN (SELECT node FROM losers)
+GROUP BY source
+"""
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
     return simhash_dedup(documents, hamming_threshold=SIMHASH_HAMMING)
@@ -2143,6 +2188,7 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_survivors": q_dedup_survivors,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -2188,6 +2234,7 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_lsh_pairs": Q_MINHASH_LSH_PAIRS_SQL,
     "simhash_pairs": Q_SIMHASH_PAIRS_SQL,
     "dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
+    "dedup_survivors": Q_DEDUP_SURVIVORS_SQL,
     "multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
 }
 

@@ -46,8 +46,23 @@ def test_percentiles_single_exchange_pruned_scan(spark):
 
 def test_minhash_verify_joins_are_broadcast(spark):
     """The Jaccard verify must stay a broadcast join (no sort-merge:
-    the heavy hash-set arrays would be shuffled and duplicated)."""
-    p = plan_of(spark, "minhash_lsh_pairs")
+    the heavy hash-set arrays would be shuffled and duplicated).
+
+    Inspects the UNDERLYING operator pipeline, not the registry entry:
+    `q_minhash_lsh_pairs` serves from the session-cached checkpointed
+    pair set (plans/queries.py::_minhash_verified_pairs), whose plan is
+    a checkpoint scan by design."""
+    import contextlib
+    import io
+
+    from gtfs_realtime_etl_spark.operators.dedup import minhash_lsh_dedup
+    from gtfs_realtime_etl_spark.sources.testdata import load_testdata
+
+    docs = load_testdata(spark, SF_CORRECTNESS, tables=("documents",))["documents"]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        minhash_lsh_dedup(docs).explain("formatted")
+    p = buf.getvalue()
     assert count(p, r"SortMergeJoin") == 0
     assert count(p, r"BroadcastHashJoin") >= 2
 
