@@ -1,0 +1,112 @@
+"""Deterministic dataset splitting and sampling for training pipelines.
+
+A 100 TB corpus needs train/val/test assignment and subsampling that is
+(a) reproducible run-to-run and engine-to-engine, (b) a pure projection
+— no shuffle, no state, no sampling seed that changes with partitioning
+(``DataFrame.sample`` is partition-order dependent!), and (c) pushdown-
+friendly (a split filter should prune at the scan).
+
+Both operators hash the stable record id through the same affine map
+mod 2^31-1 used by the MinHash permutations (functions/hashing.py) —
+plain int64 arithmetic every engine computes bit-identically, so the
+DuckDB oracle replays the exact assignment:
+
+    slot(id) = (A * id + B) mod M,   uniform over [0, M)
+
+- :func:`split_assign` — map the slot through cumulative split
+  fractions → a ``split`` label column.
+- :func:`stratified_sample` — keep rows with slot < fraction * M,
+  per-record deterministic (a row is in or out forever, regardless of
+  parallelism) — the property Bernoulli ``sample()`` lacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gtfs_realtime_etl_spark.functions.hashing import MOD
+
+#: Fixed affine parameters (coprime multiplier, odd offset) — chosen
+#: once so splits are stable forever; different from every MinHash
+#: permutation pair so split membership never correlates with LSH
+#: bucketing.
+SPLIT_A = 1_103_515_245
+SPLIT_B = 12_345
+
+
+def split_slot(id_col: Column) -> Column:
+    """Uniform deterministic slot in [0, MOD) from a bigint id.
+
+    The id is reduced mod M BEFORE the multiply: both factors stay
+    below 2^31, the product below 2^62 — overflow-free int64 for ANY
+    64-bit id on every engine (a raw ``id * A`` wraps differently per
+    engine once ids pass ~8e9)."""
+    r = F.pmod(id_col.cast("long"), F.lit(MOD))
+    return F.pmod(r * F.lit(SPLIT_A) + F.lit(SPLIT_B), F.lit(MOD))
+
+
+def sql_split_slot(id_expr: str) -> str:
+    """DuckDB twin of :func:`split_slot` (same int64 arithmetic; BIGINT
+    casts keep DuckDB's INT32-defaulting literals from overflowing)."""
+    m = f"CAST({MOD} AS BIGINT)"
+    r = f"((CAST({id_expr} AS BIGINT) % {m} + {m}) % {m})"
+    return f"(({r} * {SPLIT_A} + {SPLIT_B}) % {m})"
+
+
+def split_assign(
+    df: DataFrame,
+    splits: dict[str, float],
+    id_col: str = "doc_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """Append a ``split`` label column assigning each row to one of
+    ``splits`` (name → fraction; fractions must sum to 1) by its hashed
+    slot.  A pure projection: no shuffle, safe under any partitioning,
+    and a downstream ``WHERE split = 'train'`` folds to an integer range
+    predicate on the slot."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    slot = split_slot(F.col(id_col))
+    expr = None
+    acc = 0.0
+    for name, frac in splits.items():
+        acc += frac
+        bound = int(acc * MOD)
+        cond = slot < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # float roundoff guard: the last bound may fall short of MOD by 1
+    expr = expr.otherwise(F.lit(list(splits)[-1]))
+    return df.withColumn(out_col, expr)
+
+
+def sql_split_assign(id_expr: str, splits: dict[str, float]) -> str:
+    """DuckDB CASE twin of :func:`split_assign` (identical bounds)."""
+    slot = sql_split_slot(id_expr)
+    acc = 0.0
+    whens = []
+    for name, frac in splits.items():
+        acc += frac
+        whens.append(f"WHEN {slot} < {int(acc * MOD)} THEN '{name}'")
+    return f"CASE {' '.join(whens)} ELSE '{list(splits)[-1]}' END"
+
+
+def stratified_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic ~``fraction`` subsample: a row is kept iff its hash
+    slot falls below ``fraction * MOD`` — membership is a property of
+    the id, not of partitioning, executor count, or evaluation order
+    (unlike ``DataFrame.sample``).  Composable: the 1% sample is a
+    strict subset of the 10% sample."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(split_slot(F.col(id_col)) < F.lit(int(fraction * MOD)))
+
+
+def sql_stratified_sample_pred(id_expr: str, fraction: float) -> str:
+    """DuckDB WHERE-clause twin of :func:`stratified_sample`."""
+    return f"{sql_split_slot(id_expr)} < {int(fraction * MOD)}"

@@ -1853,6 +1853,78 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic split / sample (training-pipeline ops; operators/splits.py).
+# Pure projections on a portable hash slot — no shuffle, engine-identical.
+# ---------------------------------------------------------------------------
+
+TRAIN_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SAMPLE_FRACTION = 0.1
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment over the corpus with
+    per-split-per-language profile — the standard pre-training split
+    audit (split sizes, char budget per language)."""
+    from gtfs_realtime_etl_spark.operators.splits import split_assign
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return (
+        split_assign(documents, TRAIN_SPLITS)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus subsample, per-source profile.  The
+    predicate is a pure integer comparison on the hashed id — membership
+    survives any repartitioning (DataFrame.sample does not)."""
+    from gtfs_realtime_etl_spark.operators.splits import stratified_sample
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return stratified_sample(documents, SAMPLE_FRACTION).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def _splits_sql() -> tuple[str, str]:
+    from gtfs_realtime_etl_spark.operators.splits import (
+        sql_split_assign,
+        sql_stratified_sample_pred,
+    )
+
+    return (
+        sql_split_assign("doc_id", TRAIN_SPLITS),
+        sql_stratified_sample_pred("doc_id", SAMPLE_FRACTION),
+    )
+
+
+Q_TRAIN_SPLIT_SQL = f"""
+SELECT {_splits_sql()[0]} AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+Q_STRATIFIED_SAMPLE_SQL = f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents
+WHERE {_splits_sql()[1]}
+GROUP BY source
+"""
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
     return simhash_dedup(documents, hamming_threshold=SIMHASH_HAMMING)
@@ -2189,6 +2261,8 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_pairs": q_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "dedup_survivors": q_dedup_survivors,
+    "train_split": q_train_split,
+    "stratified_sample": q_stratified_sample,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -2235,6 +2309,8 @@ ORACLE_SQL: dict[str, str] = {
     "simhash_pairs": Q_SIMHASH_PAIRS_SQL,
     "dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
     "dedup_survivors": Q_DEDUP_SURVIVORS_SQL,
+    "train_split": Q_TRAIN_SPLIT_SQL,
+    "stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
     "multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
 }
 

@@ -1,0 +1,88 @@
+"""Deterministic split/sample operators (operators/splits.py): the
+properties a training pipeline depends on — reproducibility under
+repartitioning, subset monotonicity of nested fractions, full coverage
+of split assignment, and bit-parity with the DuckDB twins."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from gtfs_realtime_etl_spark.functions.hashing import MOD
+from gtfs_realtime_etl_spark.operators.splits import (
+    split_assign,
+    split_slot,
+    sql_split_assign,
+    sql_split_slot,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    # adversarial ids: 0, negatives, > MOD, near int64 edge
+    vals = [0, 1, 2, MOD - 1, MOD, MOD + 1, 10**12, 2**62, -5, -(10**10)]
+    vals += list(range(100, 1100))
+    return spark.createDataFrame([(v,) for v in vals], "doc_id long")
+
+
+def test_slot_matches_duckdb_on_adversarial_ids(spark, ids):
+    got = {
+        r.doc_id: r.slot
+        for r in ids.select("doc_id", split_slot(F.col("doc_id")).alias("slot")).collect()
+    }
+    con = duckdb.connect()
+    for doc_id in got:
+        (exp,) = con.execute(
+            f"SELECT {sql_split_slot(str(doc_id))}"
+        ).fetchone()
+        assert got[doc_id] == exp, f"id={doc_id}"
+        assert 0 <= got[doc_id] < MOD
+
+
+def test_split_assign_covers_every_row_and_matches_sql(spark, ids):
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    rows = split_assign(ids, splits).collect()
+    assert all(r.split in splits for r in rows)
+    con = duckdb.connect()
+    for r in rows:
+        (exp,) = con.execute(
+            f"SELECT {sql_split_assign(str(r.doc_id), splits)}"
+        ).fetchone()
+        assert r.split == exp
+
+    # fractions roughly respected on the bulk range
+    n = len(rows)
+    n_train = sum(r.split == "train" for r in rows)
+    assert 0.7 < n_train / n < 0.9
+
+
+def test_split_fractions_must_sum_to_one(spark, ids):
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(ids, {"train": 0.5, "val": 0.1})
+
+
+def test_sample_deterministic_under_repartition(spark, ids):
+    a = {r.doc_id for r in stratified_sample(ids, 0.3).collect()}
+    b = {r.doc_id for r in stratified_sample(ids.repartition(7), 0.3).collect()}
+    assert a == b  # DataFrame.sample() fails exactly this property
+
+
+def test_sample_nested_fractions_are_subsets(spark, ids):
+    s10 = {r.doc_id for r in stratified_sample(ids, 0.1).collect()}
+    s30 = {r.doc_id for r in stratified_sample(ids, 0.3).collect()}
+    assert s10 <= s30
+    assert len(s30) > len(s10) > 0
+
+
+def test_split_and_sample_are_pure_projections(spark, ids):
+    """No Exchange in either plan: the assignment must be shuffle-free."""
+    import contextlib
+    import io
+
+    for df in (split_assign(ids, {"a": 0.5, "b": 0.5}), stratified_sample(ids, 0.5)):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        assert "Exchange" not in buf.getvalue()
