@@ -107,6 +107,56 @@ def lang_id(text: Column) -> Column:
     return best_lang
 
 
+#: PII-shaped patterns, deliberately written in the regex subset Java
+#: (Spark) and RE2 (DuckDB) interpret identically: character classes,
+#: bounded repetition, \b word boundaries — no backrefs, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b",
+}
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern (JVM-side regexp_count)."""
+    return F.regexp_count(text, F.lit(PII_PATTERNS[kind]))
+
+
+def redact_pii(text: Column, token: str = "[PII]") -> Column:
+    """Scrub every PII pattern occurrence (training corpora must not
+    memorize contact strings).  Chained JVM-side regexp_replace —
+    replace-all semantics on both engines."""
+    out = text
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def sql_pii_count(text_expr: str, kind: str) -> str:
+    """DuckDB twin of :func:`pii_count`."""
+    pat = PII_PATTERNS[kind].replace("'", "''")
+    return f"length(regexp_extract_all({text_expr}, '{pat}'))"
+
+
+def sql_redact_pii(text_expr: str, token: str = "[PII]") -> str:
+    """DuckDB twin of :func:`redact_pii` (global replace flag)."""
+    out = text_expr
+    for pat in PII_PATTERNS.values():
+        out = f"regexp_replace({out}, '{pat.replace(chr(39), chr(39)*2)}', '{token}', 'g')"
+    return out
+
+
+def bigrams(toks: Column) -> Column:
+    """Adjacent token pairs joined with one space (array<string>);
+    fewer than two tokens → empty array."""
+    pair = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.when(F.size(toks) >= 2, pair).otherwise(F.array().cast("array<string>"))
+
+
 def lang_id_kernel():
     """pandas_udf: text → predicted language code (Arrow hot path).
 

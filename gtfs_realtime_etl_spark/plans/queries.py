@@ -1854,6 +1854,126 @@ GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# PII redaction (training-pipeline op; functions/text.py PII_PATTERNS).
+# The synthetic corpus carries no natural PII, so the query wraps each
+# doc with DETERMINISTIC doc_id-derived contact strings (same expression
+# in both engines) before counting and redacting — the op mechanics are
+# fully exercised and hash-checked on nonzero values; crafted-string
+# unit tests in tests/test_functions.py cover the patterns directly.
+# ---------------------------------------------------------------------------
+
+
+def _with_synthetic_pii(documents: DataFrame) -> DataFrame:
+    doc_id = F.col("doc_id")
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), doc_id, F.lit("@example.com or 10.0."),
+        (doc_id % 256).cast("string"), F.lit(".7 call 555-"),
+        F.lpad((doc_id % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+    )
+    return documents.withColumn("text_pii", contact)
+
+
+_SQL_SYNTH_PII = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.7 call 555-'"
+    " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gtfs_realtime_etl_spark.functions.text import pii_count, redact_pii
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    t = F.col("text_pii")
+    enriched = _with_synthetic_pii(documents).select(
+        "source",
+        pii_count(t, "email").alias("n_email"),
+        pii_count(t, "ipv4").alias("n_ipv4"),
+        pii_count(t, "phone").alias("n_phone"),
+        (F.length(t) - F.length(redact_pii(t))).alias("chars_removed"),
+    )
+    return enriched.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").alias("total_emails"),
+        F.sum("n_ipv4").alias("total_ipv4s"),
+        F.sum("n_phone").alias("total_phones"),
+        F.sum("chars_removed").alias("total_chars_removed"),
+    )
+
+
+def _pii_sql() -> str:
+    from gtfs_realtime_etl_spark.functions.text import sql_pii_count, sql_redact_pii
+
+    return f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM({sql_pii_count('text_pii', 'email')}) AS BIGINT) AS total_emails,
+       CAST(SUM({sql_pii_count('text_pii', 'ipv4')}) AS BIGINT) AS total_ipv4s,
+       CAST(SUM({sql_pii_count('text_pii', 'phone')}) AS BIGINT) AS total_phones,
+       CAST(SUM(length(text_pii) - length({sql_redact_pii('text_pii')})) AS BIGINT)
+         AS total_chars_removed
+FROM (SELECT source, {_SQL_SYNTH_PII} AS text_pii FROM documents)
+GROUP BY source
+"""
+
+
+Q_PII_REDACTION_SQL = _pii_sql()
+
+
+# ---------------------------------------------------------------------------
+# Top bigrams per language (training-pipeline op): tokenize → adjacent
+# pairs → per-language frequency → top 3 (deterministic tie-break).
+# ---------------------------------------------------------------------------
+
+TOP_BIGRAMS_K = 3
+
+
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from gtfs_realtime_etl_spark.functions.text import bigrams
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        "lang", tokens(F.col("text")).alias("_toks")
+    )
+    grams = toks.select("lang", F.explode(bigrams(F.col("_toks"))).alias("bigram"))
+    counts = grams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_BIGRAMS_K)
+        .select("lang", "bigram", "n", "rk")
+    )
+
+
+_SQL_TOKS = (
+    "list_filter(string_split_regex(translate(trim(text), "
+    "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), "
+    "x -> x <> '')"
+)
+
+Q_TOP_BIGRAMS_SQL = f"""
+WITH toks AS (SELECT lang, {_SQL_TOKS} AS t FROM documents),
+grams AS (
+  SELECT lang, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks
+),
+counts AS (SELECT lang, bigram, COUNT(*) AS n FROM grams GROUP BY lang, bigram),
+ranked AS (
+  SELECT lang, bigram, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram ASC) AS rk
+  FROM counts
+)
+SELECT lang, bigram, n, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {TOP_BIGRAMS_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic split / sample (training-pipeline ops; operators/splits.py).
 # Pure projections on a portable hash slot — no shuffle, engine-identical.
 # ---------------------------------------------------------------------------
@@ -2263,6 +2383,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_survivors": q_dedup_survivors,
     "train_split": q_train_split,
     "stratified_sample": q_stratified_sample,
+    "pii_redaction": q_pii_redaction,
+    "top_bigrams": q_top_bigrams,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -2311,6 +2433,8 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_survivors": Q_DEDUP_SURVIVORS_SQL,
     "train_split": Q_TRAIN_SPLIT_SQL,
     "stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
+    "pii_redaction": Q_PII_REDACTION_SQL,
+    "top_bigrams": Q_TOP_BIGRAMS_SQL,
     "multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
 }
 

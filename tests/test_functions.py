@@ -162,3 +162,68 @@ def test_doc_fingerprint_kernel_matches_column(spark):
     ).collect()
     for r in rows:
         assert r.col_form == r.kernel
+
+
+def test_pii_patterns_on_crafted_strings(spark):
+    """Redaction + counting on strings with real PII shapes (emails,
+    IPv4s, phones), near-misses, and adjacency — and Spark must agree
+    with the DuckDB twins token for token."""
+    import duckdb
+
+    from gtfs_realtime_etl_spark.functions.text import (
+        pii_count,
+        redact_pii,
+        sql_pii_count,
+        sql_redact_pii,
+    )
+
+    cases = [
+        "mail a.b-c_d%x+1@sub.domain.org now",
+        "two bob@x.io and eve@y.co.uk here",
+        "ip 192.168.0.1 and 10.0.255.7, not 1.2.3 or 300.300",  # 300.300 not ipv4
+        "call 555-867-5309 or 555 123 4567 or 555.000.1111",
+        "no pii at all",
+        "a@b.c",  # single-letter TLD: NOT an email per the pattern
+        "edge9@x.ab.cd 7.7.7.7",
+    ]
+    df = spark.createDataFrame([(t,) for t in cases], "t string")
+    t = F.col("t")
+    rows = df.select(
+        "t",
+        pii_count(t, "email").alias("e"),
+        pii_count(t, "ipv4").alias("i"),
+        pii_count(t, "phone").alias("p"),
+        redact_pii(t).alias("red"),
+    ).collect()
+    by_text = {r.t: r for r in rows}
+    assert by_text[cases[0]].e == 1
+    assert by_text[cases[1]].e == 2
+    assert by_text[cases[2]].i == 2
+    assert by_text[cases[3]].p == 3
+    assert by_text[cases[4]].red == cases[4]
+    assert by_text[cases[5]].e == 0
+    assert "[PII]" in by_text[cases[6]].red and "@" not in by_text[cases[6]].red
+
+    con = duckdb.connect()
+    for r in rows:
+        lit = "'" + r.t.replace("'", "''") + "'"
+        e, i, p, red = con.execute(
+            f"SELECT {sql_pii_count(lit, 'email')}, {sql_pii_count(lit, 'ipv4')}, "
+            f"{sql_pii_count(lit, 'phone')}, {sql_redact_pii(lit)}"
+        ).fetchone()
+        assert (r.e, r.i, r.p, r.red) == (e, i, p, red), r.t
+
+
+def test_bigrams_edges(spark):
+    from gtfs_realtime_etl_spark.functions.text import bigrams, tokens
+
+    df = spark.createDataFrame(
+        [("a b c",), ("one",), ("",), ("  X  y Z ",)], "t string"
+    )
+    got = [
+        r.g
+        for r in df.select(bigrams(tokens(F.col("t"))).alias("g")).collect()
+    ]
+    assert got[0] == ["a b", "b c"]
+    assert got[1] == [] and got[2] == []
+    assert got[3] == ["x y", "y z"]
