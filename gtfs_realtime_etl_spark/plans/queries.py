@@ -1974,6 +1974,68 @@ FROM ranked WHERE rk <= {TOP_BIGRAMS_K}
 
 
 # ---------------------------------------------------------------------------
+# Context-window packing (training-pipeline op): assign docs to training
+# windows by cumulative token budget within each source stream, in
+# deterministic doc_id order — the relational form of sequence packing
+# (greedy packers are order-dependent; the cumulative-bin rule is the
+# deterministic, shuffle-once, engine-replayable variant).  window_id =
+# floor(cum_tokens_before_doc / budget): one window function over a
+# single (source)-partitioned sort, any engine computes it identically.
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 2048
+
+
+def q_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    packed = (
+        documents.select("source", "doc_id", n_tok.alias("n_tok"))
+        .withColumn("window_id", F.floor(cum_before / F.lit(PACK_BUDGET)))
+    )
+    return packed.groupBy("source").agg(
+        F.countDistinct("window_id").alias("n_windows"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(
+            F.sum("n_tok").cast("double")
+            / (F.countDistinct("window_id").cast("double") * PACK_BUDGET),
+            6,
+        ).alias("fill_ratio"),
+    )
+
+
+Q_CONTEXT_PACK_SQL = f"""
+WITH toks AS (
+  SELECT source, doc_id, length({_SQL_TOKS}) AS n_tok FROM documents
+),
+packed AS (
+  SELECT source, n_tok,
+         CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {PACK_BUDGET}) AS BIGINT) AS window_id
+  FROM toks
+)
+SELECT source,
+       CAST(COUNT(DISTINCT window_id) AS BIGINT) AS n_windows,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(n_tok) AS DOUBLE)
+             / (CAST(COUNT(DISTINCT window_id) AS DOUBLE) * {PACK_BUDGET}), 6)
+         AS fill_ratio
+FROM packed
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic split / sample (training-pipeline ops; operators/splits.py).
 # Pure projections on a portable hash slot — no shuffle, engine-identical.
 # ---------------------------------------------------------------------------
@@ -2385,6 +2447,7 @@ QUERIES: dict[str, QueryFn] = {
     "stratified_sample": q_stratified_sample,
     "pii_redaction": q_pii_redaction,
     "top_bigrams": q_top_bigrams,
+    "context_pack": q_context_pack,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -2435,6 +2498,7 @@ ORACLE_SQL: dict[str, str] = {
     "stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
     "pii_redaction": Q_PII_REDACTION_SQL,
     "top_bigrams": Q_TOP_BIGRAMS_SQL,
+    "context_pack": Q_CONTEXT_PACK_SQL,
     "multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
 }
 
