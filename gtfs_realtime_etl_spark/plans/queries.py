@@ -1931,7 +1931,26 @@ Q_PII_REDACTION_SQL = _pii_sql()
 TOP_BIGRAMS_K = 3
 
 
+#: Candidate-pruning fan-out for the two-phase top-k: each (lang, salt)
+#: bucket keeps only its local top-k, so the final per-language sort
+#: sees ≤ SALT_BUCKETS*k rows instead of every distinct bigram.  Any
+#: value gives the same result; raise it with data volume.
+TOP_BIGRAMS_SALT = 32
+
+
 def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-k bigrams, two-phase.
+
+    A naive `row_number() OVER (PARTITION BY lang ...)` funnels every
+    distinct bigram of a language through ONE task's sort — with 4
+    languages that is a 4-task bottleneck no matter the cluster size.
+    Phase 1 salts the (already globally-counted) bigrams into
+    TOP_BIGRAMS_SALT buckets per language and keeps each bucket's local
+    top-k (a global top-k member is necessarily a member of its own
+    bucket's top-k); phase 2 ranks the ≤ salt*k survivors per language —
+    a trivially small sort.  Tie-break (count desc, bigram asc) is
+    identical at both levels, so the result matches the naive form and
+    the oracle's single window exactly."""
     from pyspark.sql.window import Window
 
     from gtfs_realtime_etl_spark.functions.text import bigrams
@@ -1942,9 +1961,31 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = toks.select("lang", F.explode(bigrams(F.col("_toks"))).alias("bigram"))
     counts = grams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    # phase 1: local top-k per (lang, salt) bucket.  The struct sorts
+    # asc by (-n, bigram) = (count desc, bigram asc) — the exact final
+    # order.  collect_list holds one bucket (≈ distinct-bigrams / salt
+    # rows) before the slice; salt is the knob that bounds that state.
+    salted = counts.withColumn(
+        "_salt", F.pmod(F.hash("bigram"), F.lit(TOP_BIGRAMS_SALT))
+    )
+    local_topk = (
+        salted.groupBy("lang", "_salt")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct((-F.col("n")).alias("neg_n"), "bigram"))
+                ),
+                1,
+                TOP_BIGRAMS_K,
+            ).alias("cand")
+        )
+        .select("lang", F.explode("cand").alias("c"))
+        .select("lang", F.col("c.bigram").alias("bigram"), (-F.col("c.neg_n")).alias("n"))
+    )
+    # phase 2: rank the few surviving candidates per language.
     w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
     return (
-        counts.withColumn("rk", F.row_number().over(w))
+        local_topk.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_BIGRAMS_K)
         .select("lang", "bigram", "n", "rk")
     )
