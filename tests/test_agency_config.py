@@ -130,3 +130,52 @@ def test_poll_once_uses_configured_headers(tmp_path, monkeypatch):
     assert os.path.exists(out) and open(out, "rb").read() == b"\x0a\x00"
     assert seen["url"] == cfg.veh_position_url
     assert {k.lower(): v for k, v in seen["headers"].items()}["x-api-key"] == "sekrit"
+
+
+def test_two_city_ingest_through_config(spark, tmp_path):
+    """The full deployment loop from env alone: AgencyConfig → fetch
+    (stubbed payloads in the inbox) → cfg.start_ingest (file stream at
+    the configured cadence, availableNow drain) → each city's lake —
+    isolated lakes, enriched schema, correct partitioning."""
+    from gtfs_realtime_etl_spark.sources.gtfs_rt import encode_feed
+
+    env = dict(TWO_CITY_ENV)
+    env["YEG_DESTINATION_BUCKET"] = str(tmp_path / "yeg_lake")
+    env["YYZ_DESTINATION_BUCKET"] = str(tmp_path / "yyz_lake")
+    cities = [AgencyConfig.from_env(prefix=p, env=env) for p in ("YEG_", "YYZ_")]
+
+    base_ts = 1_709_650_800  # 2024-03-05
+    for i, cfg in enumerate(cities):
+        inbox = tmp_path / f"inbox{i}"
+        inbox.mkdir()
+        for tick in range(3):
+            records = [
+                {
+                    "trip_id": f"t{i}{tick}{j}",
+                    "route_id": f"r{i}",
+                    "vehicle_id": f"veh{i}{j}",
+                    "latitude": 53.5 + i,
+                    "longitude": -113.5 - i,
+                    "timestamp": base_ts + tick * 60 + j,
+                }
+                for j in range(4)
+            ]
+            (inbox / f"feed_{tick:04d}.pb").write_bytes(encode_feed(records))
+        q = cfg.start_ingest(
+            spark,
+            feed_dir=str(inbox),
+            checkpoint_dir=str(tmp_path / f"ckpt{i}"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    from gtfs_realtime_etl_spark.sources.lake import read_locations
+
+    for i, cfg in enumerate(cities):
+        lake = read_locations(spark, cfg.lake_root)
+        assert lake.count() == 12, cfg.name
+        assert lake.filter(f"route_id = 'r{i}'").count() == 12  # isolation
+        assert {"geohash", "geometry", "bbox", "year", "month", "day"} <= set(
+            lake.columns
+        )
+        assert lake.filter("year = 2024 AND month = 3").count() == 12
