@@ -1229,12 +1229,34 @@ NEARDUP_COSINE = 0.8
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gtfs_realtime_etl_spark.functions.vector import dot, l2_norm
+
     (embeddings,) = _t(spark, sf_dir, "embeddings")
-    emb = embeddings.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
-    ).repartition("label")
+    # Hoist each vector's norm to an attribute BEFORE the pair join:
+    # inside the join, cosine_similarity() would re-fold both 64-dim
+    # norms PER PAIR (interpreted HOFs — 3 folds/pair); hoisted, the
+    # per-pair cost is the dot fold alone.  The arithmetic (same fold
+    # order, same sqrt, same when-guard) is unchanged, so the oracle's
+    # explicit left-fold SQL still matches bit-for-bit.
+    emb = (
+        embeddings.select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+        )
+        .withColumn("norm", l2_norm(F.col("vec")))
+        # explicit numPartitions: vectors are byte-light but the pair
+        # fold is CPU-heavy, and AQE's size-based coalescing would fuse
+        # the whole self-join into ONE task.  A user-pinned count keeps
+        # one task per label block.
+        .repartition(32, "label")
+    )
     a, b = emb.alias("a"), emb.alias("b")
-    cos = F.round(cosine_similarity(F.col("a.vec"), F.col("b.vec")), 6)
+    denom = F.col("a.norm") * F.col("b.norm")
+    cos = F.round(
+        F.when(denom > 0, dot(F.col("a.vec"), F.col("b.vec")) / denom).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
     pairs = a.join(
         b,
         (F.col("a.label") == F.col("b.label"))
