@@ -130,6 +130,11 @@ def assign_cells(
     cents = sorted(
         centroids.collect(), key=lambda r: r["cell_id"]
     )  # tiny by definition
+    return _assign_cells_rows(embeddings, cents, vec_col)
+
+
+def _assign_cells_rows(embeddings: DataFrame, cents: list, vec_col: str) -> DataFrame:
+    """Projection-only argmin over an already-collected centroid list."""
     emb = embeddings.withColumn("_vec", F.col(vec_col).cast("array<double>"))
     entries = [
         F.struct(
@@ -165,7 +170,13 @@ def ivf_topk(
     assignment is one broadcast join and the probe one equi join on
     cell_id.  Scanned fraction ≈ nprobe / n_cells.
     """
-    assigned = assign_cells(embeddings, centroids, vec_col)
+    # ONE centroid materialization serves both consumers: the projection
+    # argmin for corpus cell assignment and the query-side probe list.
+    # (Re-using the `centroids` DataFrame twice would re-run its full
+    # posexplode+groupBy lineage for the probe broadcast.)
+    cents = sorted(centroids.collect(), key=lambda r: r["cell_id"])
+    cent_local = embeddings.sparkSession.createDataFrame(cents, centroids.schema)
+    assigned = _assign_cells_rows(embeddings, cents, vec_col)
     emb = assigned.withColumn("_vec", F.col(vec_col).cast("array<double>"))
 
     q = query.select(
@@ -173,7 +184,7 @@ def ivf_topk(
         F.col(query_vec_col).cast("array<double>").alias("_qvec"),
     )
     qcells = (
-        q.crossJoin(F.broadcast(centroids))
+        q.crossJoin(F.broadcast(cent_local))
         .withColumn("_dist", _l2sq(F.col("_qvec"), F.col("centroid")))
         .withColumn(
             "_rank",
