@@ -3,8 +3,9 @@
 Three paths, mirroring what a 100 TB ANN pipeline needs:
 
 - :func:`brute_force_topk` — the exact baseline: broadcast the query
-  vectors, compute cosine with JVM higher-order functions, global top-k
-  via TakeOrderedAndProject (no full sort, no Python).
+  vectors, compute cosine with JVM higher-order functions, per-query
+  top-k via the salted two-phase rank (:func:`_two_phase_topk` — no
+  single-task sort, no Python).
 - :func:`lsh_bucketed_topk` — data-independent scale path:
   random-hyperplane LSH signs bucket both sides; only same-bucket pairs
   are scored.  Probes neighboring buckets by flipping each sign bit
@@ -28,6 +29,62 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from gtfs_realtime_etl_spark.functions.vector import cosine_similarity, dot
+
+#: Candidate-pruning fan-out for the salted two-phase top-k (the same
+#: pattern as plans/queries.py::q_top_bigrams).  Any value yields the
+#: same result; it only bounds per-bucket state — raise with volume.
+TOPK_SALT = 32
+
+
+def _two_phase_topk(
+    scored: DataFrame,
+    k: int,
+    query_id_col: str,
+    id_col: str,
+    score_col: str = "cosine",
+    dedup: bool = False,
+) -> DataFrame:
+    """Salted two-phase per-query top-k — the scale-safe final rank.
+
+    A bare ``row_number() OVER (PARTITION BY query_id)`` funnels ALL n
+    scored rows of one query through ONE task's sort (for a single
+    query vector: the entire corpus — a 100×-scale killer).  Phase 1
+    salts rows into :data:`TOPK_SALT` buckets per query on the unique
+    ``id_col`` and keeps each bucket's local top-k (a global top-k
+    member is necessarily in its own bucket's top-k); phase 2 ranks the
+    ≤ TOPK_SALT·k survivors per query — a trivially small sort.  The
+    tie-break (score desc, id asc) is identical at both levels, so the
+    result — and the DuckDB oracle's single-window form — match the
+    naive rank exactly.
+
+    ``dedup=True`` folds exact-duplicate rows (multi-probe LSH emits
+    one row per matching probe) into the phase-1 aggregate via
+    ``collect_set`` — no extra dropDuplicates shuffle.
+    """
+    others = [c for c in scored.columns if c not in (query_id_col, id_col, score_col)]
+    # Struct sorts asc by (-score, id) = (score desc, id asc) — the
+    # exact final order; score round-trips through double negation.
+    entry = F.struct(
+        (-F.col(score_col)).alias("_neg"),
+        F.col(id_col).alias("_id"),
+        *[F.col(c).alias(c) for c in others],
+    )
+    coll = F.collect_set(entry) if dedup else F.collect_list(entry)
+    survivors = (
+        scored.withColumn("_salt", F.pmod(F.hash(F.col(id_col)), F.lit(TOPK_SALT)))
+        .groupBy(query_id_col, "_salt")
+        .agg(F.slice(F.sort_array(coll), 1, k).alias("_cand"))
+        .select(query_id_col, F.explode("_cand").alias("_c"))
+    )
+    restored = {
+        query_id_col: F.col(query_id_col),
+        id_col: F.col("_c._id").alias(id_col),
+        score_col: (-F.col("_c._neg")).alias(score_col),
+        **{c: F.col(f"_c.{c}").alias(c) for c in others},
+    }
+    out = survivors.select(*[restored[c] for c in scored.columns])
+    w = Window.partitionBy(query_id_col).orderBy(F.desc(score_col), F.asc(id_col))
+    return out.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def brute_force_topk(
@@ -56,10 +113,7 @@ def brute_force_topk(
         *passthrough,
         cosine_similarity(F.col("_vec"), F.col("_qvec")).alias("cosine"),
     )
-    w = F.row_number().over(
-        Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
-    )
-    return scored.withColumn("rank", w).filter(F.col("rank") <= k)
+    return _two_phase_topk(scored, k, query_id_col, id_col)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -202,10 +256,7 @@ def ivf_topk(
         *passthrough,
         cosine_similarity(F.col("_vec"), F.col("_qvec")).alias("cosine"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return _two_phase_topk(scored, k, query_id_col, id_col)
 
 
 def lsh_bucketed_topk(
@@ -255,9 +306,6 @@ def lsh_bucketed_topk(
         *passthrough,
         cosine_similarity(F.col("_vec"), F.col("_qvec")).alias("cosine"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
-    return (
-        scored.dropDuplicates([query_id_col, id_col])
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    # dedup=True: multi-probe emits one identical row per matching
+    # probe; collect_set folds them inside the phase-1 aggregate.
+    return _two_phase_topk(scored, k, query_id_col, id_col, dedup=True)

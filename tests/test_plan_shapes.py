@@ -93,6 +93,56 @@ def test_ivf_assignment_is_projection(spark):
     assert count(p, r"BroadcastHashJoin") <= 2
 
 
+@pytest.mark.parametrize("name", ["ann_lsh_topk", "ann_ivf_topk"])
+def test_ann_final_rank_is_two_phase(spark, name):
+    """The ANN final rank must NOT funnel the full scored set through a
+    single-task window sort (the 100×-scale killer the salted two-phase
+    top-k exists to prevent): between the scored candidate join and the
+    final per-query rank there must be a salted aggregation — partial
+    (map-side local top-k) + final around ONE exchange — so the rank
+    only ever sees ≤ TOPK_SALT·k survivor rows per query."""
+    p = plan_of(spark, name)
+    tree = p.split("\n\n")[0]
+    lines = tree.splitlines()
+    win = min(i for i, l in enumerate(lines) if "Window" in l)
+    join = min(i for i, l in enumerate(lines) if "BroadcastHashJoin" in l)
+    aggs = [i for i, l in enumerate(lines) if "ObjectHashAggregate" in l]
+    # tree prints top-down: rank above, scored join below; the two-phase
+    # aggregate pair must sit between them.
+    between = [i for i in aggs if win < i < join]
+    assert len(between) >= 2, tree
+    # exactly one exchange inside the rank pipeline (the salted shuffle)
+    exchanges = [
+        i for i, l in enumerate(lines) if win < i < join and " Exchange" in l
+    ]
+    assert len(exchanges) == 1, tree
+
+
+def test_brute_force_topk_no_single_partition_sort(spark):
+    """Library form of the exact baseline: salted two-phase rank, never
+    a bare window over the whole scored corpus."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from gtfs_realtime_etl_spark.operators.similarity import brute_force_topk
+    from gtfs_realtime_etl_spark.sources.testdata import load_testdata
+
+    emb = load_testdata(spark, SF_CORRECTNESS, tables=("embeddings",))["embeddings"]
+    q = emb.filter("vec_id = 0").select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        brute_force_topk(emb.filter("vec_id != 0"), q, k=5).explain("formatted")
+    tree = buf.getvalue().split("\n\n")[0]
+    lines = tree.splitlines()
+    win = min(i for i, l in enumerate(lines) if "Window" in l)
+    aggs = [i for i, l in enumerate(lines) if "ObjectHashAggregate" in l]
+    assert sum(1 for i in aggs if i > win) >= 2, tree
+
+
 @pytest.mark.parametrize(
     "name", ["dedup_exact", "agg_pricing", "monthly_revenue", "rollup_revenue"]
 )
