@@ -15,8 +15,11 @@ Three paths, mirroring what a 100 TB ANN pipeline needs:
   cells; the query scans only the ``nprobe`` nearest cells.  Centroids
   come from :func:`centroids_from_labels` (decimal-stabilized per-label
   means — deterministic across engines and cluster layouts; swap in any
-  k-means table at production scale).  Cell assignment is one broadcast
-  join + min_by; the probe is one shuffle on cell_id.
+  k-means table at production scale).  Cell assignment is a pure
+  projection; the in-plan probe is one broadcast join on cell_id, and
+  the at-rest form (:func:`write_ivf_index` / :func:`ivf_index_topk`)
+  turns the probe into partition pruning — only the nprobe cells' files
+  are ever listed or read.
 
 Hyperplanes/centroids are deterministic so results are reproducible
 across runs and cluster sizes (and oracle-checkable).
@@ -251,6 +254,93 @@ def ivf_topk(
     )
 
     passthrough = [c for c in embeddings.columns if c != vec_col]
+    scored = emb.join(F.broadcast(qcells), "cell_id").select(
+        query_id_col,
+        *passthrough,
+        cosine_similarity(F.col("_vec"), F.col("_qvec")).alias("cosine"),
+    )
+    return _two_phase_topk(scored, k, query_id_col, id_col)
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus as an at-rest IVF index: cell assignment (a
+    pure projection, see :func:`assign_cells`) then
+    ``partitionBy("cell_id")`` parquet — the inverted lists ARE the
+    hive partitions.  A probe against this layout is partition pruning
+    (the file index lists only the probed cells' files), not a join or
+    even a shuffle; see :func:`ivf_index_topk`."""
+    assign_cells(embeddings, centroids, vec_col).write.mode(mode).partitionBy(
+        "cell_id"
+    ).parquet(path)
+
+
+def select_probe_cells(
+    query: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+) -> list[tuple]:
+    """Driver-side probe-cell selection for the at-rest index path:
+    ``(query_id, cell_id, qvec)`` triples for each query's ``nprobe``
+    nearest centroids.  Same left-to-right squared-L2 fold and the same
+    (dist, cell_id) tie-break as :func:`_l2sq` + :func:`ivf_topk`'s
+    in-plan window, so both probe paths pick identical cells."""
+    cents = sorted(centroids.collect(), key=lambda r: r["cell_id"])
+
+    def l2sq(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    probes: list[tuple] = []
+    for r in query.collect():
+        qv = [float(x) for x in r[query_vec_col]]
+        ranked = sorted((l2sq(qv, c["centroid"]), c["cell_id"]) for c in cents)
+        probes.extend((r[query_id_col], cell, qv) for _, cell in ranked[:nprobe])
+    return probes
+
+
+def ivf_index_topk(
+    spark,
+    index_path: str,
+    query: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """IVF top-k against the at-rest index written by
+    :func:`write_ivf_index` — the 100 TB probe path.
+
+    The query side is tiny by definition, so probe-cell selection runs
+    driver-side (same seeded left-to-right fold as :func:`_l2sq`, same
+    (dist, cell_id) tie-break — bit-identical to :func:`ivf_topk`'s
+    in-plan selection) and the probed cell ids become LITERAL partition
+    predicates: ``cell_id IN (...)`` prunes the scan to the nprobe
+    cells' files at plan time.  Scanned bytes ≈ nprobe / n_cells of the
+    index, with zero shuffle before the salted top-k rank.
+    """
+    probes = select_probe_cells(query, centroids, nprobe, query_id_col, query_vec_col)
+    qcells = spark.createDataFrame(
+        probes, schema=f"{query_id_col} long, cell_id long, _qvec array<double>"
+    )
+    probed_cells = sorted({cell for _, cell, _ in probes})
+    scan = spark.read.parquet(index_path).filter(
+        F.col("cell_id").isin(probed_cells)
+    )
+    emb = scan.withColumn("_vec", F.col(vec_col).cast("array<double>"))
+    passthrough = [c for c in scan.columns if c not in (vec_col, "cell_id")]
     scored = emb.join(F.broadcast(qcells), "cell_id").select(
         query_id_col,
         *passthrough,

@@ -196,3 +196,64 @@ def test_lsh_recall_vs_brute_force(vectors):
     )
     recall = len(exact & approx) / 10
     assert recall >= 0.7, f"LSH recall too low: {recall}"
+
+
+def test_ivf_at_rest_index_prunes_partitions(spark, vectors, tmp_path):
+    """The at-rest IVF layout: write_ivf_index partitions the corpus by
+    cell_id, and ivf_index_topk's probe must (a) prune the scan to
+    exactly the nprobe probed cells' files — the scan's runtime
+    numFiles metric equals the files on disk under those cells'
+    directories — and (b) return the identical rows to the in-plan
+    ivf_topk on the same corpus/centroids/query."""
+    import os
+
+    from gtfs_realtime_etl_spark.operators.similarity import (
+        ivf_index_topk,
+        select_probe_cells,
+        write_ivf_index,
+    )
+
+    cents = centroids_from_labels(vectors, label_col="label", dim=64)
+    others = vectors.filter("vec_id != 0")
+    index = str(tmp_path / "ivf_index")
+    write_ivf_index(others, cents, index)
+    cell_dirs = [d for d in os.listdir(index) if d.startswith("cell_id=")]
+    assert len(cell_dirs) == 3
+
+    q = vectors.filter("vec_id = 0").select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    nprobe = 2
+    # AQE wraps executed stages (the scan's runtime metrics end up
+    # buried inside QueryStageExec nodes); pruning itself is plan-time
+    # and AQE-independent, so turn AQE off just for the metric read.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        res = ivf_index_topk(spark, index, q, cents, k=10, nprobe=nprobe)
+        explained = res._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in explained
+
+        probed = {cell for _, cell, _ in select_probe_cells(q, cents, nprobe)}
+        assert len(probed) == nprobe
+        n_files_probed = sum(
+            f.endswith(".parquet")
+            for cell in probed
+            for f in os.listdir(os.path.join(index, f"cell_id={cell}"))
+        )
+        out = res.toPandas()
+        leaves = res._jdf.queryExecution().executedPlan().collectLeaves()
+        n_files_read = sum(
+            leaves.apply(i).metrics().apply("numFiles").value()
+            for i in range(leaves.length())
+            # the broadcast query-cells leaf (ExistingRDD): no file metric
+            if leaves.apply(i).metrics().contains("numFiles")
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert n_files_read == n_files_probed  # only the probed cells' files
+
+    expected = ivf_topk(others, q, cents, k=10, nprobe=nprobe).toPandas()
+    got = out.sort_values("rank").reset_index(drop=True)
+    exp = expected[got.columns].sort_values("rank").reset_index(drop=True)
+    assert got["vec_id"].tolist() == exp["vec_id"].tolist()
+    assert (got["cosine"] - exp["cosine"]).abs().max() < 1e-12
