@@ -31,12 +31,16 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: Media row schema: payload + typed metadata.
+#: Media row schema: payload + typed metadata.  ``n_bytes`` (the payload
+#: size) is PERSISTED METADATA stamped at ingest/synthesis: profiling
+#: queries aggregate it instead of ``length(payload)``, so a stats scan
+#: over a 100 TB media lake prunes the binary column entirely.
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
         StructField("modality", StringType()),  # image | audio | video
         StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
         StructField("mime", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
@@ -135,6 +139,10 @@ def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
                 new_w.append(None if w is None else max(w // stride, 1))
                 new_h.append(None if h is None else max(h // stride, 1))
             out["payload"] = new_payload
+            # n_bytes metadata tracks the rewritten payload
+            out["n_bytes"] = pd.array(
+                [None if p is None else len(p) for p in new_payload], dtype="Int64"
+            )
             out["width"] = pd.array(new_w, dtype="Int32")
             out["height"] = pd.array(new_h, dtype="Int32")
             yield out
@@ -189,11 +197,14 @@ def sample_frames(
 
 
 def media_stats(media: DataFrame) -> DataFrame:
-    """Metadata-only profile — never touches payload bytes, so parquet
-    column pruning skips the heavy binary column entirely."""
+    """Metadata-only profile: aggregates the PERSISTED ``n_bytes``
+    metadata column, never ``length(payload)`` — so the scan's
+    ReadSchema excludes the heavy binary column and a 100 TB media lake
+    profiles at metadata cost (pinned by
+    tests/test_multimodal.py::test_media_stats_prunes_payload)."""
     return media.groupBy("modality").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.avg(F.length("payload")).alias("avg_bytes"),
+        F.avg("n_bytes").alias("avg_bytes"),
         F.max("width").alias("max_width"),
         F.max("height").alias("max_height"),
         F.avg("duration_ms").alias("avg_duration_ms"),
@@ -207,6 +218,9 @@ def synthesize_media(spark, documents: DataFrame, modality: str = "image") -> Da
         F.col("doc_id").alias("media_id"),
         F.lit(modality).alias("modality"),
         F.encode(F.col("text"), "UTF-8").cast("binary").alias("payload"),
+        # payload size stamped as metadata at synthesis ("ingest time"),
+        # so profiling never needs the binary column
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
         F.lit(f"{modality}/fake").alias("mime"),
         (F.col("doc_id") % 640 + 64).cast("int").alias("width"),
         (F.col("doc_id") % 480 + 48).cast("int").alias("height"),

@@ -68,6 +68,28 @@ def test_sample_frames_fan_out_bounded(spark):
     assert pdf["frame_payload"].map(len).gt(0).all()
 
 
-def test_media_stats_prunes_payload(spark):
-    stats = media_stats(_media(spark)).collect()
+def test_media_stats_prunes_payload(spark, tmp_path):
+    """media_stats over an at-rest media table must be metadata-only:
+    the parquet scan's ReadSchema excludes the binary payload column
+    (at 100 TB the payload IS the table — reading it for a profile
+    turns a metadata query into a full-lake scan)."""
+    import contextlib
+    import io
+    import re
+
+    path = str(tmp_path / "media")
+    _media(spark).write.parquet(path)
+    stats_df = media_stats(spark.read.parquet(path))
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        stats_df.explain("formatted")
+    reads = [l for l in buf.getvalue().splitlines() if "ReadSchema" in l]
+    assert reads, buf.getvalue()
+    read_cols = set(re.findall(r"(\w+):", reads[0].split("struct<")[1]))
+    assert "payload" not in read_cols, reads[0]
+    assert {"modality", "n_bytes", "width", "height", "duration_ms"} <= read_cols
+
+    stats = stats_df.collect()
     assert stats[0]["n_items"] == 20
+    assert stats[0]["avg_bytes"] > 0
