@@ -263,6 +263,60 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     assert lake.select("vehicle_id", "timestamp").distinct().count() == 10
 
 
+def test_lake_sink_batch_retry_is_noop(spark, tmp_path):
+    """foreachBatch retry semantics: re-delivering an already-committed
+    (batch_id, data) — what Structured Streaming does after a failure
+    between the append and the checkpoint commit — must NOT append
+    again; a genuinely new batch id must."""
+    from gtfs_realtime_etl_spark.streaming.ingest import (
+        feed_pipeline,
+        make_idempotent_lake_sink,
+    )
+
+    lake_root = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    frames = spark.createDataFrame(
+        [(bytearray(encode_feed(_mk_records(0, 5))),)], "payload binary"
+    )
+    batch = feed_pipeline(frames)
+    sink = make_idempotent_lake_sink(lake_root, ckpt)
+
+    sink(batch, 0)
+    assert spark.read.parquet(lake_root).count() == 5
+    sink(batch, 0)  # retry of a committed batch: no-op
+    assert spark.read.parquet(lake_root).count() == 5
+    sink(batch, 1)  # new batch id: appends
+    assert spark.read.parquet(lake_root).count() == 10
+
+
+def test_stream_restart_after_lost_checkpoint_commit(spark, tmp_path):
+    """Kill-and-restart shape: the stream commits the lake append but
+    the checkpoint offset commit is lost (simulated by deleting the
+    checkpoint's commits dir) — the restarted stream re-runs the batch,
+    and the commit log must swallow the duplicate append."""
+    import shutil
+
+    feed_dir = tmp_path / "feeds"
+    feed_dir.mkdir()
+    (feed_dir / "feed_0.pb").write_bytes(encode_feed(_mk_records(0, 5)))
+    lake_root = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+
+    q1 = start_feed_file_stream(spark, str(feed_dir), lake_root, ckpt, available_now=True)
+    q1.awaitTermination(120)
+    assert spark.read.parquet(lake_root).count() == 5
+
+    # lose the streaming engine's batch-commit record but keep offsets:
+    # on restart the engine re-runs the last planned batch with the SAME
+    # batch id (the foreachBatch retry contract)
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    q2 = start_feed_file_stream(spark, str(feed_dir), lake_root, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    lake = spark.read.parquet(lake_root)
+    assert lake.count() == 5  # no double-append
+    assert lake.select("vehicle_id", "timestamp").distinct().count() == 5
+
+
 def test_pinned_lake_schema_survives_drift(spark, tmp_path):
     """S8: a rogue file with an extra/changed column must not mutate the
     table schema — read_locations pins the canonical StructType (the
