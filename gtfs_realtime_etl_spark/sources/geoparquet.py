@@ -78,13 +78,23 @@ def stamp_geoparquet(
     place) — run it on the compacted zone, whose files are being
     rewritten anyway, not on the hot raw zone.
     """
-    import pyarrow as pa  # local import: cold path, keeps module import light
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
     files = sorted(
         glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     )
+    return stamp_geoparquet_files(files, geometry_col, bbox_col, compression)
+
+
+def stamp_geoparquet_files(
+    files: list[str],
+    geometry_col: str = "geometry",
+    bbox_col: str | None = "bbox",
+    compression: str = "zstd",
+) -> int:
+    """Stamp an explicit file list (the per-tick raw-zone path: only the
+    files a micro-batch just appended, never the whole lake)."""
+    import pyarrow.compute as pc  # local import: cold path
+    import pyarrow.parquet as pq
+
     for f in files:
         table = pq.read_table(f)
         bbox = None

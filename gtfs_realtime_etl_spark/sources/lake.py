@@ -47,16 +47,49 @@ def write_locations_batch(
     mode: str = "append",
     compression: str = "snappy",
     max_records_per_file: int | None = None,
+    geoparquet: bool = False,
 ) -> None:
     """Append one micro-batch (or any enriched positions DataFrame) to the
     hive-partitioned lake.  Raw zone uses snappy (hot tier, reference
     parity handler.py:150); the compacted zone uses zstd (see
-    ``streaming/compaction.py``)."""
+    ``streaming/compaction.py``).
+
+    ``geoparquet=True`` stamps the spec'd ``geo`` footer onto the files
+    THIS call wrote (reference parity: every per-tick file carries the
+    GeoParquet footer, etl/runtime/handler.py:146-154, so external geo
+    readers recognize the raw zone too).  Only the batch's touched
+    partitions are listed — never the lake — and only new files are
+    rewritten; cost is O(tick), paid per micro-batch, so it is opt-in
+    (default off keeps the hot append untouched; the compaction rewrite
+    stamps for free either way)."""
+    if geoparquet and "geometry" in df.columns:
+        import glob as _glob
+        import os as _os
+
+        part_rows = df.select(*PARTITION_COLS).distinct().collect()
+        part_dirs = [
+            _os.path.join(
+                root, f"year={r.year}", f"month={r.month}", f"day={r.day}"
+            )
+            for r in part_rows
+        ]
+        before = {
+            f for d in part_dirs for f in _glob.glob(_os.path.join(d, "*.parquet"))
+        }
     writer = df.write.mode(mode).partitionBy(*PARTITION_COLS)
     writer = writer.option("compression", compression)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(root)
+    if geoparquet and "geometry" in df.columns:
+        from gtfs_realtime_etl_spark.sources.geoparquet import (
+            stamp_geoparquet_files,
+        )
+
+        after = {
+            f for d in part_dirs for f in _glob.glob(_os.path.join(d, "*.parquet"))
+        }
+        stamp_geoparquet_files(sorted(after - before), compression=compression)
 
 
 def read_locations(

@@ -114,7 +114,9 @@ def rate_feed_frames(
     return rate.join(F.broadcast(table), "idx").select("payload")
 
 
-def make_idempotent_lake_sink(lake_root: str, checkpoint_dir: str):
+def make_idempotent_lake_sink(
+    lake_root: str, checkpoint_dir: str, geoparquet: bool = False
+):
     """foreachBatch function appending into the hive-partitioned lake,
     made idempotent under batch RETRY via a batch-id commit log.
 
@@ -143,7 +145,7 @@ def make_idempotent_lake_sink(lake_root: str, checkpoint_dir: str):
         fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(marker):  # retried batch: already fully appended
             return
-        write_locations_batch(batch_df, lake_root)
+        write_locations_batch(batch_df, lake_root, geoparquet=geoparquet)
         fs.mkdirs(marker.getParent())
         fs.create(marker, True).close()
 
@@ -156,10 +158,11 @@ def _start_lake_sink(
     checkpoint_dir: str,
     trigger_seconds: int,
     available_now: bool,
+    geoparquet: bool = False,
 ) -> StreamingQuery:
     """Common tail of every ingest stream: idempotent foreachBatch append
     into the hive-partitioned lake."""
-    sink = make_idempotent_lake_sink(lake_root, checkpoint_dir)
+    sink = make_idempotent_lake_sink(lake_root, checkpoint_dir, geoparquet)
     writer = (
         enriched.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
@@ -192,6 +195,7 @@ def start_feed_file_stream(
     trigger_seconds: int = 30,
     dedup: bool = True,
     available_now: bool = False,
+    geoparquet: bool = False,
 ) -> StreamingQuery:
     """Stream feed payload files (one protobuf FeedMessage per file —
     the shape the reference's poller writes) into the lake.
@@ -203,7 +207,8 @@ def start_feed_file_stream(
     """
     enriched = feed_pipeline(_file_frames(spark, feed_dir), dedup=dedup)
     return _start_lake_sink(
-        enriched, lake_root, checkpoint_dir, trigger_seconds, available_now
+        enriched, lake_root, checkpoint_dir, trigger_seconds, available_now,
+        geoparquet=geoparquet,
     )
 
 

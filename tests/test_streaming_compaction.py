@@ -82,6 +82,7 @@ def test_stream_ingest_to_lake(spark, tmp_path):
         lake_root,
         str(tmp_path / "ckpt"),
         available_now=True,
+        geoparquet=True,  # reference parity: raw tick files carry the footer
     )
     q.awaitTermination(120)
 
@@ -91,6 +92,19 @@ def test_stream_ingest_to_lake(spark, tmp_path):
     cols = set(lake.columns)
     assert {"trip_id", "geohash", "geometry", "bbox", "year", "month", "day"} <= cols
     assert lake.filter("year = 2024 AND month = 3 AND day = 5").count() == lake.count()
+
+    # every RAW-zone file is valid GeoParquet (handler.py:146-154 parity)
+    import json
+
+    import pyarrow.parquet as pq
+
+    raw_files = glob.glob(os.path.join(lake_root, "**", "*.parquet"), recursive=True)
+    assert raw_files
+    for f in raw_files:
+        meta = pq.read_schema(f).metadata or {}
+        geo = json.loads(meta[b"geo"])
+        assert geo["primary_column"] == "geometry"
+        assert geo["columns"]["geometry"]["encoding"] == "WKB"
 
 
 def test_corrupt_payload_quarantined_batch_succeeds(spark, tmp_path):
