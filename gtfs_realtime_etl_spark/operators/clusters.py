@@ -35,8 +35,12 @@ from pyspark.sql import functions as F
 
 
 #: Edge-count gate for the driver-side exact path.  5M undirected edges
-#: ≈ 80 MB of longs on the driver — broadcast-class, far below any
+#: collected as TWO Arrow int64 arrays (``toArrow``, no per-row Python
+#: objects) ≈ 80 MB on the driver — broadcast-class, far below any
 #: realistic driver heap; above it, the distributed propagation runs.
+#: Pass ``driver_max_edges=0`` (or ``None``) to skip the gating count
+#: entirely and force the distributed path (callers that KNOW the graph
+#: is large save one Spark action).
 DRIVER_MAX_EDGES = 5_000_000
 
 
@@ -45,7 +49,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
-    driver_max_edges: int = DRIVER_MAX_EDGES,
+    driver_max_edges: int | None = DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``pairs``;
     cluster_id is the minimum node id reachable through the pair graph."""
@@ -58,7 +62,7 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if edges.count() <= driver_max_edges:
+    if driver_max_edges and edges.count() <= driver_max_edges:
         return _driver_components(edges)
     labels = (
         edges.select(F.col("s").alias("node"))
@@ -99,7 +103,14 @@ def connected_components(
 
 def _driver_components(edges: DataFrame) -> DataFrame:
     """Exact union-find on the collected edge set (the ≤ gate path).
-    cluster_id = min member id, identical to the propagation fixpoint."""
+    cluster_id = min member id, identical to the propagation fixpoint.
+
+    Edges move driver-side as Arrow columns (``toArrow`` → two flat
+    int64 buffers), NOT ``collect()``'s per-row Python Row objects —
+    at the 5M-edge gate that is the difference between ~80 MB and
+    hundreds of MB of object overhead; labels go back the same way."""
+    import pandas as pd
+
     node_type = edges.schema["s"].dataType
     parent: dict = {}
 
@@ -111,14 +122,17 @@ def _driver_components(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    edge_rows = edges.collect()
-    for row in edge_rows:
-        ra, rb = find(row.s), find(row.d)
+    tbl = edges.toArrow()
+    src = tbl.column("s").to_pylist()
+    dst = tbl.column("d").to_pylist()
+    for a, b in zip(src, dst):
+        ra, rb = find(a), find(b)
         if ra != rb:
             # union-by-min: every root is its component's minimum id
             parent[max(ra, rb)] = min(ra, rb)
 
-    labels = [(n, find(n)) for n in {x for row in edge_rows for x in (row.s, row.d)}]
+    nodes = sorted(set(src) | set(dst))
+    labels = pd.DataFrame({"node": nodes, "cluster_id": [find(n) for n in nodes]})
     from pyspark.sql.types import StructField, StructType
 
     schema = StructType(

@@ -116,9 +116,20 @@ def _saturate(docs: DataFrame) -> DataFrame:
     """Ensure the expensive Arrow kernel stage runs on every core: a
     small corpus (one parquet file → one input split) would otherwise
     serialize the signature computation on a single task.  No-op when
-    the scan already yields enough splits (the 100 TB case)."""
+    the scan already yields enough splits (the 100 TB case).
+
+    Saturation is decided from ``inputFiles()`` — plan-time metadata
+    that is Spark-Connect-safe — never ``df.rdd`` (which materializes
+    the RDD lineage and is unavailable under Connect).  A file-backed
+    corpus with at least one file per core splits at least that wide; a
+    non-file source (in-memory test frames) reports zero files and gets
+    repartitioned, which is the conservative choice at that size."""
     target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(docs.inputFiles())
+    except Exception:  # non-file plans on some backends
+        n_files = 0
+    if n_files < target:
         return docs.repartition(target)
     return docs
 

@@ -1739,10 +1739,19 @@ _MINHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # NB localCheckpoint blocks live on executors: losing an executor
+    # (preemption, dynamic allocation) invalidates a cached entry for
+    # the rest of the session.  Acceptable on a long-lived local/driver
+    # session (this registry's shape); a multi-tenant deployment should
+    # swap in persist(DISK_ONLY) or a reliable checkpoint dir.
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     pairs = _MINHASH_PAIRS_CACHE.get(key)
     if pairs is None:
-        _MINHASH_PAIRS_CACHE.clear()  # at most one live session per process
+        # evict only entries from DEAD sessions — a session alternating
+        # between two sf_dirs must not thrash its own live entries
+        for k in [k for k in _MINHASH_PAIRS_CACHE if k[0] != app_id]:
+            del _MINHASH_PAIRS_CACHE[k]
         (documents,) = _t(spark, sf_dir, "documents")
         pairs = minhash_lsh_dedup(
             documents,

@@ -259,6 +259,7 @@ def decode_feed_frames_protobuf(
     descriptor_path: str,
     payload_col: str = "payload",
     message_name: str = "transit_realtime.FeedMessage",
+    on_error: str = "skip",
 ) -> DataFrame:
     """Standard-path twin of :func:`decode_feed_frames`: Spark's
     ``from_protobuf`` with a user-supplied compiled descriptor set
@@ -271,6 +272,11 @@ def decode_feed_frames_protobuf(
     connector is absent.  The flatten decodes the REAL direction_id —
     same documented deviation from the reference's handler.py:65 bug as
     the hand-rolled codec.
+
+    ``on_error`` matches the wire codec's contract so the two paths stay
+    interchangeable on BAD payloads too, not just good ones:
+    ``"skip"`` maps to ``from_protobuf``'s PERMISSIVE mode (malformed
+    payload → null struct, filtered out here), ``"raise"`` to FAILFAST.
     """
     from pyspark.sql import functions as F
 
@@ -283,9 +289,21 @@ def decode_feed_frames_protobuf(
         )
     from pyspark.sql.protobuf.functions import from_protobuf
 
+    if on_error not in ("skip", "raise"):
+        raise ValueError(f"on_error must be 'skip' or 'raise', got {on_error!r}")
+    mode = "PERMISSIVE" if on_error == "skip" else "FAILFAST"
     feed = frames.select(
-        from_protobuf(F.col(payload_col), message_name, descFilePath=descriptor_path).alias("feed")
+        from_protobuf(
+            F.col(payload_col),
+            message_name,
+            descFilePath=descriptor_path,
+            options={"mode": mode},
+        ).alias("feed")
     )
+    if on_error == "skip":
+        # PERMISSIVE nulls the whole struct on malformed bytes — drop
+        # those rows, mirroring the wire codec's skip behavior
+        feed = feed.filter(F.col("feed").isNotNull())
     v = F.col("e.vehicle")
     return (
         feed.select(F.explode("feed.entity").alias("e"))
@@ -312,9 +330,13 @@ def decode_feed_frames_auto(
 ) -> DataFrame:
     """Feature-gated dispatch: the standard ``from_protobuf`` path when a
     descriptor is configured AND the connector is deployed, else the
-    dependency-free wire codec (identical output schema either way)."""
+    dependency-free wire codec.  Identical output schema either way, and
+    ``on_error`` is honored on BOTH paths (skip → PERMISSIVE+filter,
+    raise → FAILFAST on the protobuf side)."""
     if descriptor_path and spark_protobuf_available(frames.sparkSession):
-        return decode_feed_frames_protobuf(frames, descriptor_path, payload_col)
+        return decode_feed_frames_protobuf(
+            frames, descriptor_path, payload_col, on_error=on_error
+        )
     return decode_feed_frames(frames, payload_col, on_error)
 
 

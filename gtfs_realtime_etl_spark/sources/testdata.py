@@ -68,8 +68,21 @@ def _normalize_event_ts(events: DataFrame) -> DataFrame:
         return events
     from pyspark.sql import functions as F
 
-    nanos = F.expr(
-        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
-        " cast(ts as timestamp_ntz)) * CAST(1000 AS BIGINT)"
-    )
+    if ts_type == "timestamp":
+        # TIMESTAMP_LTZ (parquet isAdjustedToUTC=true, or NTZ inference
+        # disabled): the value IS an epoch instant — unix_micros reads
+        # it directly, with no session-timezone dependency.  A bare
+        # cast to NTZ here would shift by the session tz and diverge
+        # from DuckDB's epoch_ns.
+        nanos = F.unix_micros(F.col("ts")) * F.lit(1000).cast("bigint")
+    elif ts_type == "timestamp_ntz":
+        nanos = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " cast(ts as timestamp_ntz)) * CAST(1000 AS BIGINT)"
+        )
+    else:  # fail loud: silent misinterpretation broke round 3
+        raise TypeError(
+            f"events.ts has unsupported type {ts_type!r}; expected "
+            "bigint (epoch ns), timestamp_ntz, or timestamp"
+        )
     return events.withColumn("ts", nanos)

@@ -66,3 +66,35 @@ def test_normalization_matches_duckdb_epoch_ns(spark, twin_dirs):
         ).fetchall()
     )
     assert got == exp
+
+
+def test_ltz_annotated_parquet_normalizes_tz_independently(spark, twin_dirs):
+    """isAdjustedToUTC=true (pyarrow tz-aware timestamp) reads as
+    TIMESTAMP_LTZ in Spark; the normalizer must go through unix_micros
+    — an epoch read, immune to the session timezone — not an NTZ cast
+    (which would shift by the pinned agency tz and diverge from
+    DuckDB's epoch_ns on the same file)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _, _, micros = twin_dirs
+    base = os.path.dirname(os.path.dirname(twin_dirs[0]))
+    d_ltz = os.path.join(base, "ltz")
+    os.makedirs(d_ltz, exist_ok=True)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(micros)), pa.int64()),
+            "ts": pa.array(micros, pa.timestamp("us", tz="UTC")),
+            "user_id": pa.array([1] * len(micros), pa.int64()),
+            "event_type": pa.array(["view"] * len(micros)),
+            "value": pa.array([1.0] * len(micros)),
+            "props": pa.array(["{}"] * len(micros)),
+        }
+    )
+    pq.write_table(tbl, f"{d_ltz}/events.parquet")
+
+    df = load_testdata(spark, d_ltz, tables=("events",))["events"]
+    assert dict(df.dtypes)["ts"] == "bigint"
+    got = {r.event_id: r.ts for r in df.select("event_id", "ts").collect()}
+    for i, us in enumerate(micros):
+        assert got[i] == us * 1000  # exact epoch nanos, tz-independent
