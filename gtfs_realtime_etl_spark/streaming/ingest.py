@@ -212,6 +212,23 @@ def start_feed_file_stream(
     )
 
 
+def with_max_event_age(frames: DataFrame, minutes: int | None) -> DataFrame:
+    """Drop feed files older than ``minutes`` at processing time — the
+    reference's DLQ ``maximum_event_age=15 min`` bound
+    (etl/infrastructure/construct.py:196-208): a payload that sat
+    unprocessed past the bound is abandoned rather than quarantined
+    forever.  Applies to any binaryFile-shaped frame source (needs the
+    ``modificationTime`` column); ``minutes=None`` disables the bound.
+    ``current_timestamp()`` is fixed per micro-batch, so the cutoff is
+    consistent within a batch."""
+    if minutes is None:
+        return frames
+    return frames.filter(
+        F.col("modificationTime")
+        >= F.current_timestamp() - F.expr(f"INTERVAL {int(minutes)} MINUTES")
+    )
+
+
 def start_feed_quarantine_stream(
     spark: SparkSession,
     feed_dir: str,
@@ -219,13 +236,25 @@ def start_feed_quarantine_stream(
     checkpoint_dir: str,
     trigger_seconds: int = 30,
     available_now: bool = False,
+    max_event_age_minutes: int | None = 15,
 ) -> StreamingQuery:
     """Side-channel query: payloads the decoder rejects land in a
     parquet quarantine with their failure reason, while the main ingest
     keeps flowing — the reference's DLQ (construct.py:186) as a second
     reader over the same source (each query has its own checkpoint, so
-    delivery guarantees are independent)."""
-    bad = quarantine_feed_frames(_file_frames(spark, feed_dir))
+    delivery guarantees are independent).  ``max_event_age_minutes``
+    mirrors the reference's 15-minute DLQ event-age bound (see
+    :func:`with_max_event_age`); pass ``None`` to quarantine
+    regardless of age."""
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+        )
+        .load(feed_dir)
+    )
+    raw = with_max_event_age(raw, max_event_age_minutes)
+    bad = quarantine_feed_frames(raw.select(F.col("content").alias("payload")))
     writer = (
         bad.writeStream.format("parquet")
         .outputMode("append")

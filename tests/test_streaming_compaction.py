@@ -107,6 +107,51 @@ def test_stream_ingest_to_lake(spark, tmp_path):
         assert geo["columns"]["geometry"]["encoding"] == "WKB"
 
 
+def test_quarantine_age_bound_drops_stale_payloads(spark, tmp_path):
+    """DLQ max-event-age parity (construct.py:196-208): a bad payload
+    whose file sat unprocessed past the bound is abandoned, a fresh one
+    is quarantined; with the bound disabled, both are quarantined."""
+    import time
+
+    from gtfs_realtime_etl_spark.streaming.ingest import (
+        start_feed_quarantine_stream,
+    )
+
+    feed_dir = tmp_path / "feeds"
+    feed_dir.mkdir()
+    good = encode_feed(_mk_records(0, 5))
+    corrupt = good[: len(good) // 2] + b"\xff\xff\xff\xff\xff\xff\xff"
+    (feed_dir / "bad_fresh.pb").write_bytes(corrupt)
+    stale = feed_dir / "bad_stale.pb"
+    stale.write_bytes(corrupt)
+    hour_ago = time.time() - 3600
+    os.utime(stale, (hour_ago, hour_ago))
+
+    qdir = str(tmp_path / "quarantine")
+    q = start_feed_quarantine_stream(
+        spark,
+        str(feed_dir),
+        qdir,
+        str(tmp_path / "ckpt_q"),
+        available_now=True,
+        max_event_age_minutes=15,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(qdir).count() == 1  # stale payload abandoned
+
+    qdir2 = str(tmp_path / "quarantine_unbounded")
+    q2 = start_feed_quarantine_stream(
+        spark,
+        str(feed_dir),
+        qdir2,
+        str(tmp_path / "ckpt_q2"),
+        available_now=True,
+        max_event_age_minutes=None,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(qdir2).count() == 2
+
+
 def test_corrupt_payload_quarantined_batch_succeeds(spark, tmp_path):
     """A poisonous payload must not fail ingest: good rows land in the
     lake, the bad payload lands in quarantine with a reason."""
