@@ -136,6 +136,38 @@ def test_reliability_matches_scipy_shape(spark, lake):
         assert row.reliability == pytest.approx(exp, abs=2e-7)
 
 
+def test_flagship_optional_mercator_columns(spark, lake):
+    """with_web_mercator=True appends EPSG:3857 mercator_x/y consistent
+    with each stop's lon/lat (closing the notebook's client-side
+    GeoPandas to_crs step, ipynb:701-705); default output unchanged."""
+    tabs = load_gtfs_static(spark, lake["fx"].gtfs_dir)
+    locations = read_locations(spark, lake["lake_root"])
+    base = schedule_deviation(
+        locations, tabs["routes"], tabs["trips"], tabs["stops"], tabs["stop_times"]
+    )
+    merc = schedule_deviation(
+        locations,
+        tabs["routes"],
+        tabs["trips"],
+        tabs["stops"],
+        tabs["stop_times"],
+        with_web_mercator=True,
+    )
+    assert "mercator_x" not in base.columns
+    assert {"mercator_x", "mercator_y"} <= set(merc.columns)
+    rows = merc.limit(20).collect()
+    assert rows
+    for r in rows:
+        assert r.mercator_x == pytest.approx(
+            math.radians(r.stop_lon) * 6378137.0, abs=1e-6
+        )
+        assert r.mercator_y == pytest.approx(
+            math.log(math.tan(math.pi / 4 + math.radians(r.stop_lat) / 2))
+            * 6378137.0,
+            abs=1e-6,
+        )
+
+
 def test_partition_pruning(spark, lake):
     """P5: a partition filter must prune the file scan (not post-filter)."""
     locations = read_locations(spark, lake["lake_root"])
