@@ -151,6 +151,34 @@ def day_slice_arrow(
     return day_slice(spark, root, year, month, day, columns).toArrow()
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int = 32,
+    sort_cols: tuple[str, ...] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (optionally sorted) parquet table.
+
+    The 100 TB co-location play: two tables bucketed the same way on
+    their join key join WITHOUT any exchange — each bucket pair joins
+    locally, so the recurring per-query shuffle of a hot fact⋈fact join
+    is paid ONCE at write time.  Same mechanism serves keyed aggs.
+    Bucketing requires the table catalog (``saveAsTable``): bucket
+    metadata lives in the catalog, not the files; ``path`` makes it an
+    external table at that location.  Pinned by
+    tests/test_plan_shapes.py::test_bucketed_join_is_shuffle_free.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(name)
+
+
 def register_locations_view(
     spark: SparkSession, root: str, name: str = "locations"
 ) -> DataFrame:
