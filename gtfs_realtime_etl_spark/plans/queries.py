@@ -2469,6 +2469,66 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination (training-pipeline op): training docs that
+# CONTAIN a benchmark document, by distinct-shingle containment over an
+# inverted hash index with a stop-shingle doc-frequency cap
+# (operators/decontam.py).  The deterministic doc_id % DECONTAM_TEST_MOD
+# split stands in for a real benchmark table; the portable polynomial
+# hashes make the full pipeline oracle-replayable.
+# ---------------------------------------------------------------------------
+
+DECONTAM_SHINGLE_K = 8  # selective: matches are genuine embedded dups
+DECONTAM_TEST_MOD = 19  # ~5% of the corpus plays the benchmark table
+DECONTAM_TAU = 0.5
+DECONTAM_MAX_DF = 1000
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gtfs_realtime_etl_spark.operators.decontam import contamination_pairs
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    test = documents.filter(F.col("doc_id") % DECONTAM_TEST_MOD == 0)
+    train = documents.filter(F.col("doc_id") % DECONTAM_TEST_MOD != 0)
+    pairs = contamination_pairs(
+        train,
+        test,
+        shingle_k=DECONTAM_SHINGLE_K,
+        containment=DECONTAM_TAU,
+        max_doc_freq=DECONTAM_MAX_DF,
+    )
+    return pairs.select(
+        "train_id", "test_id", F.round("containment", 6).alias("containment")
+    )
+
+
+Q_DECONTAMINATION_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct({sql_shingle_hashes("text", DECONTAM_SHINGLE_K)}) AS s
+  FROM documents
+),
+tr_h AS (
+  SELECT doc_id AS train_id, unnest(s) AS h
+  FROM sh WHERE doc_id % {DECONTAM_TEST_MOD} <> 0
+),
+ok AS (SELECT h FROM tr_h GROUP BY h HAVING COUNT(*) <= {DECONTAM_MAX_DF}),
+te_h AS (
+  SELECT doc_id AS test_id, length(s) AS n_test, unnest(s) AS h
+  FROM sh WHERE doc_id % {DECONTAM_TEST_MOD} = 0
+),
+shared AS (
+  SELECT train_id, test_id, n_test, COUNT(*) AS n_shared
+  FROM tr_h JOIN ok USING (h) JOIN te_h USING (h)
+  GROUP BY train_id, test_id, n_test
+)
+SELECT train_id, test_id,
+       ROUND(CAST(n_shared AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS containment
+FROM shared
+WHERE CAST(n_shared AS DOUBLE) / CAST(n_test AS DOUBLE) >= {DECONTAM_TAU}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
 
@@ -2521,6 +2581,7 @@ QUERIES: dict[str, QueryFn] = {
     "top_bigrams": q_top_bigrams,
     "context_pack": q_context_pack,
     "multimodal_features": q_multimodal_features,
+    "decontamination": q_decontamination,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2572,6 +2633,7 @@ ORACLE_SQL: dict[str, str] = {
     "top_bigrams": Q_TOP_BIGRAMS_SQL,
     "context_pack": Q_CONTEXT_PACK_SQL,
     "multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
+    "decontamination": Q_DECONTAMINATION_SQL,
 }
 
 

@@ -257,3 +257,30 @@ def test_ivf_at_rest_index_prunes_partitions(spark, vectors, tmp_path):
     exp = expected[got.columns].sort_values("rank").reset_index(drop=True)
     assert got["vec_id"].tolist() == exp["vec_id"].tolist()
     assert (got["cosine"] - exp["cosine"]).abs().max() < 1e-12
+
+
+def test_decontamination_flags_embedded_benchmark(spark):
+    """A train doc embedding a benchmark doc verbatim has containment
+    1.0 and is flagged + removed; unrelated docs pass through."""
+    from gtfs_realtime_etl_spark.operators.decontam import (
+        contamination_pairs,
+        decontaminate,
+    )
+
+    bench = "the quick brown fox jumps over the lazy dog near the river bank"
+    test = spark.createDataFrame([(100, bench)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [
+            (1, "PREFIX " + bench + " SUFFIX with trailing words"),
+            (2, "completely different content about spark shuffles and joins"),
+            (3, "another unrelated training document mentioning a fox once"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = contamination_pairs(train, test, shingle_k=8, containment=0.5)
+    got = {(r.train_id, r.test_id): r.containment for r in pairs.collect()}
+    assert set(got) == {(1, 100)}
+    assert got[(1, 100)] == 1.0  # every 8-gram of the benchmark is present
+
+    clean = decontaminate(train, test, shingle_k=8, containment=0.5)
+    assert sorted(r.doc_id for r in clean.collect()) == [2, 3]
