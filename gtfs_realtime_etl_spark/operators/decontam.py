@@ -55,14 +55,34 @@ def contamination_pairs(
     join emits each (train, test, hash) at most once and ``count(*)``
     is the shared-distinct count."""
     kernel = shingle_hash_set_kernel(shingle_k)
+    # Benchmark side first: it is small by definition, feeds two plan
+    # legs (the broadcast hash filter below + the match join), and a
+    # lazy checkpoint keeps its kernel from re-running per leg.
+    te_h = (
+        test.select(F.col(id_col).alias("test_id"), kernel(F.col(text_col)).alias("sh"))
+        .select("test_id", F.size("sh").alias("n_test"), F.explode("sh").alias("h"))
+        .localCheckpoint(eager=False)
+    )
+    # The train index is the heavy side (corpus-sized).  Two things keep
+    # its cost bounded:
+    # 1. a BROADCAST semi-join against the benchmark's distinct hashes
+    #    BEFORE any shuffle — only hashes that occur in some benchmark
+    #    doc can ever contribute to a containment count, and per-hash
+    #    train doc-frequencies are unchanged by dropping other hashes,
+    #    so results (and the oracle, which filters nothing) are
+    #    identical while the shuffle shrinks by orders of magnitude;
+    # 2. an explicit repartition on the hash: the surviving rows are
+    #    SKINNY (two longs) and AQE would coalesce their exchange to a
+    #    couple of tasks by byte size, serializing the match phase
+    #    (same pinning rationale as dedup.jaccard_pairs); the pinned
+    #    exchange is reused by the freq aggregate and the match join.
+    n_tasks = train.sparkSession.sparkContext.defaultParallelism
     tr_h = (
         _saturate(train)
         .select(F.col(id_col).alias("train_id"), kernel(F.col(text_col)).alias("sh"))
         .select("train_id", F.explode("sh").alias("h"))
-    )
-    te_h = (
-        test.select(F.col(id_col).alias("test_id"), kernel(F.col(text_col)).alias("sh"))
-        .select("test_id", F.size("sh").alias("n_test"), F.explode("sh").alias("h"))
+        .join(F.broadcast(te_h.select("h").distinct()), "h", "left_semi")
+        .repartition(n_tasks, F.col("h"))
     )
     # document-frequency cap over the SAME exchange as the match join
     ok = (
