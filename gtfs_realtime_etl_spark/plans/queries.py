@@ -2529,6 +2529,70 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(n_test AS DOUBLE) >= {DECONTAM_TAU}
 
 
 # ---------------------------------------------------------------------------
+# Repetition ratio (training-pipeline op): the Gopher-style quality
+# signal — fraction of repeated bigrams per doc (1 − distinct/total),
+# aggregated per source with a count of docs above the flag threshold.
+# Pure Column math over the shared tokenizer/bigram helpers; per-doc
+# ratios are single divisions (engine-exact) and the per-source mean is
+# decimal-stabilized like text_quality.
+# ---------------------------------------------------------------------------
+
+REPETITION_FLAG = 0.2
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gtfs_realtime_etl_spark.functions.text import bigrams
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    grams = bigrams(tokens(F.col("text")))
+    n = F.size(grams)
+    d = F.size(F.array_distinct(grams))
+    rep = F.when(
+        n > 0, F.lit(1.0) - d.cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    per_doc = documents.select("source", rep.alias("rep"))
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("rep").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_rep"),
+        F.round(F.max("rep"), 6).alias("max_rep"),
+        F.sum(
+            F.when(F.col("rep") > REPETITION_FLAG, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_repetitive"),
+    )
+
+
+Q_REPETITION_STATS_SQL = f"""
+WITH toks AS (SELECT source, {_SQL_TOKS} AS t FROM documents),
+g AS (
+  SELECT source,
+         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS grams
+  FROM toks
+),
+per AS (
+  SELECT source,
+         CASE WHEN len(grams) > 0
+              THEN CAST(1 AS DOUBLE)
+                   - CAST(len(list_distinct(grams)) AS DOUBLE)
+                     / CAST(len(grams) AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS rep
+  FROM g
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(rep AS DECIMAL(18,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_rep,
+       ROUND(MAX(rep), 6) AS max_rep,
+       CAST(SUM(CASE WHEN rep > {REPETITION_FLAG} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repetitive
+FROM per GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry.
 # ---------------------------------------------------------------------------
 
@@ -2582,6 +2646,7 @@ QUERIES: dict[str, QueryFn] = {
     "context_pack": q_context_pack,
     "multimodal_features": q_multimodal_features,
     "decontamination": q_decontamination,
+    "repetition_stats": q_repetition_stats,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2634,6 +2699,7 @@ ORACLE_SQL: dict[str, str] = {
     "context_pack": Q_CONTEXT_PACK_SQL,
     "multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
     "decontamination": Q_DECONTAMINATION_SQL,
+    "repetition_stats": Q_REPETITION_STATS_SQL,
 }
 
 
