@@ -262,6 +262,74 @@ def ivf_topk(
     return _two_phase_topk(scored, k, query_id_col, id_col)
 
 
+def dim_min_max(
+    embeddings: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> tuple[list, list]:
+    """Per-dimension (min, max) over the corpus — the scalar-quantizer
+    calibration table.  MIN/MAX are order-independent (exact doubles,
+    identical on any engine or partitioning), and at 64 dims the result
+    is broadcast-class, so it collects like a centroid table."""
+    exploded = embeddings.select(
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+    ).select(F.col("pos").alias("dim"), F.col("col").alias("val"))
+    rows = (
+        exploded.groupBy("dim")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+        .collect()
+    )
+    by_dim = {r["dim"]: (r["mn"], r["mx"]) for r in rows}
+    mins = [by_dim[i][0] for i in range(dim)]
+    maxs = [by_dim[i][1] for i in range(dim)]
+    return mins, maxs
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    mins: list,
+    maxs: list,
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+    levels: int = 255,
+) -> DataFrame:
+    """Uint8 scalar quantization: ``q_i = round((x_i − min_i) /
+    (max_i − min_i) · levels)`` per dimension — an ``array<int>`` in
+    [0, levels] that stores a 64-dim float64 vector in 64 bytes (8×
+    smaller), the standard storage tier under an IVF index.  Pure
+    Column math (transform over the literal calibration arrays); a
+    degenerate dimension (min == max) quantizes to 0."""
+    mins_arr = F.array(*[F.lit(float(v)) for v in mins])
+    maxs_arr = F.array(*[F.lit(float(v)) for v in maxs])
+
+    def q(x: Column, i: Column) -> Column:
+        mn = F.element_at(mins_arr, i + 1)
+        mx = F.element_at(maxs_arr, i + 1)
+        return (
+            F.when(mx > mn, F.round((x - mn) / (mx - mn) * F.lit(float(levels))))
+            .otherwise(F.lit(0.0))
+            .cast("int")
+        )
+
+    return embeddings.withColumn(
+        out_col, F.transform(F.col(vec_col).cast("array<double>"), q)
+    )
+
+
+def dequantize(
+    qvec: Column, mins: list, maxs: list, levels: int = 255
+) -> Column:
+    """Inverse of :func:`quantize_embeddings` (array<double>): the
+    reconstruction the query-time scorer sees."""
+    mins_arr = F.array(*[F.lit(float(v)) for v in mins])
+    maxs_arr = F.array(*[F.lit(float(v)) for v in maxs])
+    return F.transform(
+        qvec,
+        lambda x, i: F.element_at(mins_arr, i + 1)
+        + x.cast("double")
+        / F.lit(float(levels))
+        * (F.element_at(maxs_arr, i + 1) - F.element_at(mins_arr, i + 1)),
+    )
+
+
 def write_ivf_index(
     embeddings: DataFrame,
     centroids: DataFrame,

@@ -2537,6 +2537,86 @@ WHERE CAST(n_shared AS DOUBLE) / CAST(n_test AS DOUBLE) >= {DECONTAM_TAU}
 # decimal-stabilized like text_quality.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Embedding quantization (training-pipeline op): uint8 scalar
+# quantization — the 8× storage tier under an IVF index at 100 TB.
+# Per-dim min/max calibration (exact, order-independent → collected and
+# embedded as literals, same cost class as a centroid table), transform
+# quantize, reconstruction-error profile per label.  The oracle
+# recomputes calibration inline (MIN/MAX of doubles are bit-identical
+# across engines) and replays the same quantize→dequantize→left-fold
+# error arithmetic.
+# ---------------------------------------------------------------------------
+
+QUANT_LEVELS = 255
+
+
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gtfs_realtime_etl_spark.operators.similarity import (
+        dequantize,
+        dim_min_max,
+        quantize_embeddings,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    mins, maxs = dim_min_max(embeddings, dim=IVF_DIM)
+    q = quantize_embeddings(embeddings, mins, maxs, levels=QUANT_LEVELS)
+    recon = dequantize(F.col("qvec"), mins, maxs, levels=QUANT_LEVELS)
+    err = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            recon,
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    per_vec = q.select("label", err.alias("err"))
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.col("err").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_sq_err"),
+        F.round(F.max("err"), 6).alias("max_sq_err"),
+    )
+
+
+def _quant_sql() -> str:
+    # recon_i mirrors quantize→dequantize exactly: mn + round(...)/L*(mx−mn)
+    recon = (
+        f"(mm.mins[i] + CASE WHEN mm.maxs[i] > mm.mins[i] THEN "
+        f"round((v[i] - mm.mins[i]) / (mm.maxs[i] - mm.mins[i]) * {QUANT_LEVELS}.0) "
+        f"ELSE 0.0 END / {QUANT_LEVELS}.0 * (mm.maxs[i] - mm.mins[i]))"
+    )
+    err = _FOLD_SUM.format(
+        terms=(
+            f"list_transform(range(1, {IVF_DIM} + 1), "
+            f"i -> (v[i] - {recon}) * (v[i] - {recon}))"
+        )
+    )
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+exploded AS (
+  SELECT i AS dim, v[i] AS val
+  FROM e, (SELECT unnest(range(1, {IVF_DIM} + 1)) AS i)
+),
+mmd AS (SELECT dim, MIN(val) AS mn, MAX(val) AS mx FROM exploded GROUP BY dim),
+mm AS (SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs FROM mmd),
+per AS (SELECT label, {err} AS err FROM e, mm)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(CAST(err AS DECIMAL(18,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_sq_err,
+       ROUND(MAX(err), 6) AS max_sq_err
+FROM per GROUP BY label
+"""
+
+
+Q_EMBEDDING_QUANTIZATION_SQL = _quant_sql()
+
+
 REPETITION_FLAG = 0.2
 
 
@@ -2647,6 +2727,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_features": q_multimodal_features,
     "decontamination": q_decontamination,
     "repetition_stats": q_repetition_stats,
+    "embedding_quantization": q_embedding_quantization,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2700,6 +2781,7 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
     "decontamination": Q_DECONTAMINATION_SQL,
     "repetition_stats": Q_REPETITION_STATS_SQL,
+    "embedding_quantization": Q_EMBEDDING_QUANTIZATION_SQL,
 }
 
 

@@ -284,3 +284,30 @@ def test_decontamination_flags_embedded_benchmark(spark):
 
     clean = decontaminate(train, test, shingle_k=8, containment=0.5)
     assert sorted(r.doc_id for r in clean.collect()) == [2, 3]
+
+
+def test_embedding_quantization_roundtrip_bounds(spark, vectors):
+    """uint8 scalar quantization: codes in [0, 255], and per-dim
+    reconstruction error bounded by half a quantization step."""
+    from gtfs_realtime_etl_spark.operators.similarity import (
+        dequantize,
+        dim_min_max,
+        quantize_embeddings,
+    )
+
+    mins, maxs = dim_min_max(vectors, dim=64)
+    assert len(mins) == len(maxs) == 64
+    assert all(m < x for m, x in zip(mins, maxs))
+
+    q = quantize_embeddings(vectors, mins, maxs)
+    rows = (
+        q.withColumn("recon", dequantize(F.col("qvec"), mins, maxs))
+        .select("embedding", "qvec", "recon")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert all(0 <= v <= 255 for v in r.qvec)
+        for i, (x, y) in enumerate(zip(r.embedding, r.recon)):
+            half_step = (maxs[i] - mins[i]) / 255.0 / 2.0
+            assert abs(x - y) <= half_step + 1e-12, (i, x, y)
