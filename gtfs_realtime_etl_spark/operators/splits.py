@@ -110,3 +110,47 @@ def stratified_sample(
 def sql_stratified_sample_pred(id_expr: str, fraction: float) -> str:
     """DuckDB WHERE-clause twin of :func:`stratified_sample`."""
     return f"{sql_split_slot(id_expr)} < {int(fraction * MOD)}"
+
+
+def mixture_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default: float = 0.0,
+) -> DataFrame:
+    """Deterministic DATA-MIXING resample: keep each row iff its hash
+    slot falls below its group's target fraction — the per-source
+    up/down-weighting every pre-training mixture needs (e.g. keep all
+    of a high-quality source, 10% of a crawl), with the same guarantees
+    as :func:`stratified_sample`: pure projection, repartition-
+    invariant, a group's 25% sample is a strict subset of its 50% one,
+    and the filter folds to an integer predicate at the scan.  Groups
+    absent from ``fractions`` keep ``default``."""
+    for g, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0, 1], got {frac}")
+    bound = None
+    for g, frac in fractions.items():
+        cond = F.col(group_col) == F.lit(g)
+        b = F.lit(int(frac * MOD))
+        bound = F.when(cond, b) if bound is None else bound.when(cond, b)
+    bound = (
+        F.lit(int(default * MOD)) if bound is None else bound.otherwise(F.lit(int(default * MOD)))
+    )
+    return df.filter(split_slot(F.col(id_col)) < bound)
+
+
+def sql_mixture_sample_pred(
+    id_expr: str,
+    group_expr: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+) -> str:
+    """DuckDB WHERE-clause twin of :func:`mixture_sample`."""
+    whens = " ".join(
+        f"WHEN {group_expr} = '{g}' THEN {int(frac * MOD)}"
+        for g, frac in fractions.items()
+    )
+    case = f"CASE {whens} ELSE {int(default * MOD)} END" if whens else str(int(default * MOD))
+    return f"{sql_split_slot(id_expr)} < ({case})"

@@ -2617,6 +2617,58 @@ FROM per GROUP BY label
 Q_EMBEDDING_QUANTIZATION_SQL = _quant_sql()
 
 
+# ---------------------------------------------------------------------------
+# Mixture sampling (training-pipeline op): per-source target fractions —
+# the data-mixing step of every pre-training corpus (keep all of a
+# high-quality source, a fraction of a crawl).  Same deterministic
+# hash-slot membership as train_split / stratified_sample.
+# ---------------------------------------------------------------------------
+
+MIXTURE_FRACTIONS = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+MIXTURE_DEFAULT = 0.1
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gtfs_realtime_etl_spark.operators.splits import mixture_sample
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        documents, MIXTURE_FRACTIONS, default=MIXTURE_DEFAULT
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+    totals = documents.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    return totals.join(kept, "source", "left").select(
+        "source",
+        "n_total",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        "min_doc_id",
+    )
+
+
+def _mixture_sql() -> str:
+    from gtfs_realtime_etl_spark.operators.splits import sql_mixture_sample_pred
+
+    pred = sql_mixture_sample_pred(
+        "doc_id", "source", MIXTURE_FRACTIONS, MIXTURE_DEFAULT
+    )
+    return f"""
+WITH kept AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept, MIN(doc_id) AS min_doc_id
+  FROM documents WHERE {pred} GROUP BY source
+),
+totals AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total FROM documents GROUP BY source
+)
+SELECT t.source, t.n_total, COALESCE(k.n_kept, 0) AS n_kept, k.min_doc_id
+FROM totals t LEFT JOIN kept k USING (source)
+"""
+
+
+Q_MIXTURE_SAMPLE_SQL = _mixture_sql()
+
+
 REPETITION_FLAG = 0.2
 
 
@@ -2728,6 +2780,7 @@ QUERIES: dict[str, QueryFn] = {
     "decontamination": q_decontamination,
     "repetition_stats": q_repetition_stats,
     "embedding_quantization": q_embedding_quantization,
+    "mixture_sample": q_mixture_sample,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2782,6 +2835,7 @@ ORACLE_SQL: dict[str, str] = {
     "decontamination": Q_DECONTAMINATION_SQL,
     "repetition_stats": Q_REPETITION_STATS_SQL,
     "embedding_quantization": Q_EMBEDDING_QUANTIZATION_SQL,
+    "mixture_sample": Q_MIXTURE_SAMPLE_SQL,
 }
 
 

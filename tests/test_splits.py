@@ -86,3 +86,42 @@ def test_split_and_sample_are_pure_projections(spark, ids):
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         assert "Exchange" not in buf.getvalue()
+
+
+def test_mixture_sample_properties(spark, ids):
+    """Per-group mixture: frac-1.0 groups keep everything, frac-0 drops
+    everything, a group's smaller fraction is a subset of its larger
+    one, membership survives repartitioning, and still no Exchange."""
+    import contextlib
+    import io
+
+    from gtfs_realtime_etl_spark.operators.splits import mixture_sample
+
+    docs = ids.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 3 == 0, "keep_all")
+        .when(F.col("doc_id") % 3 == 1, "half")
+        .otherwise("drop"),
+    )
+    fr = {"keep_all": 1.0, "half": 0.5, "drop": 0.0}
+    kept = mixture_sample(docs, fr, default=0.0)
+    kp = kept.toPandas()
+    assert set(kp[kp["source"] == "keep_all"]["doc_id"]) == set(
+        docs.filter("source = 'keep_all'").toPandas()["doc_id"]
+    )
+    assert not (kp["source"] == "drop").any()
+    n_half_total = docs.filter("source = 'half'").count()
+    n_half_kept = (kp["source"] == "half").sum()
+    assert 0 < n_half_kept < n_half_total
+
+    # nested subset per group + repartition invariance
+    quarter = mixture_sample(docs, {"half": 0.25}, default=0.0)
+    q_ids = set(quarter.toPandas()["doc_id"])
+    assert q_ids <= set(kp[kp["source"] == "half"]["doc_id"])
+    re = mixture_sample(docs.repartition(13), fr, default=0.0)
+    assert set(re.toPandas()["doc_id"]) == set(kp["doc_id"])
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        mixture_sample(docs, fr).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
