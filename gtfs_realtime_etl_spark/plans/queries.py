@@ -2838,6 +2838,17 @@ ORACLE_SQL: dict[str, str] = {
     "mixture_sample": Q_MIXTURE_SAMPLE_SQL,
 }
 
+# Second bank: corpus/event analytics extensions (TF-IDF profile, exact
+# n-gram duplicate spans, sharding, histograms, edit-distance verify,
+# funnel / retention / rolling-window / anomaly event analytics).
+from gtfs_realtime_etl_spark.plans.analytics import (  # noqa: E402
+    EXT_ORACLE_SQL,
+    EXT_QUERIES,
+)
+
+QUERIES.update(EXT_QUERIES)
+ORACLE_SQL.update(EXT_ORACLE_SQL)
+
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite flagship query (entry-point smoke check)."""
