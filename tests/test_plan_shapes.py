@@ -192,3 +192,51 @@ def test_aggregations_have_partial_phase(spark, name):
     raw rows."""
     p = plan_of(spark, name)
     assert count(p, r"\(\d+\) HashAggregate") >= 2
+
+
+# ---------------------------------------------------------------------------
+# Corpus/event analytics bank (plans/analytics.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_dup_spans_single_lineage(spark):
+    """The gram explosion (tokenize + 4 zip_with + explode) must run
+    exactly ONCE: the one-pass window design exists because a self-join
+    formulation re-executes the heavy lineage per branch."""
+    tree = plan_of(spark, "ngram_dup_spans").split("\n\n")[0]
+    assert count(tree, r"Scan parquet") == 1, tree
+    assert count(tree, r"Generate") == 1, tree  # one explode
+
+
+def test_tfidf_rank_is_two_phase(spark):
+    """Per-language term rank goes through the salted two-phase top-k:
+    partial + final ObjectHashAggregate between the final Window and
+    the doc-frequency aggregate — the Window never sees a language's
+    full vocabulary."""
+    p = plan_of(spark, "tfidf_top_terms")
+    tree = p.split("\n\n")[0]
+    lines = tree.splitlines()
+    win = min(i for i, l in enumerate(lines) if "Window" in l)
+    aggs = [i for i, l in enumerate(lines) if "ObjectHashAggregate" in l]
+    assert len([i for i in aggs if i > win]) >= 2, tree
+
+
+def test_funnel_and_edit_pairs_no_cartesian(spark):
+    """The staged funnel joins and the banded Levenshtein self-join are
+    hash joins on equi keys — a CartesianProduct anywhere means the
+    blocking keys fell out of the plan."""
+    for name in ("funnel_conversion", "edit_distance_pairs"):
+        p = plan_of(spark, name)
+        assert count(p, r"CartesianProduct") == 0, (name, p)
+    p = plan_of(spark, "edit_distance_pairs")
+    assert count(p, r"HashJoin|SortMergeJoin") >= 1, p
+
+
+def test_shard_assignment_pruned_scan(spark):
+    """Shard audit reads only (doc_id, n_chars) — never the text."""
+    p = plan_of(spark, "shard_assignment")
+    (read,) = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert set(re.findall(r"(\w+):", read.split("struct<")[1])) == {
+        "doc_id",
+        "n_chars",
+    }
