@@ -609,6 +609,222 @@ FROM scored WHERE abs(z) >= {ANOMALY_Z}
 """
 
 
+# ---------------------------------------------------------------------------
+# Decimal-exact aggregation helpers — duplicated from plans.queries
+# (importing them would make the queries↔analytics import order
+# significant; these are 6 lines of arithmetic, not logic).
+# ---------------------------------------------------------------------------
+
+
+def _dsum(col, scale: int = 2):
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def _dsum_sql(x: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({x} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# CDC latest-wins merge (MERGE INTO analog): base snapshot + synthetic
+# update batch (price corrections on every 7th order, tombstones on
+# every 91st) merged by operators/cdc.merge_upsert — ONE shuffle on the
+# merge key, union + row_number, never a join — then profiled per
+# priority class.  The oracle replays the same semantics set-wise.
+# ---------------------------------------------------------------------------
+
+CDC_UPDATE_MOD = 7
+CDC_DELETE_MOD = 91
+CDC_PRICE_BUMP = 1000.0
+
+
+def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gtfs_realtime_etl_spark.operators.cdc import merge_upsert
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    base = orders.withColumn("_v", F.lit(0).cast("long"))
+    updates = (
+        orders.filter(F.col("o_orderkey") % CDC_UPDATE_MOD == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(CDC_PRICE_BUMP))
+        .withColumn("_v", F.lit(1).cast("long"))
+        .withColumn(
+            "_del", F.col("o_orderkey") % CDC_DELETE_MOD == 0
+        )
+    )
+    merged = merge_upsert(
+        base, updates, keys=["o_orderkey"], version_col="_v", delete_col="_del"
+    )
+    return merged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+Q_CDC_UPSERT_SQL = f"""
+WITH merged AS (
+  SELECT o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey % {CDC_UPDATE_MOD} <> 0
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice + {CDC_PRICE_BUMP}
+  FROM orders
+  WHERE o_orderkey % {CDC_UPDATE_MOD} = 0 AND o_orderkey % {CDC_DELETE_MOD} <> 0
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {_dsum_sql("o_totalprice")} AS revenue
+FROM merged GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Activity heatmap: day-of-week × hour-of-day event density with a
+# decimal-stable mean value — the classic ops dashboard tile, in pure
+# integer epoch arithmetic (1970-01-01 was a Thursday → dow 4; no
+# date/timezone functions to diverge on).
+# ---------------------------------------------------------------------------
+
+
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    day = F.expr(f"ts div {_NS_PER_DAY}")
+    dow = F.pmod(day + F.lit(4), F.lit(7))
+    hour = F.expr(f"(ts % {_NS_PER_DAY}) div {_NS_PER_HOUR}")
+    return (
+        events.select(dow.alias("dow"), hour.alias("hour"), "value")
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                _dsum(F.col("value"), 6) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_value"),
+        )
+    )
+
+
+Q_ACTIVITY_HEATMAP_SQL = f"""
+WITH e AS (
+  SELECT (epoch_ns(ts) // {_NS_PER_DAY} + 4) % 7 AS dow,
+         (epoch_ns(ts) % {_NS_PER_DAY}) // {_NS_PER_HOUR} AS hour,
+         value
+  FROM events
+)
+SELECT dow, hour, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND({_dsum_sql("value", 6)} / CAST(COUNT(*) AS DOUBLE), 6) AS avg_value
+FROM e GROUP BY dow, hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation from exact moments: corr(value, hour-of-day) per
+# event type.  Built-in corr() accumulates doubles in partition order —
+# not reproducible across engines or even across run topologies — so
+# the five moments are exact DECIMAL/integer sums and the correlation
+# is assembled in identical double arithmetic afterwards.
+# ---------------------------------------------------------------------------
+
+
+def q_value_hour_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    hour = F.expr(f"(ts % {_NS_PER_DAY}) div {_NS_PER_HOUR}")
+    e = events.select("event_type", F.col("value").alias("x"), hour.alias("y"))
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(18,6)")).alias("s1"),
+        F.sum("y").alias("s2"),
+        F.sum((F.col("x") * F.col("y").cast("double")).cast("decimal(18,6)")).alias(
+            "sxy"
+        ),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(18,6)")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    cov = F.col("sxy").cast("double") - s1 * s2 / n
+    vx = F.col("sxx").cast("double") - s1 * s1 / n
+    vy = F.col("syy").cast("double") - s2 * s2 / n
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round(cov / F.sqrt(vx * vy), 6).alias("corr_value_hour"),
+    )
+
+
+Q_VALUE_HOUR_CORR_SQL = f"""
+WITH e AS (
+  SELECT event_type, value AS x,
+         (epoch_ns(ts) % {_NS_PER_DAY}) // {_NS_PER_HOUR} AS y
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS DECIMAL(18,6))) AS s1,
+         CAST(SUM(y) AS BIGINT) AS s2,
+         SUM(CAST(x * CAST(y AS DOUBLE) AS DECIMAL(18,6))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(18,6))) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM e GROUP BY event_type
+)
+SELECT event_type, n AS n_events,
+       ROUND((CAST(sxy AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             / sqrt((CAST(sxx AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                    * (CAST(syy AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                         / CAST(n AS DOUBLE))), 6) AS corr_value_hour
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality deciles: NTILE(10) over token count with an explicit total
+# order (n_tokens desc, doc_id asc — NTILE is only deterministic under
+# a total order), profiled per decile.  NOTE the single-partition
+# window is inherent to global NTILE and is fine ONLY because the
+# windowed rows are (bigint, bigint) pairs; at 100 TB the same result
+# comes from a two-pass quantile cut (compute decile boundaries from a
+# sorted sample or exact rank selection, then a projection assigns
+# bins) — documented here as the scale path.
+# ---------------------------------------------------------------------------
+
+QUALITY_DECILES = 10
+
+
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    scored = documents.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    w = Window.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    return (
+        scored.withColumn("decile", F.ntile(QUALITY_DECILES).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+Q_QUALITY_DECILES_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, len({SQL_TOKS}) AS n_tokens FROM documents
+),
+binned AS (
+  SELECT n_tokens,
+         CAST(ntile({QUALITY_DECILES})
+              OVER (ORDER BY n_tokens DESC, doc_id ASC) AS INT) AS decile
+  FROM scored
+)
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM binned GROUP BY decile
+"""
+
+
 EXT_QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "ngram_dup_spans": q_ngram_dup_spans,
@@ -619,6 +835,10 @@ EXT_QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "rolling_event_value": q_rolling_event_value,
     "event_rate_anomaly": q_event_rate_anomaly,
+    "cdc_upsert": q_cdc_upsert,
+    "activity_heatmap": q_activity_heatmap,
+    "value_hour_corr": q_value_hour_corr,
+    "quality_deciles": q_quality_deciles,
 }
 
 EXT_ORACLE_SQL = {
@@ -631,4 +851,8 @@ EXT_ORACLE_SQL = {
     "retention_cohorts": Q_RETENTION_COHORTS_SQL,
     "rolling_event_value": Q_ROLLING_EVENT_VALUE_SQL,
     "event_rate_anomaly": Q_EVENT_RATE_ANOMALY_SQL,
+    "cdc_upsert": Q_CDC_UPSERT_SQL,
+    "activity_heatmap": Q_ACTIVITY_HEATMAP_SQL,
+    "value_hour_corr": Q_VALUE_HOUR_CORR_SQL,
+    "quality_deciles": Q_QUALITY_DECILES_SQL,
 }
