@@ -57,3 +57,38 @@ def windowed_counts(
             *([f"avg_{agg_col}"] if agg_col is not None else []),
         )
     )
+
+
+def session_windowed_counts(
+    events: DataFrame,
+    key_col: str = "route_id",
+    ts_col: str = "timestamp",
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Native gap-based session windows (``F.session_window``): events
+    of a key closer than ``gap`` merge into one session; the watermark
+    closes (and evicts) a session once no more in-gap events can
+    arrive.
+
+    Complements streaming/stateful.streaming_sessionize, which builds
+    the same sessions with applyInPandasWithState: use THIS when
+    count/min/max per session is enough (state lives JVM-side, no
+    Python worker round-trip); use the stateful form when the
+    per-session logic outgrows built-in aggregates.  Batch inputs run
+    the identical grouping — the backfill twin."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("win"), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )

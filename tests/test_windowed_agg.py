@@ -106,3 +106,74 @@ def test_streaming_window_emits_on_watermark_and_drops_late(spark, tmp_path):
         assert [(r["route_id"], r["n_events"]) for r in final] == [("R1", 2)]
     finally:
         q.stop()
+
+
+def test_session_window_batch_twin_merges_by_gap(spark):
+    """Native session windows: in-gap events merge (session end = last
+    event + gap); a gap break starts a new session."""
+    from gtfs_realtime_etl_spark.streaming.windows import session_windowed_counts
+
+    rows = [
+        ("R1", BASE + 0, 0.0),
+        ("R1", BASE + 100, 0.0),   # within 5-min gap → same session
+        ("R1", BASE + 1000, 0.0),  # > 300 s after previous → new session
+        ("R2", BASE + 0, 0.0),
+    ]
+    out = (
+        session_windowed_counts(_events_df(spark, rows), gap="5 minutes")
+        .orderBy("route_id", "session_start")
+        .collect()
+    )
+    assert [(r["route_id"], r["n_events"]) for r in out] == [
+        ("R1", 2),
+        ("R1", 1),
+        ("R2", 1),
+    ]
+    # session extends to last event + gap
+    s0 = out[0]
+    assert (s0["session_end"] - s0["session_start"]).total_seconds() == 100 + 300
+    s1 = out[1]
+    assert (s1["session_end"] - s1["session_start"]).total_seconds() == 300
+
+
+def test_session_window_streaming_emits_closed_sessions(spark, tmp_path):
+    """Streaming session windows emit once the watermark passes the
+    session's (last event + gap) end."""
+    from gtfs_realtime_etl_spark.streaming.windows import session_windowed_counts
+
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "route_id string, ts_sec long, speed double"
+    spark.createDataFrame(
+        [("R1", BASE + 0, 0.0), ("R1", BASE + 30, 0.0)], schema
+    ).write.mode("overwrite").json(src_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .json(src_dir)
+        .selectExpr("route_id", "CAST(ts_sec AS TIMESTAMP) AS timestamp")
+    )
+    out = session_windowed_counts(stream, gap="1 minute", watermark="1 minute")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_win")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM sess_win").count() == 0
+
+        # event far in the future pushes the watermark past the session
+        spark.createDataFrame([("R2", BASE + 10_000, 0.0)], schema).write.mode(
+            "append"
+        ).json(src_dir)
+        q.processAllAvailable()
+        q.processAllAvailable()
+        emitted = spark.sql(
+            "SELECT route_id, n_events FROM sess_win"
+        ).collect()
+        assert [(r["route_id"], r["n_events"]) for r in emitted] == [("R1", 2)]
+    finally:
+        q.stop()
