@@ -825,6 +825,62 @@ FROM binned GROUP BY decile
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance: the monthly revenue rollup built by
+# MERGING three independently-computed partial states (simulating three
+# partition loads) instead of one full-scan groupBy.  Because the
+# partial sums are exact DECIMAL monoids, the merged state is
+# bit-identical to a direct aggregation — which is exactly what the
+# oracle computes, so the gate proves partial-merge == full recompute.
+# ---------------------------------------------------------------------------
+
+INCR_SPLITS = 3
+
+
+def q_incremental_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gtfs_realtime_etl_spark.operators.incremental import (
+        finalize,
+        merge_partials,
+        partial_aggregate,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    monthed = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    parts = [
+        partial_aggregate(
+            monthed.filter(F.col("o_orderkey") % INCR_SPLITS == i),
+            ["order_month"],
+            "o_totalprice",
+        )
+        for i in range(INCR_SPLITS)
+    ]
+    out = finalize(merge_partials(parts))
+    return out.select(
+        "order_month",
+        F.col("n").alias("n_orders"),
+        F.col("sum").alias("revenue"),
+        F.col("min").alias("min_price"),
+        F.col("max").alias("max_price"),
+        F.round("avg", 6).alias("avg_price"),
+    )
+
+
+Q_INCREMENTAL_REVENUE_SQL = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {_dsum_sql("o_totalprice")} AS revenue,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       ROUND({_dsum_sql("o_totalprice")} / CAST(COUNT(*) AS DOUBLE), 6)
+         AS avg_price
+FROM orders GROUP BY order_month
+"""
+
+
 EXT_QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "ngram_dup_spans": q_ngram_dup_spans,
@@ -839,6 +895,7 @@ EXT_QUERIES = {
     "activity_heatmap": q_activity_heatmap,
     "value_hour_corr": q_value_hour_corr,
     "quality_deciles": q_quality_deciles,
+    "incremental_revenue": q_incremental_revenue,
 }
 
 EXT_ORACLE_SQL = {
@@ -855,4 +912,5 @@ EXT_ORACLE_SQL = {
     "activity_heatmap": Q_ACTIVITY_HEATMAP_SQL,
     "value_hour_corr": Q_VALUE_HOUR_CORR_SQL,
     "quality_deciles": Q_QUALITY_DECILES_SQL,
+    "incremental_revenue": Q_INCREMENTAL_REVENUE_SQL,
 }
