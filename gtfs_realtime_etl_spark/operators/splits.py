@@ -154,3 +154,60 @@ def sql_mixture_sample_pred(
     )
     case = f"CASE {whens} ELSE {int(default * MOD)} END" if whens else str(int(default * MOD))
     return f"{sql_split_slot(id_expr)} < ({case})"
+
+
+CAP_SALT = 16
+
+
+def cap_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-group cap: keep at most ``k`` rows per group,
+    chosen by hash-slot order (slot asc, id asc) — the "max N docs per
+    domain" step of web-corpus curation.  Membership is a property of
+    the ids in the group, not of partitioning or evaluation order, so
+    reruns and engines agree row-for-row.
+
+    Scale shape: a bare ``row_number() OVER (PARTITION BY group)``
+    funnels each group's full row set through one task; this salts the
+    rank into ``CAP_SALT`` buckets (a global top-k row is necessarily
+    in its own bucket's top-k), keeps each bucket's local k, then ranks
+    the ≤ CAP_SALT·k survivors — identical result, bounded task state.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    slot = split_slot(F.col(id_col))
+    salted = df.withColumn("_slot", slot).withColumn(
+        "_salt", F.pmod(F.col("_slot"), F.lit(CAP_SALT))
+    )
+    w_local = Window.partitionBy(group_col, "_salt").orderBy(
+        F.asc("_slot"), F.asc(id_col)
+    )
+    survivors = salted.withColumn(
+        "_rn", F.row_number().over(w_local)
+    ).filter(F.col("_rn") <= k)
+    w_final = Window.partitionBy(group_col).orderBy(
+        F.asc("_slot"), F.asc(id_col)
+    )
+    return (
+        survivors.withColumn("_rk", F.row_number().over(w_final))
+        .filter(F.col("_rk") <= k)
+        .drop("_slot", "_salt", "_rn", "_rk")
+    )
+
+
+def sql_cap_per_group_pred(
+    id_expr: str, group_expr: str, k: int
+) -> str:
+    """DuckDB row_number() filter twin of :func:`cap_per_group` — use
+    inside ``QUALIFY`` or a subquery: the single-window form is
+    result-identical to the salted two-phase plan."""
+    return (
+        f"row_number() OVER (PARTITION BY {group_expr} "
+        f"ORDER BY {sql_split_slot(id_expr)} ASC, {id_expr} ASC) <= {k}"
+    )

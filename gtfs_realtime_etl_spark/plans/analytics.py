@@ -881,6 +881,61 @@ FROM orders GROUP BY order_month
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-domain cap: at most K docs per source, chosen deterministically
+# by hash-slot order (operators/splits.cap_per_group — salted two-phase
+# rank, never a full per-group window).  Profiled per source so the
+# oracle validates the exact kept-set, not just its size.
+# ---------------------------------------------------------------------------
+
+DOMAIN_CAP_K = 3
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gtfs_realtime_etl_spark.operators.splits import cap_per_group
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    kept = cap_per_group(documents, DOMAIN_CAP_K)
+    kept_stats = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.min("doc_id").alias("min_kept_doc"),
+    )
+    totals = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    return totals.join(kept_stats, "source").select(
+        "source", "n_total", "n_kept", "kept_chars", "min_kept_doc"
+    )
+
+
+def _domain_cap_sql() -> str:
+    from gtfs_realtime_etl_spark.operators.splits import sql_cap_per_group_pred
+
+    pred = sql_cap_per_group_pred("doc_id", "source", DOMAIN_CAP_K)
+    return f"""
+WITH kept AS (
+  SELECT source, doc_id, n_chars FROM documents
+  QUALIFY {pred}
+),
+ks AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+         MIN(doc_id) AS min_kept_doc
+  FROM kept GROUP BY source
+),
+totals AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM documents GROUP BY source
+)
+SELECT t.source, t.n_total, k.n_kept, k.kept_chars, k.min_kept_doc
+FROM totals t JOIN ks k USING (source)
+"""
+
+
+Q_DOMAIN_CAP_SQL = _domain_cap_sql()
+
+
 EXT_QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "ngram_dup_spans": q_ngram_dup_spans,
@@ -896,6 +951,7 @@ EXT_QUERIES = {
     "value_hour_corr": q_value_hour_corr,
     "quality_deciles": q_quality_deciles,
     "incremental_revenue": q_incremental_revenue,
+    "domain_cap": q_domain_cap,
 }
 
 EXT_ORACLE_SQL = {
@@ -913,4 +969,5 @@ EXT_ORACLE_SQL = {
     "value_hour_corr": Q_VALUE_HOUR_CORR_SQL,
     "quality_deciles": Q_QUALITY_DECILES_SQL,
     "incremental_revenue": Q_INCREMENTAL_REVENUE_SQL,
+    "domain_cap": Q_DOMAIN_CAP_SQL,
 }

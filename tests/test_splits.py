@@ -125,3 +125,44 @@ def test_mixture_sample_properties(spark, ids):
     with contextlib.redirect_stdout(buf):
         mixture_sample(docs, fr).explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_cap_per_group_matches_naive_window_and_is_stable(spark):
+    """Salted two-phase cap == naive single window; membership is
+    invariant under repartitioning."""
+    from pyspark.sql import Window
+
+    from gtfs_realtime_etl_spark.operators.splits import (
+        cap_per_group,
+        split_slot,
+    )
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("source"),
+        (F.col("id") * 3).alias("n_chars"),
+    )
+    k = 4
+    kept = cap_per_group(df, k)
+    naive = (
+        df.withColumn("_s", split_slot(F.col("doc_id")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.asc("_s"), F.asc("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= k)
+        .drop("_s", "_rn")
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in naive.collect()
+    )
+    assert kept.groupBy("source").count().agg(F.max("count")).collect()[0][0] <= k
+    repart = cap_per_group(df.repartition(13), k)
+    assert sorted(r.doc_id for r in repart.collect()) == sorted(
+        r.doc_id for r in kept.collect()
+    )
+    assert kept.columns == df.columns
