@@ -1,0 +1,466 @@
+"""Third bank of oracle-gated queries: interval-overlap co-activity
+(bucketed range join), time-grid gap-fill resampling, one-pass table
+profiling, boilerplate-prefix detection, and lexical-diversity quality
+signals.
+
+Cross-engine determinism rules are the same as ``plans.queries`` /
+``plans.analytics``: integer arithmetic wherever a join key, rank, or
+filter boundary lives; DECIMAL-stabilized sums for means; ``ROUND(x,
+6)`` only on output columns; explicit tie-breaks.  ``events.ts`` is the
+loader-normalized epoch-ns bigint on the Spark side and
+``epoch_ns(ts)`` on the DuckDB side (sources/testdata.py).
+
+The diversity metric here is deliberately the Gini–Simpson index
+(``1 - sum(c_i^2)/n^2``) rather than Shannon entropy: it is an exact
+rational of integer counts, so both engines produce bit-identical
+doubles with no libm ``ln`` in sight — entropy's per-term ``c*ln(c)``
+sums are accumulation-order- and libm-dependent and cannot be made
+hash-stable without lossy per-term rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gtfs_realtime_etl_spark.functions.text import tokens
+from gtfs_realtime_etl_spark.operators.rangejoin import overlap_join
+from gtfs_realtime_etl_spark.operators.sessions import sessionize
+from gtfs_realtime_etl_spark.plans.analytics import SQL_TOKS
+from gtfs_realtime_etl_spark.sources.testdata import load_testdata
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tabs = load_testdata(spark, sf_dir, tables=tuple(names))
+    return [tabs[n] for n in names]
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap co-activity: sessionize each user's event stream
+# (30-min gap), then find pairs of users with sessions active within
+# 15 minutes of each other (each session padded ±15 min, closed-bounds
+# overlap on the padded intervals).  The pair join is the bucketed
+# range join of operators/rangejoin.py — an hour-bucket equi-join with
+# a residual overlap predicate and canonical-bucket dedup, never a
+# cartesian.  Output is the per-user co-activity profile (distinct
+# partners, total overlapping session pairs) so result size is
+# O(users), not O(pairs).
+#
+# Scale shape: replication factor = 1 + padded_len/bucket ≈ 1.5; the
+# only shuffles are the sessionize window, the bucket equi-join, and
+# two integer aggregations.  All integer ns math — engine-exact.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_NS = 1_800_000_000_000  # 30 min
+COACT_PAD_NS = 900_000_000_000  # +/- 15 min
+COACT_BUCKET_NS = 3_600_000_000_000  # 1 h
+
+
+def _sessions(events: DataFrame) -> DataFrame:
+    e = events.select("user_id", "ts", "event_id")
+    s = sessionize(
+        e, key_col="user_id", ts_col="ts", gap=SESSION_GAP_NS, order_cols=["event_id"]
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+
+
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    sess = _sessions(events)
+    pad_lo = (F.col("s_start") - F.lit(COACT_PAD_NS)).alias
+    pad_hi = (F.col("s_end") + F.lit(COACT_PAD_NS)).alias
+
+    a = sess.select(
+        F.col("user_id").alias("a_user"), pad_lo("a_start"), pad_hi("a_end")
+    )
+    b = sess.select(
+        F.col("user_id").alias("b_user"), pad_lo("b_start"), pad_hi("b_end")
+    )
+    pairs = overlap_join(
+        a,
+        b,
+        left_bounds=("a_start", "a_end"),
+        right_bounds=("b_start", "b_end"),
+        bucket_width=COACT_BUCKET_NS,
+        residual=F.col("a_user") < F.col("b_user"),
+    )
+    per_pair = pairs.groupBy("a_user", "b_user").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    both = per_pair.select(
+        F.col("a_user").alias("user_id"), F.col("n")
+    ).unionAll(per_pair.select(F.col("b_user").alias("user_id"), F.col("n")))
+    return both.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_partner_pairs"),
+        F.sum("n").alias("n_overlaps"),
+    )
+
+
+Q_INTERVAL_OVERLAP_JOIN_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS tns, event_id FROM events
+),
+marked AS (
+  SELECT user_id, tns, event_id,
+         LAG(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS prev
+  FROM e
+),
+numbered AS (
+  SELECT user_id, tns,
+         SUM(CASE WHEN prev IS NULL OR tns - prev > {SESSION_GAP_NS}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY tns, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM marked
+),
+sess AS (
+  SELECT user_id,
+         MIN(tns) - {COACT_PAD_NS} AS s_start,
+         MAX(tns) + {COACT_PAD_NS} AS s_end
+  FROM numbered GROUP BY user_id, session_id
+),
+per_pair AS (
+  SELECT a.user_id AS a_user, b.user_id AS b_user,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM sess a JOIN sess b
+    ON a.user_id < b.user_id
+   AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+  GROUP BY 1, 2
+),
+both_dirs AS (
+  SELECT a_user AS user_id, n FROM per_pair
+  UNION ALL
+  SELECT b_user AS user_id, n FROM per_pair
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_partner_pairs,
+       CAST(SUM(n) AS BIGINT) AS n_overlaps
+FROM both_dirs GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill resample: per user, build the full hour grid between their
+# first and last event hour, take the last event value of each hour
+# (deterministic (ts, event_id) tie-break), and forward-fill empty
+# hours — the standard time-series regularization step before feature
+# windows.  One grid explode (sequence per user), one left equi-join,
+# one ordered window per user.  The fill is last(ignorenulls) over an
+# unbounded-preceding frame; grid rows are O(users * hours-spanned).
+# ---------------------------------------------------------------------------
+
+NS_PER_HOUR = 3_600_000_000_000
+
+
+def q_gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        F.expr(f"CAST(ts DIV {NS_PER_HOUR} AS BIGINT)").alias("hr"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    rn = Window.partitionBy("user_id", "hr").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    hourly = (
+        e.withColumn("_rn", F.row_number().over(rn))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "hr", "value")
+    )
+    bounds = e.groupBy("user_id").agg(
+        F.min("hr").alias("mn"), F.max("hr").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("mn", "mx")).alias("hr")
+    )
+    g = grid.join(hourly, ["user_id", "hr"], "left")
+    fill_w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = g.withColumn(
+        "filled", F.last("value", ignorenulls=True).over(fill_w)
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.count("value").alias("n_event_hours"),
+        F.sum(F.col("filled").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("filled_total"),
+    )
+
+
+Q_GAP_FILL_RESAMPLE_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // {NS_PER_HOUR} AS hr,
+         epoch_ns(ts) AS tns, event_id, value
+  FROM events
+),
+hourly AS (
+  SELECT user_id, hr, value FROM (
+    SELECT user_id, hr, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, hr
+                              ORDER BY tns DESC, event_id DESC) AS rn
+    FROM e
+  ) WHERE rn = 1
+),
+bounds AS (
+  SELECT user_id, MIN(hr) AS mn, MAX(hr) AS mx FROM e GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx)) AS hr FROM bounds
+),
+filled AS (
+  SELECT g.user_id, g.hr, h.value,
+         LAST_VALUE(h.value IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.hr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+  FROM grid g LEFT JOIN hourly h
+    ON g.user_id = h.user_id AND g.hr = h.hr
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(COUNT(value) AS BIGINT) AS n_event_hours,
+       CAST(SUM(CAST(filled AS DECIMAL(18,6))) AS DOUBLE) AS filled_total
+FROM filled GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# One-pass table profiler: per-column null count, exact distinct count,
+# and a portable min/max representation — the data-quality audit every
+# ingest pipeline runs before training.  The Spark plan is ONE
+# aggregation over one scan (Catalyst expands the multi-distinct into
+# an Expand + two-stage agg with map-side partials); the long format is
+# a driver-free explode of the single result row.  At 100 TB swap the
+# exact distincts for approx_count_distinct — same plan shape minus the
+# Expand blowup (documented; the oracle gate needs exact).
+#
+# min/max reprs use only engine-portable casts: BIGINT -> VARCHAR,
+# VARCHAR identity, DOUBLE -> DECIMAL(18,2) -> VARCHAR.  The timestamp
+# column's repr is NULL (timestamp-to-string formatting is not
+# cross-engine stable).
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS: list[tuple[str, str]] = [
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "varchar"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp"),
+    ("o_orderpriority", "varchar"),
+]
+
+
+def _repr_col(name: str, kind: str, agg) -> Column:
+    if kind == "bigint":
+        return agg(F.col(name)).cast("string")
+    if kind == "varchar":
+        return agg(F.col(name))
+    if kind == "double":
+        return agg(F.col(name)).cast("decimal(18,2)").cast("string")
+    return F.lit(None).cast("string")
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    aggs = []
+    for name, kind in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.col(name).isNull().cast("bigint")).alias(f"{name}__nulls")
+        )
+        aggs.append(F.count_distinct(F.col(name)).alias(f"{name}__distinct"))
+        aggs.append(_repr_col(name, kind, F.min).alias(f"{name}__min"))
+        aggs.append(_repr_col(name, kind, F.max).alias(f"{name}__max"))
+    row = orders.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(name).alias("col_name"),
+            F.col(f"{name}__nulls").alias("n_nulls"),
+            F.col(f"{name}__distinct").alias("n_distinct"),
+            F.col(f"{name}__min").alias("min_repr"),
+            F.col(f"{name}__max").alias("max_repr"),
+        )
+        for name, _ in _PROFILE_COLS
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("m")).select("m.*")
+
+
+def _profile_oracle_sql() -> str:
+    parts = []
+    for name, kind in _PROFILE_COLS:
+        if kind == "bigint":
+            mn, mx = f"CAST(MIN({name}) AS VARCHAR)", f"CAST(MAX({name}) AS VARCHAR)"
+        elif kind == "varchar":
+            mn, mx = f"MIN({name})", f"MAX({name})"
+        elif kind == "double":
+            mn = f"CAST(CAST(MIN({name}) AS DECIMAL(18,2)) AS VARCHAR)"
+            mx = f"CAST(CAST(MAX({name}) AS DECIMAL(18,2)) AS VARCHAR)"
+        else:
+            mn = mx = "CAST(NULL AS VARCHAR)"
+        parts.append(
+            f"SELECT '{name}' AS col_name, "
+            f"CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_nulls, "
+            f"CAST(COUNT(DISTINCT {name}) AS BIGINT) AS n_distinct, "
+            f"{mn} AS min_repr, {mx} AS max_repr FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+Q_TABLE_PROFILE_SQL = _profile_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate-prefix detection: group documents by their leading token
+# prefix (C4-style boilerplate/header detection — repeated openings are
+# the canonical sign of templated or mirrored pages).  One groupBy on a
+# bounded key space (vocab^PREFIX_LEN); no skew mitigation needed
+# because group count, not group size, is what explodes on web corpora
+# — and group SIZE feeds only count/sum partials.
+# ---------------------------------------------------------------------------
+
+PREFIX_LEN = 2
+PREFIX_MIN_DOCS = 2
+
+
+def q_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    d = documents.where(F.size(toks) >= PREFIX_LEN).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.concat_ws(" ", F.slice(toks, 1, PREFIX_LEN)).alias("prefix"),
+    )
+    return (
+        d.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .where(F.col("n_docs") >= PREFIX_MIN_DOCS)
+    )
+
+
+Q_BOILERPLATE_PREFIXES_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+         array_to_string(list_slice({SQL_TOKS}, 1, {PREFIX_LEN}), ' ')
+           AS prefix
+  FROM documents
+  WHERE len({SQL_TOKS}) >= {PREFIX_LEN}
+)
+SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       MIN(doc_id) AS min_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM d GROUP BY prefix
+HAVING COUNT(*) >= {PREFIX_MIN_DOCS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity: per-document type-token ratio and Gini–Simpson
+# diversity (1 - sum(c_i^2)/n^2), aggregated per language — a
+# repetitiveness / quality signal next to repetition_stats.  Every
+# per-doc value is an exact rational of integer counts (identical
+# doubles on both engines); per-language means go through ROUND(.,6) ->
+# DECIMAL so the sums are associative and engine-exact.
+# ---------------------------------------------------------------------------
+
+LOW_DIVERSITY = 0.90
+
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    counts = toks.groupBy("doc_id", "lang", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = counts.groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+    )
+    gini = F.lit(1.0) - F.col("sum_sq").cast("double") / (
+        F.col("n") * F.col("n")
+    ).cast("double")
+    ttr = F.col("n_types").cast("double") / F.col("n").cast("double")
+    scored = per_doc.select(
+        "lang",
+        F.round(gini, 6).alias("gini_r"),
+        F.round(ttr, 6).alias("ttr_r"),
+        (gini < F.lit(LOW_DIVERSITY)).cast("bigint").alias("is_low"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("gini_r").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_gini"),
+        F.round(
+            F.sum(F.col("ttr_r").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_ttr"),
+        F.sum("is_low").alias("n_low_diversity"),
+    )
+
+
+Q_LEXICAL_DIVERSITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({SQL_TOKS}) AS term FROM documents
+),
+counts AS (
+  SELECT doc_id, lang, term, COUNT(*) AS c
+  FROM toks GROUP BY doc_id, lang, term
+),
+per_doc AS (
+  SELECT doc_id, lang, SUM(c) AS n, COUNT(*) AS n_types,
+         SUM(c * c) AS sum_sq
+  FROM counts GROUP BY doc_id, lang
+),
+scored AS (
+  SELECT lang,
+         ROUND(1.0 - CAST(sum_sq AS DOUBLE) / CAST(n * n AS DOUBLE), 6)
+           AS gini_r,
+         ROUND(CAST(n_types AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ttr_r,
+         CASE WHEN 1.0 - CAST(sum_sq AS DOUBLE) / CAST(n * n AS DOUBLE)
+                   < {LOW_DIVERSITY} THEN 1 ELSE 0 END AS is_low
+  FROM per_doc
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(gini_r AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_gini,
+       ROUND(CAST(SUM(CAST(ttr_r AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_ttr,
+       CAST(SUM(is_low) AS BIGINT) AS n_low_diversity
+FROM scored GROUP BY lang
+"""
+
+
+EXT2_QUERIES = {
+    "interval_overlap_join": q_interval_overlap_join,
+    "gap_fill_resample": q_gap_fill_resample,
+    "table_profile": q_table_profile,
+    "boilerplate_prefixes": q_boilerplate_prefixes,
+    "lexical_diversity": q_lexical_diversity,
+}
+
+EXT2_ORACLE_SQL = {
+    "interval_overlap_join": Q_INTERVAL_OVERLAP_JOIN_SQL,
+    "gap_fill_resample": Q_GAP_FILL_RESAMPLE_SQL,
+    "table_profile": Q_TABLE_PROFILE_SQL,
+    "boilerplate_prefixes": Q_BOILERPLATE_PREFIXES_SQL,
+    "lexical_diversity": Q_LEXICAL_DIVERSITY_SQL,
+}

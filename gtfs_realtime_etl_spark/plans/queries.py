@@ -2849,6 +2849,16 @@ from gtfs_realtime_etl_spark.plans.analytics import (  # noqa: E402
 QUERIES.update(EXT_QUERIES)
 ORACLE_SQL.update(EXT_ORACLE_SQL)
 
+# Third bank: bucketed interval-overlap join, gap-fill resampling,
+# one-pass table profiling, boilerplate prefixes, lexical diversity.
+from gtfs_realtime_etl_spark.plans.analytics2 import (  # noqa: E402
+    EXT2_ORACLE_SQL,
+    EXT2_QUERIES,
+)
+
+QUERIES.update(EXT2_QUERIES)
+ORACLE_SQL.update(EXT2_ORACLE_SQL)
+
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite flagship query (entry-point smoke check)."""

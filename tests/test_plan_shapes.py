@@ -240,3 +240,27 @@ def test_shard_assignment_pruned_scan(spark):
         "doc_id",
         "n_chars",
     }
+
+
+def test_interval_overlap_join_no_cartesian(spark):
+    """The co-activity pair join must be the bucketed equi join —
+    expressing the overlap predicate directly would give
+    BroadcastNestedLoopJoin and die at scale."""
+    p = plan_of(spark, "interval_overlap_join")
+    assert count(p, r"CartesianProduct|BroadcastNestedLoopJoin") == 0, p
+    assert count(p, r"HashJoin|SortMergeJoin") >= 1, p
+
+
+def test_table_profile_single_scan(spark):
+    """The profiler is ONE aggregation over ONE scan of orders: the
+    long format comes from exploding the single result row, not from
+    unioning per-column scans (which would read the table 6x)."""
+    p = plan_of(spark, "table_profile")
+    assert count(p, r"Location: InMemoryFileIndex") == 1, p
+
+
+def test_gap_fill_no_cartesian(spark):
+    """Grid-to-hourly is a keyed left join; the grid explode must not
+    degrade the join to a nested loop."""
+    p = plan_of(spark, "gap_fill_resample")
+    assert count(p, r"CartesianProduct|BroadcastNestedLoopJoin") == 0, p
