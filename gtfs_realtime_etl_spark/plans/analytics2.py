@@ -449,12 +449,167 @@ FROM scored GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): nearest-centroid cells bound the pairwise
+# cosine work; within a cell, any vector with a lower-id neighbor at
+# rounded cosine >= tau is dropped.  The oracle replays the ENTIRE
+# pipeline — decimal-stabilized centroids, projection argmin
+# assignment, left-fold cosines — so keep/drop decisions are
+# hash-exact, not approximately similar.  operators/semdedup.py has
+# the scale rationale (cells bound pairs at O(sum cell^2)).
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.8
+_SD_DIM = 64
+_SD_FOLD = "list_reduce(list_prepend(0.0, {terms}), (acc, x) -> acc + x)"
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gtfs_realtime_etl_spark.operators.semdedup import semdedup_profile
+    from gtfs_realtime_etl_spark.operators.similarity import (
+        centroids_from_labels,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    cents = centroids_from_labels(embeddings, dim=_SD_DIM)
+    return semdedup_profile(embeddings, cents, SEMDEDUP_TAU)
+
+
+def _semantic_dedup_sql() -> str:
+    l2sq = _SD_FOLD.format(
+        terms=(
+            "list_transform(range(1, len(e.vec) + 1), "
+            "j -> (e.vec[j] - c.centroid[j]) * (e.vec[j] - c.centroid[j]))"
+        )
+    )
+    dot = _SD_FOLD.format(
+        terms="list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * b.vec[i])"
+    )
+    nrm = "sqrt(" + _SD_FOLD.format(terms="list_transform(e.vec, v -> v * v)") + ")"
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+cdim AS (
+  SELECT label AS cell_id, dim,
+         ROUND(CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 8) AS cval
+  FROM (
+    SELECT label, pos AS dim, vec[pos] AS val
+    FROM (SELECT label, embedding::DOUBLE[] AS vec,
+                 unnest(range(1, len(embedding) + 1)) AS pos
+          FROM embeddings)
+  )
+  GROUP BY cell_id, dim
+),
+cent AS (
+  SELECT cell_id, list(cval ORDER BY dim) AS centroid FROM cdim GROUP BY cell_id
+),
+assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {l2sq}, c.cell_id) AS rn
+    FROM emb e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+v AS (
+  SELECT asg.vec_id, asg.cell_id, e.vec, {nrm} AS nrm
+  FROM assigned asg JOIN emb e ON asg.vec_id = e.vec_id
+),
+pairs AS (
+  SELECT a.cell_id, b.vec_id AS b_id,
+         ROUND(CASE WHEN a.nrm * b.nrm > 0
+                    THEN {dot} / (a.nrm * b.nrm) ELSE 0.0 END, 6) AS cosine
+  FROM v a JOIN v b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+),
+drops AS (
+  SELECT DISTINCT b_id AS vec_id FROM pairs WHERE cosine >= {SEMDEDUP_TAU}
+),
+surv AS (
+  SELECT s.vec_id, s.cell_id FROM assigned s
+  WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.vec_id = s.vec_id)
+),
+totals AS (
+  SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM assigned GROUP BY cell_id
+),
+kept AS (
+  SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         MIN(vec_id) AS min_kept_id
+  FROM surv GROUP BY cell_id
+)
+SELECT t.cell_id, t.n_vecs,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_vecs - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped,
+       k.min_kept_id
+FROM totals t LEFT JOIN kept k ON t.cell_id = k.cell_id
+"""
+
+
+Q_SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: overlapping fixed-size token windows (chunk 32,
+# stride 24 — 25% overlap), the sequence-prep step before packing.
+# The registry form emits (doc_id, chunk_id, n_toks, md5(chunk_text))
+# so the gate hash-verifies every chunk's exact content without
+# shipping the text twice.  operators/chunking.py is the reusable op.
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gtfs_realtime_etl_spark.operators.chunking import chunk_documents
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        documents, chunk_size=CHUNK_SIZE, stride=CHUNK_STRIDE
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.col("n_toks").cast("bigint").alias("n_toks"),
+        F.md5("chunk_text").alias("chunk_hash"),
+    )
+
+
+Q_DOC_CHUNKS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+),
+nz AS (
+  SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, (CASE WHEN n <= {CHUNK_SIZE} THEN 0
+                          ELSE (n - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1)
+                               // {CHUNK_STRIDE} END) + 1)) AS chunk_id
+  FROM nz
+)
+SELECT doc_id, chunk_id,
+       CAST(len(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                           chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}))
+            AS BIGINT) AS n_toks,
+       md5(array_to_string(
+             list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                        chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' '))
+         AS chunk_hash
+FROM c
+"""
+
+
 EXT2_QUERIES = {
     "interval_overlap_join": q_interval_overlap_join,
     "gap_fill_resample": q_gap_fill_resample,
     "table_profile": q_table_profile,
     "boilerplate_prefixes": q_boilerplate_prefixes,
     "lexical_diversity": q_lexical_diversity,
+    "semantic_dedup": q_semantic_dedup,
+    "doc_chunks": q_doc_chunks,
 }
 
 EXT2_ORACLE_SQL = {
@@ -463,4 +618,6 @@ EXT2_ORACLE_SQL = {
     "table_profile": Q_TABLE_PROFILE_SQL,
     "boilerplate_prefixes": Q_BOILERPLATE_PREFIXES_SQL,
     "lexical_diversity": Q_LEXICAL_DIVERSITY_SQL,
+    "semantic_dedup": Q_SEMANTIC_DEDUP_SQL,
+    "doc_chunks": Q_DOC_CHUNKS_SQL,
 }
