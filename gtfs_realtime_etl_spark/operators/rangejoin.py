@@ -43,6 +43,7 @@ def overlap_join(
     on: list[str] | None = None,
     residual: Column | None = None,
     max_buckets: int = 4096,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Join rows whose [start, end] intervals overlap (closed bounds).
 
@@ -51,6 +52,13 @@ def overlap_join(
     Column names must be disjoint between the two sides except for
     ``on`` equi-keys.  ``residual`` adds an extra post-join predicate.
     Zero-length intervals (start == end) participate normally.
+
+    ``num_partitions`` pins the pair-join parallelism: interval rows
+    are byte-light but the per-pair work downstream is not, and AQE's
+    size-based coalescing would otherwise fuse the join into one or two
+    tasks.  A user-specified repartition on the bucket key is
+    AQE-exempt and already satisfies the join's distribution
+    requirement, so pinning adds no extra exchange.
     """
     ls, le = left_bounds
     rs, re_ = right_bounds
@@ -86,6 +94,9 @@ def overlap_join(
 
     lx = buckets(left, ls, le)
     rx = buckets(right, rs, re_).withColumnRenamed("_rj_bucket", "_rj_bucket_r")
+    if num_partitions is not None:
+        lx = lx.repartition(num_partitions, *on, "_rj_bucket")
+        rx = rx.repartition(num_partitions, *on, "_rj_bucket_r")
 
     cond = lx["_rj_bucket"] == rx["_rj_bucket_r"]
     for k in on:

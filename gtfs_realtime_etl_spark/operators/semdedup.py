@@ -129,19 +129,28 @@ def semdedup(
 
 def semdedup_profile(
     embeddings: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | list,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     pair_partitions: int = 32,
 ) -> DataFrame:
     """Per-cell dedup report: total vectors, survivors, drops, and the
-    smallest surviving id.  Collects the centroid table ONCE and shares
-    the projection-only assignment between the pair join and the
-    survivor accounting (a naive compose would re-run the centroid
-    lineage per consumer)."""
-    cents = sorted(centroids.collect(), key=lambda r: r["cell_id"])
-    assigned = _assign_cells_rows(embeddings, cents, vec_col)
+    smallest surviving id.  Collects the centroid table ONCE (callers
+    holding pre-collected rows pass the list and skip even that) and
+    materializes the assignment with an eager localCheckpoint: the
+    final plan references it FOUR times (both pair sides, totals,
+    survivors), and without the checkpoint each branch re-runs the
+    argmin projection over the corpus.  One vector + ids per row —
+    input-sized, not pair-sized; executor loss invalidates it for the
+    session (same caveat as the minhash pair cache)."""
+    if isinstance(centroids, list):
+        cents = sorted(centroids, key=lambda r: r["cell_id"])
+    else:
+        cents = sorted(centroids.collect(), key=lambda r: r["cell_id"])
+    assigned = _assign_cells_rows(embeddings, cents, vec_col).localCheckpoint(
+        eager=True
+    )
     drops = _drops_from_assigned(
         assigned, threshold, id_col, vec_col, pair_partitions
     ).select(id_col)

@@ -210,7 +210,7 @@ def _assign_cells_rows(embeddings: DataFrame, cents: list, vec_col: str) -> Data
 def ivf_topk(
     embeddings: DataFrame,
     query: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | list,
     k: int = 10,
     nprobe: int = 2,
     id_col: str = "vec_id",
@@ -230,9 +230,17 @@ def ivf_topk(
     # ONE centroid materialization serves both consumers: the projection
     # argmin for corpus cell assignment and the query-side probe list.
     # (Re-using the `centroids` DataFrame twice would re-run its full
-    # posexplode+groupBy lineage for the probe broadcast.)
-    cents = sorted(centroids.collect(), key=lambda r: r["cell_id"])
-    cent_local = embeddings.sparkSession.createDataFrame(cents, centroids.schema)
+    # posexplode+groupBy lineage for the probe broadcast.)  Callers that
+    # already hold the collected rows (e.g. via a registry-level cache)
+    # pass the list directly and skip the collect.
+    if isinstance(centroids, list):
+        cents = sorted(centroids, key=lambda r: r["cell_id"])
+    else:
+        cents = sorted(centroids.collect(), key=lambda r: r["cell_id"])
+    cent_local = embeddings.sparkSession.createDataFrame(
+        [(r["cell_id"], [float(v) for v in r["centroid"]]) for r in cents],
+        "cell_id int, centroid array<double>",
+    )
     assigned = _assign_cells_rows(embeddings, cents, vec_col)
     emb = assigned.withColumn("_vec", F.col(vec_col).cast("array<double>"))
 

@@ -53,7 +53,11 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 
 SESSION_GAP_NS = 1_800_000_000_000  # 30 min
 COACT_PAD_NS = 900_000_000_000  # +/- 15 min
-COACT_BUCKET_NS = 3_600_000_000_000  # 1 h
+# Bucket ~= padded-interval width (sessions are near-points, so padded
+# width ~= 2 x pad = 30 min): replication stays ~2x while candidate
+# pairs per bucket shrink ~8x vs a 1 h bucket — the bucket-width
+# tradeoff documented in operators/rangejoin.py.
+COACT_BUCKET_NS = 1_800_000_000_000  # 30 min
 
 
 def _sessions(events: DataFrame) -> DataFrame:
@@ -85,6 +89,9 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_bounds=("b_start", "b_end"),
         bucket_width=COACT_BUCKET_NS,
         residual=F.col("a_user") < F.col("b_user"),
+        # pinned: session rows are tiny bytes but pair evaluation is the
+        # CPU cost — AQE byte-coalescing would fuse the join to ~2 tasks
+        num_partitions=spark.sparkContext.defaultParallelism,
     )
     per_pair = pairs.groupBy("a_user", "b_user").agg(
         F.count(F.lit(1)).alias("n")
@@ -268,6 +275,11 @@ def _repr_col(name: str, kind: str, agg) -> Column:
 
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
+    # The local testdata files are single-row-group parquet, so without
+    # this the Expand (x7 grouping ids) and the partial sort-aggregate
+    # run in ONE task.  At production scale the scan arrives
+    # multi-split and this widening is a cheap narrow-input shuffle.
+    orders = orders.repartition(spark.sparkContext.defaultParallelism)
     aggs = []
     for name, kind in _PROFILE_COLS:
         aggs.append(
@@ -466,12 +478,12 @@ _SD_FOLD = "list_reduce(list_prepend(0.0, {terms}), (acc, x) -> acc + x)"
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gtfs_realtime_etl_spark.operators.semdedup import semdedup_profile
-    from gtfs_realtime_etl_spark.operators.similarity import (
-        centroids_from_labels,
-    )
+    from gtfs_realtime_etl_spark.plans.queries import _label_centroids_rows
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
-    cents = centroids_from_labels(embeddings, dim=_SD_DIM)
+    # Shared with ann_ivf_topk / the at-rest IVF writer: same
+    # decimal-stabilized centroid table, collected once per session.
+    cents = _label_centroids_rows(spark, sf_dir, _SD_DIM)
     return semdedup_profile(embeddings, cents, SEMDEDUP_TAU)
 
 
