@@ -614,6 +614,95 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# Quality-weighted resampling: keep each document with probability
+# p = quality_score^2 (temperature-2 upweighting of high-quality text —
+# the FineWeb/DCLM-style step between scoring and training-set
+# assembly), decided DETERMINISTICALLY by the same portable hash slot
+# as train_split: keep iff slot(doc_id) < p * MOD.  Pure projection +
+# one aggregation; membership is repartition-invariant and replayable
+# on any engine (slot and p are both exact doubles).  The realized keep
+# rate is reported next to the expected rate (decimal-mean of p) so
+# drift is visible in the output itself.
+# ---------------------------------------------------------------------------
+
+
+def q_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gtfs_realtime_etl_spark.functions.hashing import MOD
+    from gtfs_realtime_etl_spark.functions.text import quality_score
+    from gtfs_realtime_etl_spark.operators.splits import split_slot
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    score = quality_score(F.col("text"))
+    scored = documents.select(
+        "source",
+        "doc_id",
+        score.alias("score"),
+        (score * score).alias("p"),
+    )
+    kept = (
+        split_slot(F.col("doc_id")).cast("double")
+        < F.col("p") * F.lit(float(MOD))
+    ).cast("bigint")
+    flagged = scored.withColumn("kept", kept)
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("kept").alias("n_kept"),
+        F.round(
+            F.sum(F.col("p").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("expected_rate"),
+        F.when(
+            F.sum("kept") > 0,
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("kept") == 1, F.col("score").cast("decimal(18,12)")
+                    ).otherwise(F.lit(0).cast("decimal(18,12)"))
+                ).cast("double")
+                / F.sum("kept").cast("double"),
+                6,
+            ),
+        ).alias("avg_kept_score"),
+    )
+
+
+def _quality_resample_sql() -> str:
+    from gtfs_realtime_etl_spark.functions.hashing import MOD
+    from gtfs_realtime_etl_spark.operators.splits import sql_split_slot
+    from gtfs_realtime_etl_spark.plans import queries as _q
+
+    slot = sql_split_slot("doc_id")
+    return f"""
+WITH scored AS (
+  SELECT source, doc_id, {_q._QS_SCORE} AS score,
+         {_q._QS_SCORE} * {_q._QS_SCORE} AS p
+  FROM documents
+),
+flagged AS (
+  SELECT source, score, p,
+         CASE WHEN CAST({slot} AS DOUBLE) < p * CAST({MOD} AS DOUBLE)
+              THEN 1 ELSE 0 END AS kept
+  FROM scored
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(CAST(p AS DECIMAL(18,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS expected_rate,
+       CASE WHEN SUM(kept) > 0 THEN
+         ROUND(CAST(SUM(CASE WHEN kept = 1
+                             THEN CAST(score AS DECIMAL(18,12))
+                             ELSE CAST(0 AS DECIMAL(18,12)) END) AS DOUBLE)
+               / CAST(SUM(kept) AS DOUBLE), 6)
+       END AS avg_kept_score
+FROM flagged GROUP BY source
+"""
+
+
+Q_QUALITY_RESAMPLE_SQL = _quality_resample_sql()
+
+
 EXT2_QUERIES = {
     "interval_overlap_join": q_interval_overlap_join,
     "gap_fill_resample": q_gap_fill_resample,
@@ -622,6 +711,7 @@ EXT2_QUERIES = {
     "lexical_diversity": q_lexical_diversity,
     "semantic_dedup": q_semantic_dedup,
     "doc_chunks": q_doc_chunks,
+    "quality_resample": q_quality_resample,
 }
 
 EXT2_ORACLE_SQL = {
@@ -632,4 +722,5 @@ EXT2_ORACLE_SQL = {
     "lexical_diversity": Q_LEXICAL_DIVERSITY_SQL,
     "semantic_dedup": Q_SEMANTIC_DEDUP_SQL,
     "doc_chunks": Q_DOC_CHUNKS_SQL,
+    "quality_resample": Q_QUALITY_RESAMPLE_SQL,
 }
