@@ -703,6 +703,92 @@ FROM flagged GROUP BY source
 Q_QUALITY_RESAMPLE_SQL = _quality_resample_sql()
 
 
+# ---------------------------------------------------------------------------
+# Event-type transition matrix: per-user consecutive event pairs
+# (deterministic (ts, event_id) order) counted into a Markov transition
+# profile — the sequence-modeling prep step for behavioral data.  One
+# window shuffle on user_id, one small aggregation; the probability is
+# an exact integer rational (count / row-total), rounded only at the
+# output column.
+# ---------------------------------------------------------------------------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .select("prev_type", "event_type")
+    )
+    counts = pairs.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # The transition matrix is |types|^2 rows — broadcast-class — so a
+    # per-row window over it is fine at any corpus scale (the heavy
+    # lifting happened in the groupBy above).
+    total_w = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(total_w).cast("double"),
+            6,
+        ).alias("p"),
+    )
+
+
+Q_EVENT_TRANSITIONS_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS tns, event_id, event_type FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type FROM (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY tns, event_id) AS prev_type
+    FROM e
+  ) WHERE prev_type IS NOT NULL
+),
+counts AS (
+  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct profile (rows-only lane): HyperLogLog++ distinct
+# counts per event_type next to the exact answer's cost profile.  No
+# SQL oracle ON PURPOSE: DuckDB's approx_count_distinct is a different
+# HLL implementation, so cross-engine hashes cannot match — the
+# accuracy contract is pinned by tests/test_semdedup_chunking.py-style
+# unit test (|approx - exact| / exact < 5%) instead.  At 100 TB this is
+# the distinct-count you actually run: one pass, fixed 2^p-register
+# state per group, no Expand blowup.
+# ---------------------------------------------------------------------------
+
+
+def q_approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.approx_count_distinct("value", rsd=0.01).alias("approx_values"),
+    )
+
+
 EXT2_QUERIES = {
     "interval_overlap_join": q_interval_overlap_join,
     "gap_fill_resample": q_gap_fill_resample,
@@ -712,6 +798,8 @@ EXT2_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "doc_chunks": q_doc_chunks,
     "quality_resample": q_quality_resample,
+    "event_transitions": q_event_transitions,
+    "approx_distinct_profile": q_approx_distinct_profile,
 }
 
 EXT2_ORACLE_SQL = {
@@ -723,4 +811,7 @@ EXT2_ORACLE_SQL = {
     "semantic_dedup": Q_SEMANTIC_DEDUP_SQL,
     "doc_chunks": Q_DOC_CHUNKS_SQL,
     "quality_resample": Q_QUALITY_RESAMPLE_SQL,
+    "event_transitions": Q_EVENT_TRANSITIONS_SQL,
+    # approx_distinct_profile: rows-only lane by design (HLL impls
+    # differ across engines — see the query docstring).
 }
