@@ -789,6 +789,165 @@ def q_approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary coverage: induce a top-V vocabulary from global token
+# counts (integer rank, deterministic tie-break) and measure each
+# language's out-of-vocabulary token rate against it — the
+# tokenizer-design feedback loop.  The vocab rank reuses the salted
+# two-phase top-k (vocabulary-scale safe); coverage is one broadcast
+# semi-join flag over the token stream.  OOV rate is an exact integer
+# rational.
+# ---------------------------------------------------------------------------
+
+VOCAB_V = 10
+VOCAB_SALT = 16
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    salted = counts.withColumn("_salt", F.pmod(F.hash("term"), F.lit(VOCAB_SALT)))
+    local = salted.groupBy("_salt").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("n")).alias("neg_n"), "term"))
+            ),
+            1,
+            VOCAB_V,
+        ).alias("top")
+    )
+    survivors = local.select(F.explode("top").alias("s")).select(
+        F.col("s.term").alias("term"), (-F.col("s.neg_n")).alias("n")
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    vocab = (
+        survivors.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= VOCAB_V)
+        .select("term")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "term", "left"
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+Q_VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT lang, unnest({SQL_TOKS}) AS term FROM documents
+),
+counts AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY term
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS rk
+    FROM counts
+  ) WHERE rk <= {VOCAB_V}
+)
+SELECT t.lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.term = v.term
+GROUP BY t.lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination: flag corpus vectors whose cosine to ANY
+# benchmark vector reaches tau — the embedding-space complement of the
+# shingle-containment decontamination operator.  The benchmark set is
+# broadcast-class by definition, so the max-similarity test is a PURE
+# PROJECTION (a greatest() chain over per-benchmark fold cosines —
+# same plan family as the IVF cell argmin): no join, no shuffle, scan
+# cost linear in the corpus.  The oracle computes the same cosines via
+# a 20-row cross join and MAX — a different plan, the identical
+# doubles.
+# ---------------------------------------------------------------------------
+
+SEMDECON_TAU = 0.8
+SEMDECON_BENCH_N = 20  # vec_id < 20 plays the benchmark set
+
+
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gtfs_realtime_etl_spark.functions.vector import dot, l2_norm
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    bench = sorted(
+        embeddings.where(F.col("vec_id") < SEMDECON_BENCH_N)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    corpus = embeddings.where(F.col("vec_id") >= SEMDECON_BENCH_N).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    # Corpus norm hoisted to ONE attribute: it appears in every one of
+    # the |benchmark| cosine denominators below (same arithmetic, same
+    # fold — only computed once per row instead of once per pair).
+    corpus = corpus.withColumn("_n", l2_norm(F.col("vec")))
+    cos_exprs = []
+    for r in bench:
+        b = F.array(*[F.lit(float(v)) for v in r["vec"]])
+        bn = sum(v * v for v in r["vec"]) ** 0.5
+        denom = F.col("_n") * F.lit(float(bn))
+        cos_exprs.append(
+            F.when(denom > 0, dot(F.col("vec"), b) / denom).otherwise(F.lit(0.0))
+        )
+    max_sim = F.greatest(*cos_exprs)
+    scored = corpus.select("label", max_sim.alias("sim"))
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(
+            F.when(F.round(F.col("sim"), 6) >= SEMDECON_TAU, 1).otherwise(0)
+        ).alias("n_contaminated"),
+        F.round(F.max("sim"), 6).alias("max_sim"),
+    )
+
+
+def _semantic_decontam_sql() -> str:
+    dotexpr = _SD_FOLD.format(
+        terms="list_transform(range(1, len(c.vec) + 1), i -> c.vec[i] * b.vec[i])"
+    )
+    ncorp = "sqrt(" + _SD_FOLD.format(terms="list_transform(c.vec, v -> v * v)") + ")"
+    return f"""
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+bench AS (
+  SELECT vec_id, vec,
+         sqrt({_SD_FOLD.format(terms="list_transform(vec, v -> v * v)")}) AS bn
+  FROM emb WHERE vec_id < {SEMDECON_BENCH_N}
+),
+corpus AS (SELECT vec_id, label, vec FROM emb WHERE vec_id >= {SEMDECON_BENCH_N}),
+sims AS (
+  SELECT c.vec_id, c.label,
+         MAX(CASE WHEN {ncorp} * b.bn > 0
+                  THEN {dotexpr} / ({ncorp} * b.bn) ELSE 0.0 END) AS sim
+  FROM corpus c CROSS JOIN bench b
+  GROUP BY c.vec_id, c.label
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN ROUND(sim, 6) >= {SEMDECON_TAU}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       ROUND(MAX(sim), 6) AS max_sim
+FROM sims GROUP BY label
+"""
+
+
+Q_SEMANTIC_DECONTAM_SQL = _semantic_decontam_sql()
+
+
 EXT2_QUERIES = {
     "interval_overlap_join": q_interval_overlap_join,
     "gap_fill_resample": q_gap_fill_resample,
@@ -800,6 +959,8 @@ EXT2_QUERIES = {
     "quality_resample": q_quality_resample,
     "event_transitions": q_event_transitions,
     "approx_distinct_profile": q_approx_distinct_profile,
+    "vocab_coverage": q_vocab_coverage,
+    "semantic_decontam": q_semantic_decontam,
 }
 
 EXT2_ORACLE_SQL = {
@@ -814,4 +975,6 @@ EXT2_ORACLE_SQL = {
     "event_transitions": Q_EVENT_TRANSITIONS_SQL,
     # approx_distinct_profile: rows-only lane by design (HLL impls
     # differ across engines — see the query docstring).
+    "vocab_coverage": Q_VOCAB_COVERAGE_SQL,
+    "semantic_decontam": Q_SEMANTIC_DECONTAM_SQL,
 }
