@@ -10,11 +10,22 @@ import pytest
 from gtfs_realtime_etl_spark.plans.queries import ORACLE_SQL, QUERIES
 
 
+#: Queries DECLARED rows-only: a cross-engine hash oracle is impossible
+#: by construction (different HLL sketches), and their accuracy
+#: contract lives in a dedicated unit test instead.  Anything else
+#: missing an oracle is a registry bug.
+ROWS_ONLY_BY_DESIGN = {"approx_distinct_profile"}
+
+
 def test_every_query_has_an_oracle():
-    assert set(QUERIES) == set(ORACLE_SQL), (
-        "queries() and oracle_sql() keys diverged: "
-        f"only-query={sorted(set(QUERIES) - set(ORACLE_SQL))} "
-        f"only-oracle={sorted(set(ORACLE_SQL) - set(QUERIES))}"
+    missing = set(QUERIES) - set(ORACLE_SQL)
+    assert missing == ROWS_ONLY_BY_DESIGN, (
+        "queries() without an oracle beyond the declared rows-only set: "
+        f"{sorted(missing - ROWS_ONLY_BY_DESIGN)}; "
+        f"stale rows-only entries: {sorted(ROWS_ONLY_BY_DESIGN - missing)}"
+    )
+    assert not set(ORACLE_SQL) - set(QUERIES), (
+        f"oracles without queries: {sorted(set(ORACLE_SQL) - set(QUERIES))}"
     )
 
 
