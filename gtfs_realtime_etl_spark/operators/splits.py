@@ -211,3 +211,56 @@ def sql_cap_per_group_pred(
         f"row_number() OVER (PARTITION BY {group_expr} "
         f"ORDER BY {sql_split_slot(id_expr)} ASC, {id_expr} ASC) <= {k}"
     )
+
+
+def group_hash_mixed(group: Column) -> Column:
+    """Well-mixed bigint from a group-key string: portable 62-bit
+    polynomial hash, then a QUADRATIC mix ``(r² + r) mod M``.
+
+    The quadratic step is load-bearing: the downstream slot map is
+    affine, and affine maps preserve arithmetic progressions — a family
+    of structured keys ('src0', 'src1', …) hashes to a constant-stride
+    progression that occupies one contiguous slot band, starving some
+    splits entirely (observed: 20/20 sources in 'train').  Squaring
+    breaks the progression while staying exact int64 arithmetic on any
+    engine (r < 2^31, so r² < 2^62)."""
+    from gtfs_realtime_etl_spark.functions.hashing import token_hash64_column
+
+    r = F.pmod(token_hash64_column(group), F.lit(MOD))
+    return F.pmod(r * r + r, F.lit(MOD))
+
+
+def sql_group_hash_mixed(group_expr: str) -> str:
+    """DuckDB twin of :func:`group_hash_mixed`."""
+    from gtfs_realtime_etl_spark.functions.hashing import sql_token_hash64
+
+    m = f"CAST({MOD} AS BIGINT)"
+    r = f"((({sql_token_hash64(group_expr)}) % {m} + {m}) % {m})"
+    return f"((({r} * {r} + {r}) % {m} + {m}) % {m})"
+
+
+def group_split_assign(
+    df: DataFrame,
+    splits: dict[str, float],
+    group_col: str = "source",
+    out_col: str = "split",
+) -> DataFrame:
+    """Group-aware split assignment: every row of a group lands in the
+    SAME split, because the slot is hashed from the group key (mixed —
+    see :func:`group_hash_mixed`), not the row id.  This is the leakage
+    guard ML eval requires — near-identical documents from one domain
+    must not straddle train and test — and it stays a pure projection:
+    no shuffle, repartition-invariant, engine-replayable.
+
+    Fractions apportion GROUPS, not rows: a heavy group drags its whole
+    row mass into one split (that is the point).  Mirror in SQL via
+    ``sql_split_assign(sql_group_hash_mixed(group_expr), splits)``.
+    """
+    tmp = "_group_hash64"
+    out = split_assign(
+        df.withColumn(tmp, group_hash_mixed(F.col(group_col))),
+        splits,
+        id_col=tmp,
+        out_col=out_col,
+    )
+    return out.drop(tmp)

@@ -953,6 +953,66 @@ FROM sims GROUP BY label
 Q_SEMANTIC_DECONTAM_SQL = _semantic_decontam_sql()
 
 
+# ---------------------------------------------------------------------------
+# Group-aware split: assign every document of a source to the SAME
+# train/val/test split by hashing the GROUP key — the leakage guard for
+# eval construction (near-identical docs from one domain must not
+# straddle train and test).  Pure projection; fractions apportion
+# groups, not rows.  The output carries the leak audit in-band:
+# sources_leaked counts sources seen in more than one split and is 0
+# by construction.
+# ---------------------------------------------------------------------------
+
+GROUP_SPLITS = {"train": 0.7, "val": 0.15, "test": 0.15}
+
+
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gtfs_realtime_etl_spark.operators.splits import group_split_assign
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    d = group_split_assign(documents, GROUP_SPLITS, group_col="source")
+    leaked = (
+        d.groupBy("source")
+        .agg(F.count_distinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .agg(F.count(F.lit(1)).alias("sources_leaked"))
+    )
+    per_split = d.groupBy("split").agg(
+        F.count_distinct("source").alias("n_sources"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return per_split.crossJoin(F.broadcast(leaked))
+
+
+def _group_split_sql() -> str:
+    from gtfs_realtime_etl_spark.operators.splits import (
+        sql_group_hash_mixed,
+        sql_split_assign,
+    )
+
+    assign = sql_split_assign(sql_group_hash_mixed("source"), GROUP_SPLITS)
+    return f"""
+WITH d AS (
+  SELECT source, n_chars, {assign} AS split FROM documents
+),
+leaked AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS sources_leaked FROM (
+    SELECT source FROM d GROUP BY source
+    HAVING COUNT(DISTINCT split) > 1
+  )
+)
+SELECT split, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       (SELECT sources_leaked FROM leaked) AS sources_leaked
+FROM d GROUP BY split
+"""
+
+
+Q_GROUP_SPLIT_SQL = _group_split_sql()
+
+
 EXT2_QUERIES = {
     "interval_overlap_join": q_interval_overlap_join,
     "gap_fill_resample": q_gap_fill_resample,
@@ -966,6 +1026,7 @@ EXT2_QUERIES = {
     "approx_distinct_profile": q_approx_distinct_profile,
     "vocab_coverage": q_vocab_coverage,
     "semantic_decontam": q_semantic_decontam,
+    "group_split": q_group_split,
 }
 
 EXT2_ORACLE_SQL = {
@@ -982,4 +1043,5 @@ EXT2_ORACLE_SQL = {
     # differ across engines — see the query docstring).
     "vocab_coverage": Q_VOCAB_COVERAGE_SQL,
     "semantic_decontam": Q_SEMANTIC_DECONTAM_SQL,
+    "group_split": Q_GROUP_SPLIT_SQL,
 }
