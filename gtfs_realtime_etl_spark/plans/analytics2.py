@@ -1013,6 +1013,115 @@ FROM d GROUP BY split
 Q_GROUP_SPLIT_SQL = _group_split_sql()
 
 
+# ---------------------------------------------------------------------------
+# TPC-H classics adapted to this star schema: Q3 (shipping priority —
+# unshipped-order revenue ranking) and Q10 (returned-item report).
+# Both use the decimal-exact revenue expression of
+# join_regional_revenue, broadcast dims, and a global ORDER BY + LIMIT
+# final rank — which Spark plans as TakeOrderedAndProject (per-
+# partition top-k + merge of k-lists on the driver), the scale-correct
+# global-top-k physical form.  The LIMIT cut is engine-exact because
+# the revenue doubles are identical decimal sums on both engines and
+# ties break on the integer key.
+# ---------------------------------------------------------------------------
+
+def _rev() -> Column:
+    # Built lazily: Column construction touches the active SparkContext,
+    # which doesn't exist at module-import time.
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+SHIP_CUTOFF = "1998-01-01"
+SHIP_SEGMENT = "BUILDING"
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem = _t(
+        spark, sf_dir, "customer", "orders", "lineitem"
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (F.col("c_mktsegment") == SHIP_SEGMENT)
+            & (F.col("o_orderdate") < SHIP_CUTOFF)
+            & (F.col("l_shipdate") > SHIP_CUTOFF)
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q_SHIPPING_PRIORITY_SQL = f"""
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_orderpriority,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{SHIP_SEGMENT}'
+  AND o_orderdate < '{SHIP_CUTOFF}'
+  AND l_shipdate > '{SHIP_CUTOFF}'
+GROUP BY l_orderkey, order_date, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+RETURN_Q_START = "1997-01-01"
+RETURN_Q_END = "1997-04-01"
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem, nation = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("o_orderdate") >= RETURN_Q_START)
+            & (F.col("o_orderdate") < RETURN_Q_END)
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_rev()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q_RETURNED_ITEMS_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= '{RETURN_Q_START}' AND o_orderdate < '{RETURN_Q_END}'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 EXT2_QUERIES = {
     "interval_overlap_join": q_interval_overlap_join,
     "gap_fill_resample": q_gap_fill_resample,
@@ -1027,6 +1136,8 @@ EXT2_QUERIES = {
     "vocab_coverage": q_vocab_coverage,
     "semantic_decontam": q_semantic_decontam,
     "group_split": q_group_split,
+    "shipping_priority": q_shipping_priority,
+    "returned_items": q_returned_items,
 }
 
 EXT2_ORACLE_SQL = {
@@ -1044,4 +1155,6 @@ EXT2_ORACLE_SQL = {
     "vocab_coverage": Q_VOCAB_COVERAGE_SQL,
     "semantic_decontam": Q_SEMANTIC_DECONTAM_SQL,
     "group_split": Q_GROUP_SPLIT_SQL,
+    "shipping_priority": Q_SHIPPING_PRIORITY_SQL,
+    "returned_items": Q_RETURNED_ITEMS_SQL,
 }
