@@ -392,3 +392,59 @@ def simhash_dedup(
         .filter(F.col("hamming") <= hamming_threshold)
         .distinct()
     )
+
+
+def winnow_fingerprints(text: Column, shingle_k: int = 5, window: int = 4) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): the minimum shingle hash of every sliding window of
+    ``window`` consecutive shingles, deduplicated.  Guarantees at least
+    one fingerprint per (window + k - 1)-char span, so any sufficiently
+    long shared substring yields a shared fingerprint — a positional
+    dedup family complementing MinHash (whole-doc set similarity) and
+    SimHash (weighted profile similarity).
+
+    Pure Column math on the portable polynomial shingle hashes, so the
+    oracle replays it token for token."""
+    h = shingle_hashes_column(text, shingle_k)
+    n = F.size(h)
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1)))
+    wins = F.transform(starts, lambda i: F.array_min(F.slice(h, i, window)))
+    return F.array_distinct(wins)
+
+
+def winnow_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Candidate pairs sharing >= ``min_shared`` winnowing fingerprints
+    (id_a < id_b, with the shared-fingerprint count).
+
+    Same scale skeleton as the other dedup families: explode doc ->
+    fingerprints, ONE shuffle on the fingerprint, size-capped buckets
+    (a boilerplate fingerprint shared by half the corpus is a stop
+    word, not a join key), sorted pair explode, then an integer count
+    per pair — no distinct-shuffle, no self-join."""
+    fps = _saturate(docs).select(
+        F.col(id_col),
+        F.explode(
+            winnow_fingerprints(F.col(text_col), shingle_k, window)
+        ).alias("fp"),
+    )
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pair = _pair_explode("ids", lambda x, y: [x.alias("id_a"), y.alias("id_b")])
+    return (
+        buckets.select(pair.alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
