@@ -264,3 +264,33 @@ def test_gap_fill_no_cartesian(spark):
     degrade the join to a nested loop."""
     p = plan_of(spark, "gap_fill_resample")
     assert count(p, r"CartesianProduct|BroadcastNestedLoopJoin") == 0, p
+
+
+def test_classic_topk_is_take_ordered(spark):
+    """The global ORDER BY + LIMIT of the TPC-H classics must plan as
+    TakeOrderedAndProject (per-partition top-k + k-list merge), never a
+    global sort."""
+    for name in ("shipping_priority", "returned_items", "topk_orders"):
+        p = plan_of(spark, name)
+        assert count(p, r"TakeOrderedAndProject") >= 1, (name, p)
+        # No full-width global Sort node feeding the limit.
+        assert count(p, r"\n\s*\+?-? ?Sort \[") == 0 or "window" in name, (
+            name,
+            p,
+        )
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    """The within-cell pair join is an equi join on cell_id; the
+    centroid argmin is a projection (no join at all for assignment)."""
+    p = plan_of(spark, "semantic_dedup")
+    assert count(p, r"CartesianProduct") == 0, p
+
+
+def test_quality_resample_is_projection_plus_agg(spark):
+    """The resample decision is a pure projection: no joins, and the
+    only exchanges are the loader's corpus widening plus the final
+    per-source aggregation."""
+    p = plan_of(spark, "quality_resample")
+    assert count(p, r"\(\d+\) Exchange") <= 2, p
+    assert count(p, r"Join") == 0, p
