@@ -9,9 +9,18 @@ Spark-first shape: ``union`` + one ``row_number`` window partitioned by
 the key — a SINGLE shuffle on the merge key, never a join (a
 full-outer-join merge shuffles both sides AND builds join state; the
 union form shuffles the same rows once and streams them through one
-window).  At 100 TB the base side is the big one: if the base is
-bucketed by the key (see sources/lake.write_bucketed_table), the
-exchange only re-shuffles the (small) update batch.
+window).  Spark additionally inserts a map-side ``WindowGroupLimit``
+(local top-1 per key) BEFORE the exchange, so locally-colocated
+duplicate versions collapse pre-shuffle.
+
+Honest scale note: the union destroys any bucketed distribution of the
+base, so a bucketed base is STILL re-shuffled here (verified on the
+physical plan — one Exchange over the whole union).  A shuffle-free
+merge against a bucketed base needs the join form (base-side
+distribution preserved, update batch broadcast/shuffled) at the cost
+of join state; the union form wins when the snapshot is modest
+relative to cluster shuffle capacity — which it is by construction,
+being bounded by live key cardinality, not event volume.
 
 Reference parity: the reference pipeline is append-only (its lake has
 no upsert path — etl/runtime/handler.py writes immutable ticks), so
