@@ -38,20 +38,27 @@ def test_zorder_prunes_2d_box(spark, tmp_path):
     df = _points(spark)
     zpath = str(tmp_path / "zordered")
     lpath = str(tmp_path / "linear")
-    write_zordered(df, zpath, cols=("x", "y"), num_files=16)
+    # 64 files and a 25% x 25% box: the x-sorted baseline must keep
+    # every file whose x-range intersects the box (>= 16 of 64, since
+    # x is uniform), while z-order bounds BOTH axes (box covers 6.25%
+    # of the plane).  At 16 files the two layouts' candidate sets were
+    # both 2-4 files and range-sampler boundary noise could flip the
+    # comparison; at this granularity the gap is structural (~13 vs
+    # ~17 across repeated runs).
+    write_zordered(df, zpath, cols=("x", "y"), num_files=64)
     # Baseline: same data sorted on x only.
-    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.mode(
+    df.repartitionByRange(64, "x").sortWithinPartitions("x").write.mode(
         "overwrite"
     ).parquet(lpath)
 
-    box = {"x": (100_000, 200_000), "y": (100_000, 200_000)}
+    box = {"x": (100_000, 350_000), "y": (100_000, 350_000)}
     z_hit, z_total = candidate_files(zpath, box)
     l_hit, l_total = candidate_files(lpath, box)
-    assert z_total == 16 and l_total == 16
+    assert z_total == 64 and l_total == 64
     # Linear layout prunes on x (the sort key) but every surviving file
     # spans all of y; z-order bounds BOTH, so it must beat it.
-    assert z_hit < l_hit
-    assert z_hit <= z_total // 2, (z_hit, z_total)
+    assert z_hit < l_hit, (z_hit, l_hit)
+    assert z_hit <= z_total // 4, (z_hit, z_total)
 
     # The layout is a rewrite, not a transformation: row set unchanged,
     # and the pruned file set still contains every matching row.
