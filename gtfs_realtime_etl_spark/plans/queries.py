@@ -2886,6 +2886,17 @@ from gtfs_realtime_etl_spark.plans.analytics2 import (  # noqa: E402
 QUERIES.update(EXT2_QUERIES)
 ORACLE_SQL.update(EXT2_ORACLE_SQL)
 
+# Fourth bank: TPC-H plan classics — decorrelated scalar subqueries,
+# left-outer count distribution, EXISTS/NOT-EXISTS self-joins,
+# HAVING-over-scalar, conditional-aggregate ratios.
+from gtfs_realtime_etl_spark.plans.classics import (  # noqa: E402
+    EXT3_ORACLE_SQL,
+    EXT3_QUERIES,
+)
+
+QUERIES.update(EXT3_QUERIES)
+ORACLE_SQL.update(EXT3_ORACLE_SQL)
+
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite flagship query (entry-point smoke check)."""

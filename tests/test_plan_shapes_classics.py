@@ -1,0 +1,88 @@
+"""Plan-shape guards for the TPC-H classics bank (plans/classics.py):
+the decorrelated subqueries must actually plan as broadcasts, the
+semi/anti pair must keep its join strategies, and the global top-N
+must be TakeOrderedAndProject — the properties that make these shapes
+survive a 100 TB fact table.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from gtfs_realtime_etl_spark.plans.queries import QUERIES
+from tests.conftest import SF_CORRECTNESS
+
+
+def plan_of(spark, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, SF_CORRECTNESS).explain("formatted")
+    return buf.getvalue()
+
+
+def count(plan: str, pattern: str) -> int:
+    return len(re.findall(pattern, plan))
+
+
+def test_min_cost_supplier_broadcasts_decorrelated_min(spark):
+    """Q2 shape: the per-part MIN aggregate and both dimension joins
+    must be broadcast — the fact table is never on the build side and
+    never re-scanned per row (no nested-loop / cartesian)."""
+    p = plan_of(spark, "min_cost_supplier")
+    assert count(p, r"BroadcastHashJoin") >= 3
+    assert count(p, r"CartesianProduct|BroadcastNestedLoopJoin") == 0
+
+
+def test_large_orders_is_take_ordered(spark):
+    """Q18 shape: the final ORDER BY + LIMIT 100 must plan as
+    TakeOrderedAndProject (per-partition top-k + k-list merge), never a
+    global sort."""
+    p = plan_of(spark, "large_orders")
+    # formatted-explain lists operators in both the tree and the
+    # numbered detail section, so assert presence + no global Sort.
+    assert count(p, r"TakeOrderedAndProject") >= 1
+    assert count(p, r"\(\d+\) Sort\b") == 0
+    # The HAVING survivor set joins broadcast into orders + customer.
+    assert count(p, r"BroadcastHashJoin") >= 2
+
+
+def test_waiting_supplier_semi_anti_shapes(spark):
+    """Q21 shape: EXISTS plans as LeftSemi, NOT EXISTS as LeftAnti,
+    with no cartesian fallback; the supplier name join is broadcast."""
+    p = plan_of(spark, "waiting_supplier")
+    assert count(p, r"LeftSemi") >= 1
+    assert count(p, r"LeftAnti") >= 1
+    assert count(p, r"CartesianProduct|BroadcastNestedLoopJoin") == 0
+
+
+def test_idle_customers_anti_join_and_scalar_broadcast(spark):
+    """Q22 shape: the scalar average is a 1-row broadcast (nested-loop
+    broadcast is FINE for a scalar — that's how Spark plans a scalar
+    crossJoin) and the no-recent-orders check is a LeftAnti."""
+    p = plan_of(spark, "idle_customers")
+    assert count(p, r"LeftAnti") >= 1
+    assert count(p, r"CartesianProduct") == 0
+
+
+def test_promo_share_single_fact_scan(spark):
+    """Q14 shape: the conditional-aggregate ratio reads lineitem ONCE
+    (one scan of lineitem.parquet in the whole plan) and pushes the
+    shipdate bounds into it."""
+    p = plan_of(spark, "promo_share")
+    assert count(p, r"lineitem\.parquet") == 1
+    assert "PushedFilters" in p
+    (li_scan,) = [
+        l for l in p.splitlines() if "PushedFilters" in l and "GreaterThanOrEqual" in l
+    ]
+    assert "l_shipdate" in li_scan
+
+
+def test_small_qty_revenue_broadcasts_avg(spark):
+    """Q17 shape: the per-part AVG joins back via broadcast, and the
+    only exchanges are the aggregate's own partials (no fact-fact
+    shuffle join)."""
+    p = plan_of(spark, "small_qty_revenue")
+    assert count(p, r"BroadcastHashJoin") >= 2
+    assert count(p, r"SortMergeJoin") == 0
