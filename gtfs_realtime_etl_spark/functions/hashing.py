@@ -167,6 +167,49 @@ def shingle_hash_set_kernel(k: int = 5):
     return _kernel
 
 
+def winnow_profile_kernel(k: int = 5, window: int = 4):
+    """pandas_udf: text → struct(n_shingles, n_fps, fp_min, fp_max) —
+    the winnowing (MOSS) fingerprint profile, fused: shingle hashes and
+    the sliding-window minima in one numpy pass (stride-view min), no
+    intermediate arrays shipped back.
+
+    Bit-identical to profiling :func:`operators.dedup.winnow_fingerprints`
+    (the Column twin): texts shorter than the window yield ONE window
+    covering all shingles, matching the twin's clamped ``slice``."""
+    from numpy.lib.stride_tricks import sliding_window_view
+    from pyspark.sql.types import StructField, StructType
+
+    pow_vec = _pow_vec(BASE_A, k)
+    out_type = StructType(
+        [
+            StructField("n_shingles", LongType()),
+            StructField("n_fps", LongType()),
+            StructField("fp_min", LongType()),
+            StructField("fp_max", LongType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _kernel(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            if t is None:
+                rows.append((None, None, None, None))
+                continue
+            h = _shingle_hashes_np(_char_codes(_ascii_lower(t)), k, pow_vec)
+            if h.size < window:
+                mins = np.array([h.min()], dtype=np.int64)
+            else:
+                mins = sliding_window_view(h, window).min(axis=1)
+            fps = np.unique(mins)
+            rows.append((int(h.size), int(fps.size), int(fps[0]), int(fps[-1])))
+        return pd.DataFrame(
+            rows, columns=["n_shingles", "n_fps", "fp_min", "fp_max"]
+        )
+
+    return _kernel
+
+
 def minhash_text_kernel(num_hashes: int = 32, k: int = 5):
     """pandas_udf: text → MinHash signature (array<bigint>), fusing
     shingle hashing and the affine-permutation min fold into ONE Arrow

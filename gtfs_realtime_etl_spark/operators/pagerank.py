@@ -36,13 +36,33 @@ def pagerank(
     damping: float = 0.85,
     src: str = "s",
     dst: str = "d",
+    dangling: str = "collect",
 ) -> DataFrame:
     """(node, rank) after ``iterations`` rounds; ranks sum to 1.
 
     ``edges`` are directed (src -> dst); duplicate edges count as
     parallel edges (weight = multiplicity / out-degree).
+
+    ``dangling="collect"`` (default) measures the rank mass held by
+    nodes without out-edges each round (one driver action per round)
+    and redistributes it uniformly.  ``dangling="none"`` asserts the
+    caller's graph has NO dangling nodes (e.g. a k-NN graph, where
+    every node has out-degree k, or any undirected graph) and skips
+    the per-round driver round-trip — 10 iterations become 10 pure
+    shuffle rounds with zero driver synchronization.  If the caller's
+    guarantee is wrong the ranks silently leak mass (sum < 1): the
+    convergence invariant the tests assert.
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if dangling not in ("collect", "none"):
+        raise ValueError(f"dangling must be 'collect' or 'none', got {dangling!r}")
+    # Materialize the edge list ONCE up front: nodes, out-degrees, and
+    # the degree-annotated edge table all derive from it, and without
+    # this checkpoint each of their own materializations would re-run
+    # the caller's (possibly expensive) edge-generation lineage —
+    # e.g. a k-NN candidate join — from scratch.
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionAll(e.select(F.col("d").alias("node")))
@@ -70,12 +90,15 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        # Dangling mass: rank held by nodes with no out-edges.
-        dangling = (
-            ranks.join(out_deg, ranks["node"] == out_deg["s"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
-        )
+        if dangling == "collect":
+            # Dangling mass: rank held by nodes with no out-edges.
+            mass = (
+                ranks.join(out_deg, ranks["node"] == out_deg["s"], "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .collect()[0][0]
+            )
+        else:
+            mass = 0.0
         ranks = (
             nodes.join(contribs, "node", "left")
             .select(
@@ -83,9 +106,17 @@ def pagerank(
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(mass / n))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            # Lineage truncation each round either way (without it
+            # round t's plan embeds t joins and Catalyst analysis goes
+            # quadratic).  With dangling="collect" the round is
+            # materialized anyway for the mass measurement, so eager
+            # costs nothing extra; with dangling="none" a LAZY
+            # checkpoint defers all materialization to the caller's
+            # single action — ten rounds, ONE job, no per-round
+            # driver synchronization.
+            .localCheckpoint(eager=(dangling == "collect"))
         )
     return ranks

@@ -1,0 +1,236 @@
+"""Fifth bank of oracle-gated queries: graph centrality over a derived
+similarity graph, and the winnowing-fingerprint profile.
+
+``pagerank_knn`` upgrades the iterative-algorithm story from the
+rows-only lane to the full hash gate: the oracle UNROLLS the power
+iteration into chained CTEs (one per round), so even an iterative
+distributed algorithm is cross-engine verified.  Determinism contract:
+
+- the edge set is engine-exact (cosines are the same explicit left
+  folds as ``q_embedding_neardup``, rounded to 6 dp; top-k ties break
+  on the integer neighbor id);
+- every per-edge term (``rank/deg``) is an IEEE division of
+  identically-derived operands;
+- only the per-node inflow SUM is accumulation-order-dependent
+  (~1e-16/round, ~1e-15 after 10 rounds), so ranks are rounded to 8 dp
+  on OUTPUT only — 7 orders of magnitude of slack.
+
+``winnow_profile`` registers the winnowing (MOSS) fingerprint family
+in the oracle gate.  The synthetic corpus's 30-word vocabulary makes
+winnowing PAIR joins degenerate (every doc pair shares fingerprints —
+see tests/test_winnow.py), but the per-doc PROFILE (how many shingles,
+how many survive winnowing, the fingerprint range) is well-defined at
+any vocabulary, integer-exact, and replays the same polynomial window
+hashes token for token in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gtfs_realtime_etl_spark.functions.hashing import sql_shingle_hashes
+from gtfs_realtime_etl_spark.functions.vector import dot, l2_norm
+from gtfs_realtime_etl_spark.operators.pagerank import pagerank
+from gtfs_realtime_etl_spark.sources.testdata import load_testdata
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tabs = load_testdata(spark, sf_dir, tables=tuple(names))
+    return [tabs[n] for n in names]
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the label-blocked k-NN similarity graph: each vector
+# links to its KNN_K most-cosine-similar peers within its label block
+# (ties on the rounded cosine break on the neighbor id).  Every node
+# has out-degree exactly KNN_K, so the graph has NO dangling nodes and
+# the operator runs with dangling="none" — ten shuffle rounds with
+# zero driver synchronization.
+#
+# Scale shape: the pair join is label-blocked (the oracle-checkable
+# stand-in for LSH/IVF candidate generation — same call as
+# q_embedding_neardup); the top-k is a per-source window over ≤ block
+# rows; each power-iteration round is one join + one aggregation on
+# the same key domain, so a production caller pre-partitions the edge
+# table by source once and every round reuses that exchange.
+# ---------------------------------------------------------------------------
+
+KNN_K = 3
+PR_ITERATIONS = 10
+PR_DAMPING = 0.85
+
+
+def _knn_edges(embeddings: DataFrame) -> DataFrame:
+    emb = (
+        embeddings.select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+        )
+        # Norms hoisted before the pair join (same rationale as
+        # q_embedding_neardup: 1 fold/pair instead of 3); pinned
+        # parallelism so AQE's byte-based coalescing doesn't fuse the
+        # CPU-heavy pair fold into two tasks.
+        .withColumn("norm", l2_norm(F.col("vec")))
+        .repartition(32, "label")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    denom = F.col("a.norm") * F.col("b.norm")
+    cos = F.round(
+        F.when(denom > 0, dot(F.col("a.vec"), F.col("b.vec")) / denom).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("s"),
+        F.col("b.vec_id").alias("d"),
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("s").orderBy(F.desc("cosine"), F.asc("d"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select("s", "d")
+    )
+
+
+def q_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    ranks = pagerank(
+        _knn_edges(embeddings),
+        iterations=PR_ITERATIONS,
+        damping=PR_DAMPING,
+        dangling="none",
+    )
+    return ranks.select(
+        "node", F.round("rank", 8).alias("rank")
+    ).orderBy("node")
+
+
+# Oracle: the same cosine left-folds as Q_EMBEDDING_NEARDUP_SQL, then
+# the power iteration unrolled into PR_ITERATIONS chained CTEs.
+_FOLD_SUM = "list_reduce(list_prepend(0.0, {terms}), (acc, x) -> acc + x)"
+_COS_DOT = _FOLD_SUM.format(
+    terms="list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * b.vec[i])"
+)
+_COS_NORM_A = "sqrt(" + _FOLD_SUM.format(terms="list_transform(a.vec, v -> v * v)") + ")"
+_COS_NORM_B = "sqrt(" + _FOLD_SUM.format(terms="list_transform(b.vec, v -> v * v)") + ")"
+
+
+def _pagerank_knn_sql() -> str:
+    rounds = []
+    for t in range(1, PR_ITERATIONS + 1):
+        prev = f"r{t - 1}"
+        rounds.append(
+            f"""r{t} AS (
+  SELECT n.node,
+         (1.0 - {PR_DAMPING}) / (SELECT n FROM nn)
+           + {PR_DAMPING} * COALESCE(i.inflow, 0.0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT k.d AS node, SUM(r.rank / g.deg) AS inflow
+    FROM {prev} r
+    JOIN knn k ON r.node = k.s
+    JOIN deg g ON g.node = k.s
+    GROUP BY k.d
+  ) i ON n.node = i.node
+)"""
+        )
+    chained = ",\n".join(rounds)
+    return f"""
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS s, b.vec_id AS d,
+         ROUND(CASE WHEN {_COS_NORM_A} * {_COS_NORM_B} > 0
+                    THEN {_COS_DOT} / ({_COS_NORM_A} * {_COS_NORM_B})
+                    ELSE 0.0 END, 6) AS cosine
+  FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+knn AS (
+  SELECT s, d FROM (
+    SELECT s, d,
+           ROW_NUMBER() OVER (PARTITION BY s ORDER BY cosine DESC, d ASC) AS rn
+    FROM pairs
+  ) WHERE rn <= {KNN_K}
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT s AS node FROM knn UNION ALL SELECT d AS node FROM knn
+  )
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM knn GROUP BY s),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+{chained}
+SELECT node, ROUND(rank, 8) AS rank FROM r{PR_ITERATIONS} ORDER BY node
+"""
+
+
+Q_PAGERANK_KNN_SQL = _pagerank_knn_sql()
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint profile: per doc, the shingle count, how many
+# fingerprints the (k=5, w=4) winnow keeps, and the fingerprint value
+# range.  All-integer output over the portable polynomial window
+# hashes — engine-exact with no rounding anywhere.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 5
+WINNOW_W = 4
+
+
+def q_winnow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fused Arrow kernel, NOT the Column twin: the twin's nested HOF
+    # (a transform whose lambda re-embeds the whole shingle-hash
+    # expression) is interpreted row-at-a-time and, in a session
+    # without the repo's ICU-off tuning, the collation-aware
+    # substring/ascii path turns the O(n·w) window scan into minutes
+    # per thousand docs.  The kernel does shingles + stride-view
+    # window minima in one numpy pass — same arithmetic, pinned
+    # bit-identical to the twin by tests/test_winnow.py.
+    from gtfs_realtime_etl_spark.functions.hashing import winnow_profile_kernel
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    prof = winnow_profile_kernel(WINNOW_K, WINNOW_W)
+    return (
+        documents.select("doc_id", prof(F.col("text")).alias("p"))
+        .select("doc_id", "p.n_shingles", "p.n_fps", "p.fp_min", "p.fp_max")
+        .orderBy("doc_id")
+    )
+
+
+Q_WINNOW_PROFILE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, {sql_shingle_hashes('text', WINNOW_K)} AS hs FROM documents
+),
+w AS (
+  SELECT doc_id, hs,
+         list_distinct(list_transform(
+           range(1, greatest(len(hs) - {WINNOW_W - 1}, 1) + 1),
+           i -> list_min(list_slice(hs, i, i + {WINNOW_W - 1}))
+         )) AS fps
+  FROM h
+)
+SELECT doc_id,
+       CAST(len(hs) AS BIGINT) AS n_shingles,
+       CAST(len(fps) AS BIGINT) AS n_fps,
+       list_min(fps) AS fp_min,
+       list_max(fps) AS fp_max
+FROM w
+ORDER BY doc_id
+"""
+
+
+EXT4_QUERIES = {
+    "pagerank_knn": q_pagerank_knn,
+    "winnow_profile": q_winnow_profile,
+}
+
+EXT4_ORACLE_SQL = {
+    "pagerank_knn": Q_PAGERANK_KNN_SQL,
+    "winnow_profile": Q_WINNOW_PROFILE_SQL,
+}

@@ -2897,6 +2897,16 @@ from gtfs_realtime_etl_spark.plans.classics import (  # noqa: E402
 QUERIES.update(EXT3_QUERIES)
 ORACLE_SQL.update(EXT3_ORACLE_SQL)
 
+# Fifth bank: k-NN-graph PageRank (unrolled-CTE oracle — iterative
+# algorithms promoted into the hash gate) + winnowing profile.
+from gtfs_realtime_etl_spark.plans.graph import (  # noqa: E402
+    EXT4_ORACLE_SQL,
+    EXT4_QUERIES,
+)
+
+QUERIES.update(EXT4_QUERIES)
+ORACLE_SQL.update(EXT4_ORACLE_SQL)
+
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite flagship query (entry-point smoke check)."""

@@ -86,3 +86,38 @@ def test_winnow_bucket_cap_drops_boilerplate(spark):
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     assert winnow_candidates(df, min_shared=1, max_bucket=5).count() == 0
     assert winnow_candidates(df, min_shared=1, max_bucket=100).count() == 45
+
+
+def test_winnow_profile_kernel_matches_column_twin(spark):
+    """The fused Arrow profile kernel (the registry hot path) must be
+    bit-identical to profiling the Column-twin fingerprints — including
+    the shorter-than-window clamp and unicode passthrough."""
+    from gtfs_realtime_etl_spark.functions.hashing import winnow_profile_kernel
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog",
+        "ab",          # shorter than k: one zero-padded shingle
+        "abcdefg",     # fewer shingles than the window
+        "x" * 200,     # constant text: one distinct fingerprint
+        "Unicode façade – naïve",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    prof = winnow_profile_kernel(K, W)
+    fast = {
+        r["doc_id"]: (r["p"]["n_shingles"], r["p"]["n_fps"], r["p"]["fp_min"], r["p"]["fp_max"])
+        for r in df.select("doc_id", prof("text").alias("p")).collect()
+    }
+    fps_col = winnow_fingerprints(F.col("text"), K, W)
+    from gtfs_realtime_etl_spark.functions.hashing import shingle_hashes_column
+
+    slow = {
+        r["doc_id"]: (r["ns"], r["nf"], r["lo"], r["hi"])
+        for r in df.select(
+            "doc_id",
+            F.size(shingle_hashes_column(F.col("text"), K)).cast("long").alias("ns"),
+            F.size(fps_col).cast("long").alias("nf"),
+            F.array_min(fps_col).alias("lo"),
+            F.array_max(fps_col).alias("hi"),
+        ).collect()
+    }
+    assert fast == slow
