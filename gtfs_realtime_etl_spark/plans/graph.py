@@ -106,9 +106,10 @@ def q_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping=PR_DAMPING,
         dangling="none",
     )
-    return ranks.select(
-        "node", F.round("rank", 8).alias("rank")
-    ).orderBy("node")
+    # No global ORDER BY: the output is per-node and the driver's
+    # value-hash compare is order-insensitive — a range exchange +
+    # full sort would be pure waste at scale.
+    return ranks.select("node", F.round("rank", 8).alias("rank"))
 
 
 # Oracle: the same cosine left-folds as Q_EMBEDDING_NEARDUP_SQL, then
@@ -165,7 +166,7 @@ nn AS (SELECT COUNT(*) AS n FROM nodes),
 deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM knn GROUP BY s),
 r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
 {chained}
-SELECT node, ROUND(rank, 8) AS rank FROM r{PR_ITERATIONS} ORDER BY node
+SELECT node, ROUND(rank, 8) AS rank FROM r{PR_ITERATIONS}
 """
 
 
@@ -199,7 +200,6 @@ def q_winnow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         documents.select("doc_id", prof(F.col("text")).alias("p"))
         .select("doc_id", "p.n_shingles", "p.n_fps", "p.fp_min", "p.fp_max")
-        .orderBy("doc_id")
     )
 
 
@@ -221,7 +221,6 @@ SELECT doc_id,
        list_min(fps) AS fp_min,
        list_max(fps) AS fp_max
 FROM w
-ORDER BY doc_id
 """
 
 
