@@ -46,7 +46,7 @@ equivalent surface.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gtfs_realtime_etl_spark.sources.testdata import load_testdata
@@ -649,6 +649,133 @@ WHERE l_shipdate >= '{Q14_MONTH_START}' AND l_shipdate < '{Q14_MONTH_END}'
 """
 
 
+# ---------------------------------------------------------------------------
+# Referential-integrity audit — the warehouse maintenance query every
+# lake needs after ingest: orphan counts for each FK relationship, via
+# LEFT ANTI joins (dimension key sets broadcast; the lineitem→orders
+# check is honestly fact-vs-fact and shuffles on the orderkey).  One
+# row per relationship, all-integer.  A clean lake reports zeros —
+# that IS the audit's answer, not a degenerate case.
+# ---------------------------------------------------------------------------
+
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, supplier, part, orders, lineitem = _t(
+        spark, sf_dir, "customer", "supplier", "part", "orders", "lineitem"
+    )
+
+    def orphans(fact, fk, dim, pk, rel):
+        missing = fact.join(
+            dim.select(pk), F.col(fk) == F.col(pk), "left_anti"
+        )
+        return missing.agg(
+            F.lit(rel).alias("relationship"),
+            F.count(F.lit(1)).alias("n_orphans"),
+        )
+
+    checks = [
+        orphans(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem->orders"),
+        orphans(lineitem, "l_partkey", part, "p_partkey", "lineitem->part"),
+        orphans(
+            lineitem, "l_suppkey", supplier, "s_suppkey", "lineitem->supplier"
+        ),
+        orphans(orders, "o_custkey", customer, "c_custkey", "orders->customer"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+Q_FK_INTEGRITY_SQL = """
+SELECT 'lineitem->orders' AS relationship, CAST(COUNT(*) AS BIGINT) AS n_orphans
+FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+UNION ALL
+SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+UNION ALL
+SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD2 validity intervals from a change log — change-log compaction:
+# collapse each user's consecutive duplicate states, then emit one row
+# per surviving state with [valid_from, valid_to) in epoch ns
+# (valid_to NULL for the current state).  Two windows over ONE
+# partitioning (user_id) — Spark plans a single sort + exchange for
+# both lag and lead.  All-integer event-time math; deterministic
+# (ts, event_id) order.
+# ---------------------------------------------------------------------------
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from_ns"),
+            F.lead("ts").over(w2).alias("valid_to_ns"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_states"),
+            F.min("valid_from_ns").alias("first_from_ns"),
+            F.sum(
+                F.when(F.col("valid_to_ns").isNull(), 0).otherwise(
+                    F.col("valid_to_ns") - F.col("valid_from_ns")
+                )
+            ).alias("closed_duration_ns"),
+        )
+    )
+
+
+Q_SCD2_INTERVALS_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS tns, event_id, event_type FROM events
+),
+changes AS (
+  SELECT user_id, event_type, tns, event_id FROM (
+    SELECT user_id, event_type, tns, event_id,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY tns, event_id) AS prev_type
+    FROM e
+  ) WHERE prev_type IS NULL OR event_type <> prev_type
+),
+intervals AS (
+  SELECT user_id, event_type AS state, tns AS valid_from_ns,
+         LEAD(tns) OVER (PARTITION BY user_id
+                         ORDER BY tns, event_id) AS valid_to_ns
+  FROM changes
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_states,
+       MIN(valid_from_ns) AS first_from_ns,
+       CAST(SUM(CASE WHEN valid_to_ns IS NULL THEN 0
+                     ELSE valid_to_ns - valid_from_ns END) AS BIGINT)
+         AS closed_duration_ns
+FROM intervals
+GROUP BY user_id
+"""
+
+
 EXT3_QUERIES = {
     "min_cost_supplier": q_min_cost_supplier,
     "order_count_distribution": q_order_count_distribution,
@@ -660,6 +787,8 @@ EXT3_QUERIES = {
     "supplier_part_counts": q_supplier_part_counts,
     "important_parts": q_important_parts,
     "promo_share": q_promo_share,
+    "fk_integrity": q_fk_integrity,
+    "scd2_intervals": q_scd2_intervals,
 }
 
 EXT3_ORACLE_SQL = {
@@ -673,4 +802,6 @@ EXT3_ORACLE_SQL = {
     "supplier_part_counts": Q_SUPPLIER_PART_COUNTS_SQL,
     "important_parts": Q_IMPORTANT_PARTS_SQL,
     "promo_share": Q_PROMO_SHARE_SQL,
+    "fk_integrity": Q_FK_INTEGRITY_SQL,
+    "scd2_intervals": Q_SCD2_INTERVALS_SQL,
 }

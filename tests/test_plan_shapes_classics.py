@@ -86,3 +86,20 @@ def test_small_qty_revenue_broadcasts_avg(spark):
     p = plan_of(spark, "small_qty_revenue")
     assert count(p, r"BroadcastHashJoin") >= 2
     assert count(p, r"SortMergeJoin") == 0
+
+
+def test_scd2_single_partitioning_for_both_windows(spark):
+    """Both windows (lag for change detection, lead for validity end)
+    partition on user_id with the same (ts, event_id) order — Spark
+    must plan ONE user_id exchange, not two."""
+    p = plan_of(spark, "scd2_intervals")
+    assert count(p, r"\(\d+\) Exchange") <= 2  # window shuffle + final agg
+    assert count(p, r"hashpartitioning\(user_id", ) >= 1
+
+
+def test_fk_integrity_dimension_antijoins_broadcast(spark):
+    """The three dimension-side orphan checks must be broadcast anti
+    joins; only lineitem->orders may shuffle (fact vs fact)."""
+    p = plan_of(spark, "fk_integrity")
+    assert count(p, r"BroadcastHashJoin LeftAnti") >= 3
+    assert count(p, r"CartesianProduct|BroadcastNestedLoopJoin") == 0
