@@ -96,3 +96,33 @@ def test_simhash_scale_smoke(spark):
     dt = time.time() - t0
     assert n >= 0
     assert dt < 300, f"simhash scale smoke took {dt:.0f}s"
+
+
+@pytest.mark.scale_smoke
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SCALE_SMOKE"),
+    reason="opt-in: SPARK_GRAFT_SCALE_SMOKE=1 runs the large-graph smoke",
+)
+def test_pagerank_scale_smoke(spark):
+    """Opt-in scale probe for the power iteration: 2M-edge synthetic
+    graph (200k nodes, every node a source so dangling='none' holds,
+    plus heavy hub skew via a quadratic residue map).  Ten rounds must
+    finish in bounded time and conserve rank mass — the probe that
+    catches any per-round driver synchronization or lineage blowup."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gtfs_realtime_etl_spark.operators.pagerank import pagerank
+
+    n_nodes = 200_000
+    edges = spark.range(2_000_000).select(
+        (F.col("id") % n_nodes).alias("s"),
+        ((F.col("id") * F.col("id") + 7 * F.col("id") + 13) % n_nodes).alias("d"),
+    )
+    t0 = time.time()
+    ranks = pagerank(edges, iterations=10, dangling="none")
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    dt = time.time() - t0
+    assert abs(total - 1.0) < 1e-6, total
+    assert dt < 300, f"pagerank scale smoke took {dt:.0f}s"
