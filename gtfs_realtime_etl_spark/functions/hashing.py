@@ -167,6 +167,32 @@ def shingle_hash_set_kernel(k: int = 5):
     return _kernel
 
 
+def winnow_fingerprints_kernel(k: int = 5, window: int = 4):
+    """pandas_udf: text → array<bigint> of DISTINCT winnowing
+    fingerprints (sliding-window minima of the shingle hashes) — the
+    hot-path twin of :func:`operators.dedup.winnow_fingerprints`."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    pow_vec = _pow_vec(BASE_A, k)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _kernel(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            h = _shingle_hashes_np(_char_codes(_ascii_lower(t)), k, pow_vec)
+            if h.size < window:
+                mins = np.array([h.min()], dtype=np.int64)
+            else:
+                mins = sliding_window_view(h, window).min(axis=1)
+            out.append(np.unique(mins))
+        return pd.Series(out)
+
+    return _kernel
+
+
 def winnow_profile_kernel(k: int = 5, window: int = 4):
     """pandas_udf: text → struct(n_shingles, n_fps, fp_min, fp_max) —
     the winnowing (MOSS) fingerprint profile, fused: shingle hashes and

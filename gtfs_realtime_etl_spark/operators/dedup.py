@@ -420,6 +420,7 @@ def winnow_candidates(
     window: int = 4,
     min_shared: int = 2,
     max_bucket: int = DEFAULT_MAX_BUCKET,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """Candidate pairs sharing >= ``min_shared`` winnowing fingerprints
     (id_a < id_b, with the shared-fingerprint count).
@@ -428,12 +429,23 @@ def winnow_candidates(
     fingerprints, ONE shuffle on the fingerprint, size-capped buckets
     (a boilerplate fingerprint shared by half the corpus is a stop
     word, not a join key), sorted pair explode, then an integer count
-    per pair — no distinct-shuffle, no self-join."""
+    per pair — no distinct-shuffle, no self-join.
+
+    ``use_kernel=True`` (default) computes fingerprints with the fused
+    Arrow kernel; the Column-twin path (``use_kernel=False``) exists
+    for bit-parity tests — its nested HOF re-embeds the shingle-hash
+    expression per window and is orders of magnitude slower on an
+    untuned (ICU-on) session."""
+    if use_kernel:
+        from gtfs_realtime_etl_spark.functions.hashing import (
+            winnow_fingerprints_kernel,
+        )
+
+        fp_col = winnow_fingerprints_kernel(shingle_k, window)(F.col(text_col))
+    else:
+        fp_col = winnow_fingerprints(F.col(text_col), shingle_k, window)
     fps = _saturate(docs).select(
-        F.col(id_col),
-        F.explode(
-            winnow_fingerprints(F.col(text_col), shingle_k, window)
-        ).alias("fp"),
+        F.col(id_col), F.explode(fp_col).alias("fp")
     )
     buckets = (
         fps.groupBy("fp")

@@ -121,3 +121,42 @@ def test_winnow_profile_kernel_matches_column_twin(spark):
         ).collect()
     }
     assert fast == slow
+
+
+def test_winnow_fingerprints_kernel_matches_column_twin(spark):
+    """Array kernel (the winnow_candidates hot path) returns the same
+    fingerprint SETS as the Column twin, and candidates from both paths
+    agree."""
+    from gtfs_realtime_etl_spark.functions.hashing import (
+        winnow_fingerprints_kernel,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon different tail here",
+        "zz",
+        "totally unrelated content qwertyuiop",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    kern = winnow_fingerprints_kernel(K, W)
+    fast = {
+        r["doc_id"]: sorted(r["f"])
+        for r in df.select("doc_id", kern("text").alias("f")).collect()
+    }
+    slow = {
+        r["doc_id"]: sorted(r["f"])
+        for r in df.select(
+            "doc_id", winnow_fingerprints(F.col("text"), K, W).alias("f")
+        ).collect()
+    }
+    assert fast == slow
+
+    a = {
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in winnow_candidates(df, min_shared=1, use_kernel=True).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in winnow_candidates(df, min_shared=1, use_kernel=False).collect()
+    }
+    assert a == b and a
