@@ -776,6 +776,96 @@ GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Period reconciliation — FULL OUTER join of two per-customer revenue
+# aggregates (1997 H1 vs H2).  The one standard join shape the
+# registry lacked: full outer CANNOT broadcast (both sides must
+# surface their unmatched rows), so it is the canonical shuffle
+# sort-merge join — both aggregates already hash-partition on
+# custkey, so the join reuses that partitioning.  Segment counts +
+# decimal-exact deltas, integer/decimal math only.
+# ---------------------------------------------------------------------------
+
+RECON_P1_START, RECON_P1_END = "1997-01-01", "1997-07-01"
+RECON_P2_START, RECON_P2_END = "1997-07-01", "1998-01-01"
+
+
+def q_period_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    li = lineitem.join(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+
+    def period(start, end, out):
+        return (
+            li.filter(
+                (F.col("o_orderdate") >= start) & (F.col("o_orderdate") < end)
+            )
+            .groupBy(F.col("o_custkey").alias(f"{out}_custkey"))
+            .agg(F.sum(_rev()).alias(f"{out}_rev_dec"))
+        )
+
+    h1 = period(RECON_P1_START, RECON_P1_END, "h1")
+    h2 = period(RECON_P2_START, RECON_P2_END, "h2")
+    joined = h1.join(
+        h2, F.col("h1_custkey") == F.col("h2_custkey"), "full_outer"
+    )
+    segment = (
+        F.when(F.col("h2_custkey").isNull(), "h1_only")
+        .when(F.col("h1_custkey").isNull(), "h2_only")
+        .otherwise("both")
+    )
+    zero = F.lit(0).cast("decimal(28,2)")
+    return (
+        joined.select(
+            segment.alias("segment"),
+            F.coalesce(F.col("h1_rev_dec"), zero).alias("h1d"),
+            F.coalesce(F.col("h2_rev_dec"), zero).alias("h2d"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("h1d").cast("double").alias("h1_revenue"),
+            F.sum("h2d").cast("double").alias("h2_revenue"),
+            F.sum(F.col("h2d") - F.col("h1d")).cast("double").alias("delta"),
+        )
+        .orderBy("segment")
+    )
+
+
+Q_PERIOD_RECONCILIATION_SQL = f"""
+WITH li AS (
+  SELECT o_custkey, o_orderdate, {_REV_SQL} AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+h1 AS (
+  SELECT o_custkey AS h1_custkey, SUM(rev) AS h1_rev_dec FROM li
+  WHERE o_orderdate >= '{RECON_P1_START}' AND o_orderdate < '{RECON_P1_END}'
+  GROUP BY o_custkey
+),
+h2 AS (
+  SELECT o_custkey AS h2_custkey, SUM(rev) AS h2_rev_dec FROM li
+  WHERE o_orderdate >= '{RECON_P2_START}' AND o_orderdate < '{RECON_P2_END}'
+  GROUP BY o_custkey
+)
+SELECT CASE WHEN h2_custkey IS NULL THEN 'h1_only'
+            WHEN h1_custkey IS NULL THEN 'h2_only'
+            ELSE 'both' END AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(COALESCE(h1_rev_dec, CAST(0 AS DECIMAL(28,2)))) AS DOUBLE)
+         AS h1_revenue,
+       CAST(SUM(COALESCE(h2_rev_dec, CAST(0 AS DECIMAL(28,2)))) AS DOUBLE)
+         AS h2_revenue,
+       CAST(SUM(COALESCE(h2_rev_dec, CAST(0 AS DECIMAL(28,2)))
+                - COALESCE(h1_rev_dec, CAST(0 AS DECIMAL(28,2)))) AS DOUBLE)
+         AS delta
+FROM h1 FULL OUTER JOIN h2 ON h1_custkey = h2_custkey
+GROUP BY segment
+ORDER BY segment
+"""
+
+
 EXT3_QUERIES = {
     "min_cost_supplier": q_min_cost_supplier,
     "order_count_distribution": q_order_count_distribution,
@@ -789,6 +879,7 @@ EXT3_QUERIES = {
     "promo_share": q_promo_share,
     "fk_integrity": q_fk_integrity,
     "scd2_intervals": q_scd2_intervals,
+    "period_reconciliation": q_period_reconciliation,
 }
 
 EXT3_ORACLE_SQL = {
@@ -804,4 +895,5 @@ EXT3_ORACLE_SQL = {
     "promo_share": Q_PROMO_SHARE_SQL,
     "fk_integrity": Q_FK_INTEGRITY_SQL,
     "scd2_intervals": Q_SCD2_INTERVALS_SQL,
+    "period_reconciliation": Q_PERIOD_RECONCILIATION_SQL,
 }

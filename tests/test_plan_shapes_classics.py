@@ -103,3 +103,12 @@ def test_fk_integrity_dimension_antijoins_broadcast(spark):
     p = plan_of(spark, "fk_integrity")
     assert count(p, r"BroadcastHashJoin LeftAnti") >= 3
     assert count(p, r"CartesianProduct|BroadcastNestedLoopJoin") == 0
+
+
+def test_period_reconciliation_full_outer_smj_reuses_partitioning(spark):
+    """Full outer cannot broadcast; it must be a sort-merge join whose
+    inputs are the two custkey-partitioned aggregates — no EXTRA
+    exchange between aggregate and join (same key domain)."""
+    p = plan_of(spark, "period_reconciliation")
+    assert count(p, r"SortMergeJoin FullOuter") >= 1
+    assert count(p, r"BroadcastHashJoin FullOuter") == 0
