@@ -152,3 +152,47 @@ def test_kernel_equals_column_twin_equals_duckdb(spark, k):
         if r["doc_id"] in duck:
             assert r["kern"] == duck[r["doc_id"]][0]
             assert r["tok64"] == duck[r["doc_id"]][1]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(min_size=0, max_size=300),
+    st.integers(min_value=2, max_value=7),
+    st.integers(min_value=2, max_value=6),
+)
+def test_winnow_kernel_numpy_matches_naive(text, k, w):
+    """The numpy winnow pipeline (shingles → stride-view window minima
+    → distinct), exactly as winnow_fingerprints_kernel computes it,
+    must match a from-scratch python reference for any text/k/w."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from gtfs_realtime_etl_spark.functions.hashing import (
+        BASE_A,
+        MOD,
+        _ascii_lower,
+        _char_codes,
+        _pow_vec,
+        _shingle_hashes_np,
+    )
+
+    # naive reference
+    t = _ascii_lower(text)
+    codes = [ord(c) for c in t] + [0] * k
+    m = max(len(t) - k + 1, 1)
+    naive_h = []
+    for i in range(m):
+        acc = 0
+        for j in range(k):
+            acc = (acc * BASE_A + codes[i + j]) % MOD
+        naive_h.append(acc)
+    n_windows = max(len(naive_h) - w + 1, 1)
+    naive_fps = sorted({min(naive_h[i : i + w]) for i in range(n_windows)})
+
+    h = _shingle_hashes_np(_char_codes(_ascii_lower(text)), k, _pow_vec(BASE_A, k))
+    assert list(h) == naive_h
+    if h.size < w:
+        mins = np.array([h.min()], dtype=np.int64)
+    else:
+        mins = sliding_window_view(h, w).min(axis=1)
+    assert sorted(np.unique(mins).tolist()) == naive_fps
