@@ -112,3 +112,37 @@ def test_period_reconciliation_full_outer_smj_reuses_partitioning(spark):
     p = plan_of(spark, "period_reconciliation")
     assert count(p, r"SortMergeJoin FullOuter") >= 1
     assert count(p, r"BroadcastHashJoin FullOuter") == 0
+
+
+def test_no_cartesian_anywhere_in_registry(spark):
+    """Registry-wide plan hygiene: NO query may plan a CartesianProduct,
+    and BroadcastNestedLoopJoin is allowed only where the build side is
+    a 1-row scalar aggregate (the crossJoin-a-scalar pattern) — listed
+    explicitly so a new accidental NLJ fails loudly."""
+    SCALAR_BNLJ_OK = {
+        "ann_cosine_topk",   # probe vector broadcast
+        "ann_ivf_topk",      # probe vector broadcast
+        "funnel_conversion", # stage totals scalar
+        "event_rate_anomaly",# global mean/std scalar
+        "group_split",       # leak-audit scalar
+        "idle_customers",    # Q22 average-balance scalar
+        "important_parts",   # Q11 global-mean scalar
+        "small_qty_revenue", # Q17 falls back if stats shift
+        "top_supplier",      # Q15 max-revenue scalar
+        "semantic_decontam", # benchmark-set scalar
+        "quality_resample",  # keep-rate scalar
+        "table_profile",     # per-column scalar assembly
+        "vocab_coverage",    # vocab-size scalar
+        "mixture_sample",    # per-source weight scalar
+        "decontamination",   # benchmark scalar
+        "promo_share",       # single-row ratio output
+        "period_reconciliation",  # segment scalar guards
+    }
+    for name, fn in QUERIES.items():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            fn(spark, SF_CORRECTNESS).explain("formatted")
+        p = buf.getvalue()
+        assert count(p, r"\(\d+\) CartesianProduct") == 0, name
+        if name not in SCALAR_BNLJ_OK:
+            assert count(p, r"\(\d+\) BroadcastNestedLoopJoin") == 0, name
