@@ -866,6 +866,78 @@ ORDER BY segment
 """
 
 
+# ---------------------------------------------------------------------------
+# Point-in-time state lookup — the feature-store temporal-correctness
+# op: attribute each purchase to the user's state (last non-purchase
+# event type) AS OF the purchase instant, never to a later state
+# (leakage).  Spark side is the union-carry-forward as-of join
+# (operators/asof.py — ONE shuffle of |probe|+|state| rows, no
+# candidate-pair blowup); the oracle is DuckDB's native ASOF JOIN.
+# The state table is pre-deduped to one row per (user, instant) with
+# a MAX(event_id) tie-break, so both engines' as-of pick is
+# deterministic even under timestamp collisions.
+# ---------------------------------------------------------------------------
+
+def q_point_in_time_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gtfs_realtime_etl_spark.operators.asof import asof_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    states = (
+        events.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max(F.struct("event_id", "event_type"))["event_type"].alias(
+                "state"
+            )
+        )
+    )
+    joined = asof_join(
+        purchases, states, on="user_id", left_ts="ts", right_ts="ts",
+        direction="backward",
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("state"), F.lit("none")).alias("state"),
+            "purchase_value",
+            (F.col("ts") - F.col("ts_right")).alias("gap_ns"),
+        )
+        .groupBy("state")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("purchase_value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+            F.sum(F.coalesce(F.col("gap_ns"), F.lit(0))).alias("total_gap_ns"),
+        )
+        .orderBy("state")
+    )
+
+
+Q_POINT_IN_TIME_STATE_SQL = """
+WITH p AS (
+  SELECT user_id, epoch_ns(ts) AS tns, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+),
+s AS (
+  SELECT user_id, epoch_ns(ts) AS tns,
+         arg_max(event_type, event_id) AS state
+  FROM events WHERE event_type <> 'purchase'
+  GROUP BY user_id, epoch_ns(ts)
+)
+SELECT COALESCE(s.state, 'none') AS state,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(p.purchase_value AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_value,
+       CAST(SUM(COALESCE(p.tns - s.tns, 0)) AS BIGINT) AS total_gap_ns
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.tns >= s.tns
+GROUP BY COALESCE(s.state, 'none')
+ORDER BY state
+"""
+
+
 EXT3_QUERIES = {
     "min_cost_supplier": q_min_cost_supplier,
     "order_count_distribution": q_order_count_distribution,
@@ -880,6 +952,7 @@ EXT3_QUERIES = {
     "fk_integrity": q_fk_integrity,
     "scd2_intervals": q_scd2_intervals,
     "period_reconciliation": q_period_reconciliation,
+    "point_in_time_state": q_point_in_time_state,
 }
 
 EXT3_ORACLE_SQL = {
@@ -896,4 +969,5 @@ EXT3_ORACLE_SQL = {
     "fk_integrity": Q_FK_INTEGRITY_SQL,
     "scd2_intervals": Q_SCD2_INTERVALS_SQL,
     "period_reconciliation": Q_PERIOD_RECONCILIATION_SQL,
+    "point_in_time_state": Q_POINT_IN_TIME_STATE_SQL,
 }
