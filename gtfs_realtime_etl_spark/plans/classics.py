@@ -195,11 +195,16 @@ ORDER BY custdist DESC, c_count DESC
 # ---------------------------------------------------------------------------
 # Q17 shape — revenue from unusually-small-quantity lines.  The
 # correlated "l_quantity < 0.2 * (SELECT AVG(l_quantity) WHERE same
-# part)" decorrelates into a per-part average joined back.  The
+# part)" decorrelates into a per-part average joined back — exactly
+# how Catalyst decorrelates a correlated scalar subquery.  The
 # average is DECIMAL-sum / COUNT so both engines divide identical
 # operands (l_quantity is integral-valued; the decimal sum is exact).
-# Scale: the per-part aggregate is |part|-sized → broadcast; fact
-# scanned once.
+# Scale: the per-part aggregate is |part|-sized → broadcast.  The
+# fact IS scanned twice (once for the averages, once for the filter),
+# both scans pruned to three columns; the alternative — a window AVG
+# over l_partkey — is one scan but a FULL shuffle of the filtered
+# fact, the right trade only when scan bandwidth, not shuffle, is the
+# bottleneck.
 # ---------------------------------------------------------------------------
 
 Q17_TYPE = "SMALL"
