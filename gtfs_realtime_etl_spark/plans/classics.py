@@ -557,11 +557,14 @@ ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC
 # TPC-H itself rescales the fraction by 1/SF), so the threshold here
 # is scale-invariant: 1.3x the MEAN part value (the synthetic
 # corpus's per-part values are near-uniform — max/mean is ~1.8 at
-# every sf, so 1.3x keeps a stable few-percent tail at any scale).  Both the per-part sums
-# and the global mean are the SAME decimal aggregate (the mean
-# re-aggregates the per-part partials — one extra tiny shuffle, no
-# second fact scan), so the HAVING comparison is between
-# identically-derived doubles.
+# every sf, so 1.3x keeps a stable few-percent tail at any scale).
+# Both the per-part sums and the global mean are the SAME decimal
+# aggregate, so the HAVING comparison is between identically-derived
+# doubles.  The static plan evaluates the per-part lineage twice (the
+# mean branch and the filter branch — both column-pruned); Spark's
+# exchange reuse can dedup them at runtime, and a production caller
+# pinning the cost materializes the dimension-sized per-part table
+# once and derives both from it.
 # ---------------------------------------------------------------------------
 
 Q11_MEAN_MULTIPLE = 1.3
