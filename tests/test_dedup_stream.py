@@ -1,0 +1,111 @@
+"""Streaming near-dup ingestion: batch-partitioning invariance and
+retry idempotency of the dedup-index sink."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from gtfs_realtime_etl_spark.operators.dedup import minhash_lsh_candidates
+from gtfs_realtime_etl_spark.sources.testdata import load_testdata
+from gtfs_realtime_etl_spark.streaming.dedup_stream import (
+    make_dedup_index_sink,
+    read_candidate_pairs,
+    start_dedup_stream,
+)
+from tests.conftest import SF_SMOKE
+
+KW = dict(num_hashes=32, bands=8, shingle_k=5, max_bucket=100_000)
+SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+
+
+def _doc_rows(spark):
+    return (
+        load_testdata(spark, SF_SMOKE, tables=("documents",))["documents"]
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+
+
+def _write_slices(rows, src_dir, n_slices=3):
+    os.makedirs(src_dir, exist_ok=True)
+    per = (len(rows) + n_slices - 1) // n_slices
+    for i in range(n_slices):
+        chunk = rows[i * per : (i + 1) * per]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in chunk], pa.int64()),
+                "text": pa.array([r["text"] for r in chunk], pa.string()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(src_dir, f"slice_{i}.parquet"))
+
+
+def test_stream_dedup_equals_batch(spark, tmp_path):
+    """Streaming the corpus through in 3 micro-batches must discover
+    EXACTLY the batch pipeline's candidate set (caps not binding):
+    each pair is found in the batch where its later member arrives."""
+    rows = _doc_rows(spark)
+    src = str(tmp_path / "incoming")
+    _write_slices(rows, src, n_slices=3)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_dedup_stream(
+        stream,
+        index_root=str(tmp_path / "index"),
+        pairs_root=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+        **KW,
+    )
+    q.awaitTermination(300)
+
+    docs = spark.createDataFrame(rows, SCHEMA)
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, **KW)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    streamed = {
+        (r["id_a"], r["id_b"])
+        for r in read_candidate_pairs(spark, str(tmp_path / "pairs")).collect()
+    }
+    assert streamed == full and full
+
+    # The index now covers the whole corpus: one row per (doc, band).
+    idx = spark.read.parquet(str(tmp_path / "index"))
+    assert idx.count() == len(rows) * KW["bands"]
+    assert idx.select("doc_id").distinct().count() == len(rows)
+
+
+def test_dedup_sink_retry_is_noop(spark, tmp_path):
+    """At-least-once redelivery: invoking the sink twice with the same
+    batch_id must not double-append pairs or signatures."""
+    rows = _doc_rows(spark)[:80]
+    batch = spark.createDataFrame(rows, SCHEMA)
+    sink = make_dedup_index_sink(
+        index_root=str(tmp_path / "index"),
+        pairs_root=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        **KW,
+    )
+    sink(batch, 0)
+    pairs_1 = spark.read.parquet(str(tmp_path / "pairs")).count()
+    index_1 = spark.read.parquet(str(tmp_path / "index")).count()
+    sink(batch, 0)  # retry
+    assert spark.read.parquet(str(tmp_path / "pairs")).count() == pairs_1
+    assert spark.read.parquet(str(tmp_path / "index")).count() == index_1
+    sink(batch.withColumn("doc_id", F.col("doc_id") + 10_000), 1)  # new batch
+    assert spark.read.parquet(str(tmp_path / "index")).count() == index_1 * 2
