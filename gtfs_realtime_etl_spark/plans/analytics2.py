@@ -1121,6 +1121,81 @@ ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
 """
 
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle — the global reshuffle-per-epoch
+# primitive of training-data assembly: every epoch must present the
+# corpus in a different, REPRODUCIBLE pseudo-random order (no
+# rand()/seed state, no driver-side shuffling).  Order key = quadratic
+# mix of an affine blend of (doc_id, epoch): the quadratic step is
+# load-bearing for the same reason as group_hash_mixed — an affine key
+# alone maps consecutive doc_ids to a constant-stride progression,
+# which is NOT a shuffle.  Ties (the mix is not injective mod M) break
+# on doc_id.
+#
+# Scale shape: the per-epoch position is ROW_NUMBER over a range
+# exchange + sort on the key — exactly the one global sort a 100 TB
+# epoch writer pays (repartitionByRange + sortWithinPartitions on the
+# same key), demonstrated here in its verifiable form.  All int64
+# arithmetic: engine-exact, repartition-invariant.
+# ---------------------------------------------------------------------------
+
+SHUFFLE_EPOCHS = 2
+EPOCH_STRIDE = 7_654_321
+
+
+def _shuffle_key(doc_id: Column, epoch: Column) -> Column:
+    from gtfs_realtime_etl_spark.functions.hashing import MOD
+    from gtfs_realtime_etl_spark.operators.splits import SPLIT_A, SPLIT_B
+
+    r = F.pmod(
+        F.pmod(doc_id.cast("long"), F.lit(MOD)) * F.lit(SPLIT_A)
+        + epoch.cast("long") * F.lit(EPOCH_STRIDE)
+        + F.lit(SPLIT_B),
+        F.lit(MOD),
+    )
+    return F.pmod(r * r + r, F.lit(MOD))
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    epochs = documents.select("doc_id").crossJoin(
+        spark.range(SHUFFLE_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+    )
+    keyed = epochs.select(
+        "epoch", "doc_id", _shuffle_key(F.col("doc_id"), F.col("epoch")).alias("k")
+    )
+    w = Window.partitionBy("epoch").orderBy("k", "doc_id")
+    return keyed.select(
+        "epoch", "doc_id", F.row_number().over(w).alias("pos")
+    )
+
+
+def _epoch_shuffle_sql() -> str:
+    from gtfs_realtime_etl_spark.functions.hashing import MOD
+    from gtfs_realtime_etl_spark.operators.splits import SPLIT_A, SPLIT_B
+
+    m = f"CAST({MOD} AS BIGINT)"
+    blend = (
+        f"(((CAST(doc_id AS BIGINT) % {m} + {m}) % {m}) * {SPLIT_A} "
+        f"+ CAST(epoch AS BIGINT) * {EPOCH_STRIDE} + {SPLIT_B})"
+    )
+    r = f"(({blend} % {m} + {m}) % {m})"
+    key = f"((({r} * {r} + {r}) % {m} + {m}) % {m})"
+    return f"""
+WITH e AS (
+  SELECT doc_id, CAST(epoch AS INTEGER) AS epoch
+  FROM documents CROSS JOIN (SELECT UNNEST(range({SHUFFLE_EPOCHS})) AS epoch)
+),
+k AS (SELECT epoch, doc_id, {key} AS k FROM e)
+SELECT epoch, doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS BIGINT)
+         AS pos
+FROM k
+"""
+
+
+Q_EPOCH_SHUFFLE_SQL = _epoch_shuffle_sql()
+
 
 EXT2_QUERIES = {
     "interval_overlap_join": q_interval_overlap_join,
@@ -1138,6 +1213,7 @@ EXT2_QUERIES = {
     "group_split": q_group_split,
     "shipping_priority": q_shipping_priority,
     "returned_items": q_returned_items,
+    "epoch_shuffle": q_epoch_shuffle,
 }
 
 EXT2_ORACLE_SQL = {
@@ -1157,4 +1233,5 @@ EXT2_ORACLE_SQL = {
     "group_split": Q_GROUP_SPLIT_SQL,
     "shipping_priority": Q_SHIPPING_PRIORITY_SQL,
     "returned_items": Q_RETURNED_ITEMS_SQL,
+    "epoch_shuffle": Q_EPOCH_SHUFFLE_SQL,
 }

@@ -166,3 +166,27 @@ def test_cap_per_group_matches_naive_window_and_is_stable(spark):
         r.doc_id for r in kept.collect()
     )
     assert kept.columns == df.columns
+
+
+def test_epoch_shuffle_is_a_real_shuffle(spark):
+    """The per-epoch order must (a) differ across epochs, (b) not
+    preserve doc_id runs (the affine-only key would map consecutive ids
+    to a constant-stride progression), and (c) be a permutation."""
+    from gtfs_realtime_etl_spark.plans.analytics2 import q_epoch_shuffle
+    from tests.conftest import SF_SMOKE
+
+    rows = q_epoch_shuffle(spark, SF_SMOKE).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], {})[r["doc_id"]] = r["pos"]
+    e0, e1 = by_epoch[0], by_epoch[1]
+    n = len(e0)
+    assert len(e1) == n
+    assert sorted(e0.values()) == list(range(1, n + 1))  # permutation
+    # (a) epochs differ for most docs
+    same = sum(1 for d in e0 if e0[d] == e1[d])
+    assert same < n * 0.05, f"{same}/{n} docs kept their position"
+    # (b) consecutive doc_ids land far apart on average (anti-run):
+    ids = sorted(e0)
+    gaps = [abs(e0[ids[i + 1]] - e0[ids[i]]) for i in range(len(ids) - 1)]
+    assert sum(gaps) / len(gaps) > n * 0.1, "consecutive ids stayed adjacent"
