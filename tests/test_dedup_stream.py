@@ -7,6 +7,7 @@ import os
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -109,3 +110,51 @@ def test_dedup_sink_retry_is_noop(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "index")).count() == index_1
     sink(batch.withColumn("doc_id", F.col("doc_id") + 10_000), 1)  # new batch
     assert spark.read.parquet(str(tmp_path / "index")).count() == index_1 * 2
+
+
+@pytest.mark.scale_smoke
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SCALE_SMOKE"),
+    reason="opt-in: SPARK_GRAFT_SCALE_SMOKE=1 runs the 20x streaming smoke",
+)
+def test_streaming_dedup_scale_smoke(spark, tmp_path):
+    """Opt-in scale probe: a 20x corpus (100k docs, heavy planted
+    duplicates) streamed through in 5 micro-batches.  Each batch's
+    candidate pass must stay bounded (capped buckets, index scanned
+    narrow) — the continuous-ingestion stand-in for the 100 TB
+    posture."""
+    import time
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .crossJoin(spark.range(20).select(F.col("id").alias("rep")))
+        .select((F.col("doc_id") * 100 + F.col("rep")).alias("doc_id"), "text")
+    )
+    src = str(tmp_path / "incoming")
+    # 5 slice files via one partitioned write (fast path for 100k rows).
+    docs.withColumn("slice", F.pmod("doc_id", F.lit(5))).repartition(
+        5, "slice"
+    ).write.partitionBy("slice").mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    t0 = time.time()
+    q = start_dedup_stream(
+        stream,
+        index_root=str(tmp_path / "index"),
+        pairs_root=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+        num_hashes=32,
+        bands=8,
+        shingle_k=5,
+        max_bucket=1000,
+    )
+    q.awaitTermination(600)
+    dt = time.time() - t0
+    n = read_candidate_pairs(spark, str(tmp_path / "pairs")).count()
+    assert n > 0
+    assert dt < 480, f"streaming dedup smoke took {dt:.0f}s"
