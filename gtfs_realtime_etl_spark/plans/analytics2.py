@@ -1158,8 +1158,15 @@ def _shuffle_key(doc_id: Column, epoch: Column) -> Column:
 
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
-    epochs = documents.select("doc_id").crossJoin(
-        spark.range(SHUFFLE_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+    # Epoch replication as a pure projection (explode of a literal
+    # sequence) — no join of any kind, each task emits its own rows.
+    epochs = documents.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("int"), F.lit(SHUFFLE_EPOCHS - 1).cast("int")
+            )
+        ).alias("epoch"),
     )
     keyed = epochs.select(
         "epoch", "doc_id", _shuffle_key(F.col("doc_id"), F.col("epoch")).alias("k")
