@@ -946,6 +946,61 @@ ORDER BY state
 """
 
 
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS + GROUPING() id — the third member of the
+# multi-granularity aggregation family next to the registry's ROLLUP
+# (rollup_revenue) and CUBE (cube_revenue): an ARBITRARY set list
+# ((year, priority), (year), (priority), ()) that neither rollup nor
+# cube expresses, with the standard grouping-id bit vector
+# disambiguating which NULLs mean "aggregated away".  One Expand + one
+# shuffle, same cost class as rollup; decimal-exact sums.
+# ---------------------------------------------------------------------------
+
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        F.year("o_orderdate").alias("order_year"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    return (
+        o.groupingSets(
+            [
+                [F.col("order_year"), F.col("priority")],
+                [F.col("order_year")],
+                [F.col("priority")],
+                [],
+            ],
+            F.col("order_year"),
+            F.col("priority"),
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("p").cast("double").alias("total_price"),
+        )
+        .select("order_year", "priority", "gid", "n_orders", "total_price")
+    )
+
+
+Q_GROUPING_SETS_REVENUE_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       o_orderpriority AS priority,
+       CAST(GROUPING(CAST(year(o_orderdate) AS INTEGER), o_orderpriority)
+            AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY GROUPING SETS (
+  (CAST(year(o_orderdate) AS INTEGER), o_orderpriority),
+  (CAST(year(o_orderdate) AS INTEGER)),
+  (o_orderpriority),
+  ()
+)
+"""
+
+
 EXT3_QUERIES = {
     "min_cost_supplier": q_min_cost_supplier,
     "order_count_distribution": q_order_count_distribution,
@@ -961,6 +1016,7 @@ EXT3_QUERIES = {
     "scd2_intervals": q_scd2_intervals,
     "period_reconciliation": q_period_reconciliation,
     "point_in_time_state": q_point_in_time_state,
+    "grouping_sets_revenue": q_grouping_sets_revenue,
 }
 
 EXT3_ORACLE_SQL = {
@@ -978,4 +1034,5 @@ EXT3_ORACLE_SQL = {
     "scd2_intervals": Q_SCD2_INTERVALS_SQL,
     "period_reconciliation": Q_PERIOD_RECONCILIATION_SQL,
     "point_in_time_state": Q_POINT_IN_TIME_STATE_SQL,
+    "grouping_sets_revenue": Q_GROUPING_SETS_REVENUE_SQL,
 }
