@@ -1001,6 +1001,72 @@ GROUP BY GROUPING SETS (
 """
 
 
+# ---------------------------------------------------------------------------
+# Gaps-and-islands — the classic consecutive-run detection: per user,
+# maximal runs of consecutive activity DAYS, via the day − ROW_NUMBER
+# trick (consecutive days share a constant difference, so the
+# difference IS the island key — no self-join, no recursion).  Two
+# aggregations and one window, all on the same user_id partitioning;
+# all-integer epoch-day math.
+# ---------------------------------------------------------------------------
+
+NS_PER_DAY = 86_400_000_000_000
+
+
+def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    days = (
+        events.select(
+            "user_id", F.expr(f"ts div {NS_PER_DAY}").alias("day")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        "day",
+        (F.col("day") - F.row_number().over(w)).alias("island"),
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("day").alias("run_start_day"),
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("run_len").alias("longest_run"),
+        F.sum("run_len").alias("active_days"),
+        F.min("run_start_day").alias("first_day"),
+    )
+
+
+Q_ACTIVITY_ISLANDS_SQL = f"""
+WITH days AS (
+  SELECT DISTINCT user_id,
+         epoch_ns(ts) // {NS_PER_DAY} AS day
+  FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+           AS island
+  FROM days
+),
+per_island AS (
+  SELECT user_id, island,
+         CAST(COUNT(*) AS BIGINT) AS run_len,
+         MIN(day) AS run_start_day
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       MAX(run_len) AS longest_run,
+       CAST(SUM(run_len) AS BIGINT) AS active_days,
+       MIN(run_start_day) AS first_day
+FROM per_island
+GROUP BY user_id
+"""
+
+
 EXT3_QUERIES = {
     "min_cost_supplier": q_min_cost_supplier,
     "order_count_distribution": q_order_count_distribution,
@@ -1017,6 +1083,7 @@ EXT3_QUERIES = {
     "period_reconciliation": q_period_reconciliation,
     "point_in_time_state": q_point_in_time_state,
     "grouping_sets_revenue": q_grouping_sets_revenue,
+    "activity_islands": q_activity_islands,
 }
 
 EXT3_ORACLE_SQL = {
@@ -1035,4 +1102,5 @@ EXT3_ORACLE_SQL = {
     "period_reconciliation": Q_PERIOD_RECONCILIATION_SQL,
     "point_in_time_state": Q_POINT_IN_TIME_STATE_SQL,
     "grouping_sets_revenue": Q_GROUPING_SETS_REVENUE_SQL,
+    "activity_islands": Q_ACTIVITY_ISLANDS_SQL,
 }
