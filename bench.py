@@ -74,26 +74,59 @@ def main() -> None:
         best[name] = round(min(times), 3)
         med[name] = round(statistics.median(times), 3)
 
-    print(
-        json.dumps(
+    # Full per-query detail goes to BENCH_FULL.json; the stdout line must
+    # stay compact because the bench runner captures only a ~2 KB tail of
+    # stdout and parses the JSON out of it (a 101-query inline dict made
+    # rounds 3-5 unparseable).
+    totals = {
+        "median_total": round(sum(med.values()), 3),
+        "best_total": round(sum(best.values()), 3),
+        "single_pass_total": round(sum(first_pass.values()), 3),
+    }
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(
             {
-                "metric": (
-                    f"registry-suite wall time (sum of per-query median of "
-                    f"{n_runs} runs, noop sink)"
-                ),
-                "value": round(sum(med.values()), 3),
-                "unit": "sec",
-                "queries": med,
+                "median": med,
+                "best": best,
+                "single_pass": first_pass,
                 "sf": sf,
                 "n_runs": n_runs,
-                "median_total": round(sum(med.values()), 3),
-                "best_total": round(sum(best.values()), 3),
-                "best_queries": best,
-                "single_pass_total": round(sum(first_pass.values()), 3),
-                "single_pass_queries": first_pass,
-            }
+                **totals,
+            },
+            f,
+            indent=1,
         )
-    )
+
+    payload = {
+        "metric": (
+            f"registry-suite wall time over {len(med)} queries (sum of "
+            f"per-query median of {n_runs} runs, noop sink; per-query "
+            f"detail in BENCH_FULL.json)"
+        ),
+        "value": totals["median_total"],
+        "unit": "sec",
+        "sf": sf,
+        "n_runs": n_runs,
+        **totals,
+        "queries_total": len(med),
+        "queries": {},
+    }
+    # Inline the flagship plus the slowest queries, up to a char budget.
+    order = [q for q in ("flagship_punctuality",) if q in med]
+    order += sorted((q for q in med if q not in order), key=med.get, reverse=True)
+    sel: dict[str, float] = {}
+    for name in order:
+        sel[name] = med[name]
+        trial = dict(payload, queries=sel, queries_reported=len(sel))
+        if len(json.dumps(trial, separators=(",", ":"))) > 1500:
+            del sel[name]
+            break
+    payload["queries"] = sel
+    payload["queries_reported"] = len(sel)
+    print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
 
 
