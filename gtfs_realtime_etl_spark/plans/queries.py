@@ -1226,6 +1226,9 @@ GROUP BY lang
 # ---------------------------------------------------------------------------
 
 NEARDUP_COSINE = 0.8
+# Pair-join block cap: bounds per-label pair counts at MAX_BLOCK²/2
+# (same discipline as DEFAULT_MAX_BUCKET for MinHash/SimHash buckets).
+NEARDUP_MAX_BLOCK = 64
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1238,18 +1241,30 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-pair cost is the dot fold alone.  The arithmetic (same fold
     # order, same sqrt, same when-guard) is unchanged, so the oracle's
     # explicit left-fold SQL still matches bit-for-bit.
-    emb = (
-        embeddings.select(
-            "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    emb = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    ).withColumn("norm", l2_norm(F.col("vec")))
+    # Deterministic block cap (same discipline as the MinHash/SimHash
+    # DEFAULT_MAX_BUCKET): only the first NEARDUP_MAX_BLOCK vectors per
+    # label (by vec_id) enter the pair join, so a block's pair count is
+    # bounded by MAX_BLOCK²/2 no matter how large the label grows —
+    # block-quadratic becomes block-bounded.  ``n_overflow`` reports the
+    # vectors excluded per label; the unbiased scale path for full-block
+    # recall is ann_lsh_topk / minhash_lsh_candidates.
+    block = (
+        emb.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("label").orderBy("vec_id")),
         )
-        .withColumn("norm", l2_norm(F.col("vec")))
+        .filter(F.col("rn") <= NEARDUP_MAX_BLOCK)
+        .drop("rn")
         # explicit numPartitions: vectors are byte-light but the pair
         # fold is CPU-heavy, and AQE's size-based coalescing would fuse
         # the whole self-join into ONE task.  A user-pinned count keeps
         # one task per label block.
         .repartition(32, "label")
     )
-    a, b = emb.alias("a"), emb.alias("b")
+    a, b = block.alias("a"), block.alias("b")
     denom = F.col("a.norm") * F.col("b.norm")
     cos = F.round(
         F.when(denom > 0, dot(F.col("a.vec"), F.col("b.vec")) / denom).otherwise(
@@ -1262,7 +1277,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.label") == F.col("b.label"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(F.col("a.label").alias("label"), cos.alias("cosine"))
-    return pairs.groupBy("label").agg(
+    agg = pairs.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(F.when(F.col("cosine") >= NEARDUP_COSINE, 1).otherwise(0)).alias(
             "n_near_dups"
@@ -1272,6 +1287,16 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double"),
             6,
         ).alias("avg_cosine"),
+    )
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return agg.join(F.broadcast(counts), "label").select(
+        "label",
+        "n_pairs",
+        "n_near_dups",
+        "avg_cosine",
+        (
+            F.col("n_vecs") - F.least(F.col("n_vecs"), F.lit(NEARDUP_MAX_BLOCK))
+        ).alias("n_overflow"),
     )
 
 
@@ -1293,20 +1318,35 @@ _COS_NORM_B = "sqrt(" + _FOLD_SUM.format(
 
 Q_EMBEDDING_NEARDUP_SQL = f"""
 WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+blk AS (
+  SELECT vec_id, label, vec
+  FROM (
+    SELECT vec_id, label, vec,
+           ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+    FROM emb
+  )
+  WHERE rn <= {NEARDUP_MAX_BLOCK}
+),
+counts AS (SELECT label, COUNT(*) AS n_vecs FROM emb GROUP BY label),
 pairs AS (
   SELECT a.label AS label,
          ROUND(CASE WHEN {_COS_NORM_A} * {_COS_NORM_B} > 0
                     THEN {_COS_DOT} / ({_COS_NORM_A} * {_COS_NORM_B})
                     ELSE 0.0 END, 6) AS cosine
-  FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM blk a JOIN blk b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+agg AS (
+  SELECT label,
+         COUNT(*) AS n_pairs,
+         CAST(SUM(CASE WHEN cosine >= {NEARDUP_COSINE} THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
+         ROUND(CAST(SUM(CAST(cosine AS DECIMAL(18,12))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS avg_cosine
+  FROM pairs
+  GROUP BY label
 )
-SELECT label,
-       COUNT(*) AS n_pairs,
-       CAST(SUM(CASE WHEN cosine >= {NEARDUP_COSINE} THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
-       ROUND(CAST(SUM(CAST(cosine AS DECIMAL(18,12))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_cosine
-FROM pairs
-GROUP BY label
+SELECT agg.label, n_pairs, n_near_dups, avg_cosine,
+       n_vecs - LEAST(n_vecs, {NEARDUP_MAX_BLOCK}) AS n_overflow
+FROM agg JOIN counts ON agg.label = counts.label
 """
 
 

@@ -101,6 +101,45 @@ def test_simhash_scale_smoke(spark):
 @pytest.mark.scale_smoke
 @pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_SCALE_SMOKE"),
+    reason="opt-in: SPARK_GRAFT_SCALE_SMOKE=1 runs the 20x embeddings smoke",
+)
+def test_embedding_neardup_scale_smoke(spark, tmp_path):
+    """Opt-in scale probe for the capped pair-join profile: a
+    20x-replicated embeddings table (40k vectors, same 10 labels → 4k
+    vectors per label) must stay block-bounded.  Uncapped, each label
+    block would be ~8M pairs (80M total 64-dim cosine folds); with
+    NEARDUP_MAX_BLOCK=64 the pair join tops out at 2,016 pairs/label
+    regardless of block size — that bound, not wall-clock luck, is what
+    this asserts via n_pairs and overflow accounting."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gtfs_realtime_etl_spark.plans.queries import (
+        NEARDUP_MAX_BLOCK,
+        q_embedding_neardup,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    big = src.crossJoin(spark.range(20).select(F.col("id").alias("rep"))).select(
+        (F.col("vec_id") * 100 + F.col("rep")).alias("vec_id"),
+        "label",
+        "embedding",
+    )
+    sf_dir = str(tmp_path / "sf_big")
+    big.write.parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.time()
+    rows = q_embedding_neardup(spark, sf_dir).collect()
+    dt = time.time() - t0
+    max_pairs = NEARDUP_MAX_BLOCK * (NEARDUP_MAX_BLOCK - 1) // 2
+    assert rows and all(r.n_pairs <= max_pairs for r in rows)
+    assert all(r.n_overflow > 0 for r in rows)  # cap engaged on every label
+    assert dt < 120, f"embedding_neardup scale smoke took {dt:.0f}s"
+
+
+@pytest.mark.scale_smoke
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SCALE_SMOKE"),
     reason="opt-in: SPARK_GRAFT_SCALE_SMOKE=1 runs the large-graph smoke",
 )
 def test_pagerank_scale_smoke(spark):
