@@ -25,7 +25,12 @@ import struct
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    StructField,
+    StructType,
+)
 
 _BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
@@ -135,6 +140,50 @@ def point_wkb(lon: Column, lat: Column) -> Column:
     ``as_wkb`` output (handler.py:131-141).  pandas_udf: IEEE-754 byte
     packing is not expressible in the JVM expression language."""
     return _point_wkb_udf(lon, lat)
+
+
+# StructType object, not a DDL string: string return types are parsed
+# via the active SparkSession, which does not exist at import time.
+_WKB_POINT_STRUCT = StructType(
+    [StructField("lon", DoubleType()), StructField("lat", DoubleType())]
+)
+
+
+@F.pandas_udf(_WKB_POINT_STRUCT)
+def _wkb_point_lonlat_udf(wkb: pd.Series) -> pd.DataFrame:
+    # Inverse of _point_wkb_udf: parse a WKB point back to (lon, lat).
+    # Accepts either byte order (byte 0: 1=little, 0=big) — the engine
+    # writes little-endian, but external GeoParquet writers may not.
+    # Geometry type must be Point (1); anything else decodes to null
+    # rather than garbage coordinates.
+    import struct as _struct
+
+    lons: list[float | None] = []
+    lats: list[float | None] = []
+    for b in wkb:
+        if b is None or len(b) != 21:
+            lons.append(None)
+            lats.append(None)
+            continue
+        endian = "<" if b[0] == 1 else ">"
+        gtype, x, y = _struct.unpack(endian + "Idd", b[1:])
+        if gtype != 1:
+            lons.append(None)
+            lats.append(None)
+        else:
+            lons.append(x)
+            lats.append(y)
+    return pd.DataFrame({"lon": lons, "lat": lats})
+
+
+def wkb_point_lonlat(wkb: Column) -> Column:
+    """WKB point → ``struct<lon double, lat double>`` — the read-side
+    inverse of :func:`point_wkb`, for ingesting lakes written by the
+    reference's GeoParquet writer, which DROPS the lat/lon columns and
+    keeps only the geometry (etl/runtime/handler.py:131-142).  Arrow-
+    batched pandas_udf for the same reason as the writer: IEEE-754 byte
+    reinterpretation is not expressible as JVM Column ops."""
+    return _wkb_point_lonlat_udf(wkb)
 
 
 def hex_wkb(wkb: Column) -> Column:
