@@ -1779,11 +1779,16 @@ _MINHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NB localCheckpoint blocks live on executors: losing an executor
-    # (preemption, dynamic allocation) invalidates a cached entry for
-    # the rest of the session.  Acceptable on a long-lived local/driver
-    # session (this registry's shape); a multi-tenant deployment should
-    # swap in persist(DISK_ONLY) or a reliable checkpoint dir.
+    # persist(DISK_ONLY), NOT localCheckpoint: persist keeps the full
+    # lineage, so a block lost to executor preemption / dynamic
+    # allocation is transparently RECOMPUTED from the shingle pipeline
+    # instead of poisoning the cached entry for the rest of the session
+    # (localCheckpoint truncates lineage and its blocks are
+    # unrecoverable).  Disk-only because the verified pair set is read
+    # by several downstream consumers but far too cold to pin in
+    # executor memory at 100 TB.
+    from pyspark import StorageLevel
+
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir)
     pairs = _MINHASH_PAIRS_CACHE.get(key)
@@ -1799,7 +1804,7 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             bands=MINHASH_BANDS,
             shingle_k=MINHASH_SHINGLE_K,
             threshold=MINHASH_THRESHOLD,
-        ).localCheckpoint(eager=False)
+        ).persist(StorageLevel.DISK_ONLY)
         _MINHASH_PAIRS_CACHE[key] = pairs
     return pairs
 
