@@ -37,11 +37,27 @@ def pagerank(
     src: str = "s",
     dst: str = "d",
     dangling: str = "collect",
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` rounds; ranks sum to 1.
 
     ``edges`` are directed (src -> dst); duplicate edges count as
     parallel edges (weight = multiplicity / out-degree).
+
+    SIDE EFFECT: with ``materialize_edges=True`` (default) the call
+    EAGERLY runs a Spark job to localCheckpoint the edge input before
+    returning — nodes, out-degrees, and the per-round join table all
+    derive from it, and without the pin each would re-run the caller's
+    (possibly expensive) edge-generation lineage, e.g. a k-NN
+    candidate join.  Two caveats: the returned DataFrame is built on
+    localCheckpoint blocks, which are NOT recoverable on executor loss
+    (a preempted executor fails the computation rather than recomputing
+    lineage — acceptable on static local/driver sessions, not on
+    clusters with dynamic allocation); and plan construction is no
+    longer lazy.  Callers with cheap edge lineage, preemptible
+    executors, or their own persistence should pass
+    ``materialize_edges=False`` (edges are then re-read per derivation;
+    correct either way).
 
     ``dangling="collect"`` (default) measures the rank mass held by
     nodes without out-edges each round (one driver action per round)
@@ -55,28 +71,28 @@ def pagerank(
     """
     if dangling not in ("collect", "none"):
         raise ValueError(f"dangling must be 'collect' or 'none', got {dangling!r}")
-    # Materialize the edge list ONCE up front: nodes, out-degrees, and
-    # the degree-annotated edge table all derive from it, and without
-    # this checkpoint each of their own materializations would re-run
-    # the caller's (possibly expensive) edge-generation lineage —
-    # e.g. a k-NN candidate join — from scratch.
-    e = edges.select(
-        F.col(src).alias("s"), F.col(dst).alias("d")
-    ).localCheckpoint(eager=True)
-    nodes = (
-        e.select(F.col("s").alias("node"))
-        .unionAll(e.select(F.col("d").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # Materialize the edge list ONCE up front (opt-out via
+    # materialize_edges=False — see docstring for the eager-job and
+    # executor-loss caveats): nodes, out-degrees, and the
+    # degree-annotated edge table all derive from it.
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if materialize_edges:
+        e = e.localCheckpoint(eager=True)
+    nodes = e.select(F.col("s").alias("node")).unionAll(
+        e.select(F.col("d").alias("node"))
+    ).distinct()
+    if materialize_edges:
+        nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
 
     out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    # Edges with the source's degree attached, materialized once —
-    # every round joins against this same table.
-    e_deg = e.join(out_deg, "s").localCheckpoint(eager=True)
+    # Edges with the source's degree attached — every round joins
+    # against this same table.
+    e_deg = e.join(out_deg, "s")
+    if materialize_edges:
+        e_deg = e_deg.localCheckpoint(eager=True)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n

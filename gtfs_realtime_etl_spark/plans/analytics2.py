@@ -1132,15 +1132,25 @@ LIMIT 20
 # which is NOT a shuffle.  Ties (the mix is not injective mod M) break
 # on doc_id.
 #
-# Scale shape: the per-epoch position is ROW_NUMBER over a range
-# exchange + sort on the key — exactly the one global sort a 100 TB
-# epoch writer pays (repartitionByRange + sortWithinPartitions on the
-# same key), demonstrated here in its verifiable form.  All int64
-# arithmetic: engine-exact, repartition-invariant.
+# Scale shape: a naive ROW_NUMBER over PARTITION BY epoch would sort
+# each epoch's ENTIRE corpus in a single task (the window hash-
+# partitions on a 2-value key).  Instead the position is computed as a
+# two-level range rank: the key space [0, MOD) is cut into
+# EPOCH_SHUFFLE_BUCKETS contiguous fixed-width ranges (the key is a
+# quadratic hash mix, so occupancy is near-uniform — same argument as
+# the interval bucket join), each (epoch, bucket) sorts locally in
+# parallel, and a tiny per-bucket count aggregate (2×NB rows,
+# broadcast back) supplies the prefix offsets.  pos = offset + local
+# rank is bit-identical to the global ROW_NUMBER because buckets are
+# contiguous in k and ties (k, doc_id) never straddle a bucket.  This
+# is the repartitionByRange + sortWithinPartitions + partition-offset
+# shape a 100 TB epoch writer pays, in its verifiable DataFrame form.
+# All int64 arithmetic: engine-exact, repartition-invariant.
 # ---------------------------------------------------------------------------
 
 SHUFFLE_EPOCHS = 2
 EPOCH_STRIDE = 7_654_321
+EPOCH_SHUFFLE_BUCKETS = 32
 
 
 def _shuffle_key(doc_id: Column, epoch: Column) -> Column:
@@ -1171,9 +1181,39 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = epochs.select(
         "epoch", "doc_id", _shuffle_key(F.col("doc_id"), F.col("epoch")).alias("k")
     )
-    w = Window.partitionBy("epoch").orderBy("k", "doc_id")
-    return keyed.select(
-        "epoch", "doc_id", F.row_number().over(w).alias("pos")
+    # Two-level range rank (see block comment above): contiguous
+    # fixed-width key buckets sort in parallel; prefix offsets come from
+    # a broadcast-sized per-bucket count.
+    from gtfs_realtime_etl_spark.functions.hashing import MOD
+
+    width = (MOD + EPOCH_SHUFFLE_BUCKETS - 1) // EPOCH_SHUFFLE_BUCKETS
+    keyed = keyed.withColumn("bucket", (F.col("k") / F.lit(width)).cast("int"))
+    local = keyed.withColumn(
+        "local_pos",
+        F.row_number().over(
+            Window.partitionBy("epoch", "bucket").orderBy("k", "doc_id")
+        ),
+    )
+    offsets = (
+        keyed.groupBy("epoch", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.partitionBy("epoch")
+                    .orderBy("bucket")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("epoch", "bucket", "offset")
+    )
+    return local.join(F.broadcast(offsets), ["epoch", "bucket"]).select(
+        "epoch",
+        "doc_id",
+        (F.col("offset") + F.col("local_pos")).cast("int").alias("pos"),
     )
 
 

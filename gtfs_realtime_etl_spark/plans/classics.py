@@ -544,7 +544,10 @@ SELECT p_brand, p_size,
        CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
-WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+WHERE NOT EXISTS (
+  SELECT 1 FROM supplier
+  WHERE s_suppkey = l_suppkey AND s_acctbal < 0
+)
 GROUP BY p_brand, p_size
 ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC
 """

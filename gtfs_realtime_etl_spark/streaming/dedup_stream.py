@@ -22,10 +22,15 @@ bucket caps don't bind, streaming a corpus through in ANY batch
 partitioning yields exactly the batch pipeline's candidate set — each
 pair {a, b} is discovered in the batch where its LATER member arrives.
 
-Idempotency: same batch-id commit-log pattern as
-``streaming/ingest.py::make_idempotent_lake_sink`` — a retried batch
-(at-least-once foreachBatch) re-delivers the same (batch_id, data) and
-is skipped, so neither the pairs output nor the index double-appends.
+Idempotency: two independent guards.  The batch-id commit log (same
+pattern as ``streaming/ingest.py::make_idempotent_lake_sink``) skips a
+whole-batch redelivery.  A crash BETWEEN an append and the marker write
+re-runs the batch, so each append is additionally idempotent on its
+own: the pairs output is deduplicated at read (``read_candidate_pairs``
+distinct), and the index append anti-joins the batch's (id, band_id)
+rows against the stored index first — a retry after partial failure
+appends only the rows the crashed attempt did not commit, preserving
+the one-row-per-(doc, band) invariant that bucket-size caps rely on.
 
 Scale shape: per batch, ONE narrow scan of the stored index
 ((id, band_id, band_key) — never the text), one exchange on
@@ -109,9 +114,22 @@ def make_dedup_index_sink(
             ).select("id_a", "id_b")
         pairs.write.mode("append").parquet(pairs_root)
 
-        banded_signatures(
+        sigs = banded_signatures(
             batch, text_col, id_col, num_hashes, bands, shingle_k
-        ).write.partitionBy("band_id").mode("append").parquet(index_root)
+        )
+        if index_exists:
+            # Partial-failure guard: if a prior attempt crashed after
+            # committing (some of) the index append but before the
+            # marker, this retry must not double-append.  Anti-join on
+            # (id, band_id): reads ONE data column (the id) plus the
+            # band_id partition key from the stored index — never the
+            # signatures — and handles non-atomic committers that left
+            # only some of a doc's band rows behind.
+            stored = (
+                spark.read.parquet(index_root).select(id_col, "band_id")
+            )
+            sigs = sigs.join(stored, [id_col, "band_id"], "left_anti")
+        sigs.write.partitionBy("band_id").mode("append").parquet(index_root)
 
         fs.mkdirs(marker.getParent())
         fs.create(marker, True).close()

@@ -112,6 +112,37 @@ def test_dedup_sink_retry_is_noop(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "index")).count() == index_1 * 2
 
 
+def test_dedup_sink_partial_failure_retry(spark, tmp_path):
+    """Crash BETWEEN the appends and the commit marker: the retry
+    re-runs the whole batch, and the index append must stay idempotent
+    (one row per (doc, band)) via the stored-side anti-join — the
+    whole-batch commit log alone cannot cover this window."""
+    rows = _doc_rows(spark)[:80]
+    batch0 = spark.createDataFrame(rows, SCHEMA)
+    batch1 = batch0.withColumn("doc_id", F.col("doc_id") + 10_000)
+    index_root = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    sink = make_dedup_index_sink(
+        index_root=index_root,
+        pairs_root=str(tmp_path / "pairs"),
+        checkpoint_dir=ckpt,
+        **KW,
+    )
+    sink(batch0, 0)
+    sink(batch1, 1)
+    index_after = spark.read.parquet(index_root).count()
+    # Simulate the crash: batch 1's appends committed but its marker was
+    # never written.
+    os.remove(os.path.join(ckpt, "dedup_commits", "1"))
+    sink(batch1, 1)  # at-least-once redelivery
+    idx = spark.read.parquet(index_root)
+    assert idx.count() == index_after  # no double-append
+    dupes = (
+        idx.groupBy("doc_id", "band_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0  # one-row-per-(doc, band) invariant holds
+
+
 @pytest.mark.scale_smoke
 @pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_SCALE_SMOKE"),

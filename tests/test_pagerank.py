@@ -60,3 +60,21 @@ def test_pagerank_star_graph_ranks_center_highest(spark):
     got = {r["node"]: r["rank"] for r in pagerank(df, iterations=20).collect()}
     assert got[99] == max(got.values())
     assert got[99] > 10 * got[1]
+
+
+def test_pagerank_unmaterialized_edges_identical(spark):
+    """materialize_edges=False (the preemptible-cluster / lazy mode)
+    must produce the same ranks — the checkpoint is a performance pin,
+    never a semantic one.  (Tolerance, not bit-identity: the two modes
+    have different partition counts, so float contributions accumulate
+    in a different order.)"""
+    edges = _graph(seed=4)
+    df = spark.createDataFrame(edges, ["s", "d"])
+    a = {r["node"]: r["rank"] for r in pagerank(df, iterations=8).collect()}
+    b = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=8, materialize_edges=False).collect()
+    }
+    assert set(a) == set(b) and a
+    for node in a:
+        assert a[node] == pytest.approx(b[node], abs=1e-12)
