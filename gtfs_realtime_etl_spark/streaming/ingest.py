@@ -287,6 +287,48 @@ def start_feed_kafka_stream(
     )
 
 
+def start_feed_http_stream(
+    spark: SparkSession,
+    url: str,
+    spool_dir: str,
+    lake_root: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 30,
+    dedup: bool = True,
+    geoparquet: bool = False,
+    max_ticks: int | None = None,
+    headers: dict[str, str] | None = None,
+) -> StreamingQuery:
+    """HTTP poll → decode → enrich → partitioned lake via the native
+    ``gtfs_rt`` streaming source (sources/gtfs_rt_source.py) — the
+    engine-managed form of the reference's lambda poll loop
+    (etl/runtime/handler.py:43-54): offsets live in the streaming
+    checkpoint, every payload is spooled for deterministic replay, and
+    the downstream pipeline is byte-identical to the Kafka/file paths.
+    ``max_ticks`` bounds the poll (tests/backfills); None polls
+    forever at the trigger cadence."""
+    from gtfs_realtime_etl_spark.sources.gtfs_rt_source import register
+
+    register(spark)
+    reader = (
+        spark.readStream.format("gtfs_rt")
+        .option("url", url)
+        .option("spool_dir", spool_dir)
+    )
+    if max_ticks is not None:
+        reader = reader.option("max_ticks", str(max_ticks))
+    if headers:
+        import json as _json
+
+        reader = reader.option("headers", _json.dumps(headers))
+    frames = reader.load().select("payload")
+    enriched = feed_pipeline(frames, dedup=dedup)
+    return _start_lake_sink(
+        enriched, lake_root, checkpoint_dir, trigger_seconds,
+        available_now=False, geoparquet=geoparquet,
+    )
+
+
 def start_feed_rate_stream(
     spark: SparkSession,
     payloads: Sequence[bytes],
