@@ -224,12 +224,145 @@ FROM w
 """
 
 
+# ---------------------------------------------------------------------------
+# Winnowing END-TO-END dedup: candidates → exact-Jaccard verify →
+# transitive clusters — the full MOSS funnel as one oracle-gated query.
+#
+# The synthetic corpus's 30-word vocabulary is degenerate for character
+# shingles (every doc pair shares fingerprints), so the query derives a
+# CHARACTER-DIVERSE corpus deterministically from doc_id with md5 (hex
+# is identical in Spark and DuckDB): docs in the same planted group
+# (doc_id // WD_GROUP_SIZE — FIXED-size groups, so the per-group pair
+# count is constant and total pairs grow LINEARLY with the corpus, not
+# quadratically) share a WD_CORE_CHUNKS·32-char core substring, wrapped
+# in per-doc unique head/tail chunks.  Shared substrings → shared
+# winnow fingerprints (the MOSS guarantee); cross-group texts share
+# nothing, so the funnel must recover exactly the planted groups.
+#
+# Scale shape: identical skeleton to the MinHash family — explode to
+# fingerprints, ONE shuffle on the fingerprint with capped buckets,
+# HOF pair explode (no self-join), candidates-only Jaccard verify with
+# broadcast hash sets, then iterative min-label clustering.  The
+# oracle replays every stage (window hashes token for token, recursive
+# CTE for the clustering).
+# ---------------------------------------------------------------------------
+
+WD_GROUP_SIZE = 20
+WD_CORE_CHUNKS = 6
+WD_MIN_SHARED = 5
+WD_JACCARD = 0.45
+
+
+def _winnow_corpus(documents: DataFrame) -> DataFrame:
+    g = F.floor(F.col("doc_id") / WD_GROUP_SIZE).cast("long").cast("string")
+    d = F.col("doc_id").cast("string")
+    chunks = [F.md5(F.concat(F.lit("d"), d))]
+    chunks += [
+        F.md5(F.concat(F.lit(f"g{j}-"), g)) for j in range(WD_CORE_CHUNKS)
+    ]
+    chunks += [F.md5(F.concat(F.lit("t"), d))]
+    return documents.select("doc_id", F.concat(*chunks).alias("text"))
+
+
+def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gtfs_realtime_etl_spark.operators.clusters import connected_components
+    from gtfs_realtime_etl_spark.operators.dedup import (
+        jaccard_pairs,
+        winnow_candidates,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    corpus = _winnow_corpus(documents)
+    cand = winnow_candidates(
+        corpus, shingle_k=WINNOW_K, window=WINNOW_W, min_shared=WD_MIN_SHARED
+    )
+    verified = jaccard_pairs(
+        corpus, cand.select("id_a", "id_b"),
+        shingle_k=WINNOW_K, threshold=WD_JACCARD,
+    )
+    comp = connected_components(
+        verified.select(
+            F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b")
+        )
+    )
+    return comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("node").alias("max_doc_id"),
+    )
+
+
+def _winnow_dedup_sql() -> str:
+    from gtfs_realtime_etl_spark.operators.dedup import DEFAULT_MAX_BUCKET
+
+    core = " || ".join(
+        f"md5('g{j}-' || CAST(doc_id // {WD_GROUP_SIZE} AS VARCHAR))"
+        for j in range(WD_CORE_CHUNKS)
+    )
+    text = (
+        f"md5('d' || CAST(doc_id AS VARCHAR)) || {core} || "
+        f"md5('t' || CAST(doc_id AS VARCHAR))"
+    )
+    return f"""
+WITH RECURSIVE
+corpus AS (SELECT doc_id, {text} AS text FROM documents),
+h AS (
+  SELECT doc_id, {sql_shingle_hashes('text', WINNOW_K)} AS hs FROM corpus
+),
+w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(hs) - {WINNOW_W - 1}, 1) + 1),
+           i -> list_min(list_slice(hs, i, i + {WINNOW_W - 1}))
+         )) AS fps
+  FROM h
+),
+fp AS (SELECT doc_id, UNNEST(fps) AS fp FROM w),
+ok AS (
+  SELECT fp FROM fp GROUP BY fp
+  HAVING COUNT(*) BETWEEN 2 AND {DEFAULT_MAX_BUCKET}
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fp a
+  JOIN ok ON a.fp = ok.fp
+  JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {WD_MIN_SHARED}
+),
+sets AS (SELECT doc_id, list_distinct(hs) AS s FROM h),
+ver AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN sets sa ON sa.doc_id = cand.id_a
+  JOIN sets sb ON sb.doc_id = cand.id_b
+  WHERE CAST(length(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / CAST(length(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)
+        >= {WD_JACCARD}
+),
+edges AS (SELECT id_a AS s, id_b AS d FROM ver
+          UNION SELECT id_b AS s, id_a AS d FROM ver),
+reach(node, r) AS (
+  SELECT s AS node, s AS r FROM edges
+  UNION
+  SELECT e.s AS node, reach.r AS r FROM edges e JOIN reach ON e.d = reach.node
+),
+comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT cluster_id, COUNT(*) AS n_docs, MAX(node) AS max_doc_id
+FROM comp GROUP BY cluster_id
+"""
+
+
+Q_WINNOW_DEDUP_SQL = _winnow_dedup_sql()
+
+
 EXT4_QUERIES = {
     "pagerank_knn": q_pagerank_knn,
     "winnow_profile": q_winnow_profile,
+    "winnow_dedup": q_winnow_dedup,
 }
 
 EXT4_ORACLE_SQL = {
     "pagerank_knn": Q_PAGERANK_KNN_SQL,
     "winnow_profile": Q_WINNOW_PROFILE_SQL,
+    "winnow_dedup": Q_WINNOW_DEDUP_SQL,
 }
