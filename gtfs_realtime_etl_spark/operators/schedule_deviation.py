@@ -31,7 +31,19 @@ Physical-plan notes (100 TB design):
   condition on that equi key, so no cross product ever materializes.
 - The window and the final aggregate both key on subsets of the join
   output; at 100 TB the dominant cost is the single trip_id shuffle of
-  the fact side, which AQE skew-join splitting keeps balanced.
+  the fact side.
+- SKEW CAVEAT (measured, tests/test_skew.py): because the window's
+  clustering requirement (trip_id, stop_id, arrival_time,
+  stop_sequence) is satisfied by the join's trip_id partitioning,
+  Catalyst fuses join + window into ONE stage with no exchange between
+  them — one shuffle saved, but AQE's OptimizeSkewedJoin then REFUSES
+  to split a hot trip_id partition (splitting would break the window's
+  required distribution), so a hot trip serializes the whole stage.
+  ``skew_safe=True`` inserts an explicit repartition on the FULL
+  window key between join and window: one extra exchange, in return
+  for (a) the hot trip's rows spreading over its stop events and
+  (b) the fact join becoming AQE-skew-splittable.  Default off — the
+  fused plan is strictly better when trip volume is balanced.
 """
 
 from __future__ import annotations
@@ -68,6 +80,7 @@ def schedule_deviation(
     band: tuple[int, int] = BAND,
     route_types: tuple[int, ...] = ROUTE_TYPES,
     with_web_mercator: bool = False,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Per-stop deviation aggregate (cell-11 parity).
 
@@ -82,9 +95,17 @@ def schedule_deviation(
     pandas step in-engine.
     """
     # Static schedule: routes ⋈ trips ⋈ stop_times ⋈ stops, dims broadcast.
-    sched = (
+    # The (routes ⋈ trips) product is broadcast EXPLICITLY (not left to
+    # the size estimator): it is dim-sized at any scale, and without the
+    # hint a conservative estimate turns this join into an SMJ whose
+    # trip_id partitioning then fuses into the fact join's stage —
+    # costing two extra shuffles and blocking AQE skew handling there.
+    dims = F.broadcast(
         F.broadcast(routes.filter(F.col("route_type").isin(*route_types)))
         .join(F.broadcast(trips), "route_id")
+    )
+    sched = (
+        dims
         .join(stop_times, "trip_id")
         .join(F.broadcast(stops), "stop_id")
         .filter(NOT_PAST_MIDNIGHT(F.col("arrival_time")))
@@ -125,6 +146,13 @@ def schedule_deviation(
 
     # Band filter BEFORE the window (cell-11 subquery nesting).
     banded = matched.filter(F.col("diff").between(*band))
+    if skew_safe:
+        # Break the join->window stage fusion (see module docstring):
+        # the full window key spreads a hot trip over its stop events
+        # and lets AQE split the fact join's skewed partitions.
+        banded = banded.repartition(
+            "trip_id", "stop_id", "arrival_time", "stop_sequence"
+        )
 
     # Closest-ping-wins dedup per scheduled stop event.  The reference
     # orders only by (arrival_time, ABS(diff)) — an early ping at -X and
