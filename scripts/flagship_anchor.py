@@ -1,0 +1,185 @@
+"""Reference-scale flagship anchor: run schedule_deviation at the
+cardinality of the reference's published measurement and print the wall
+time next to its number.
+
+The reference's only published timing (BASELINE.md) is the
+schedule-deviation notebook query: **18.2 s wall / 73 s CPU** on
+DuckDB 1.4 (author's laptop, data on S3) over **21,312,146** location
+rows joined to **4,316,828** stop_times rows
+(schedule_deviation.ipynb:535,254,556-560).  This script synthesizes a
+dataset of exactly that shape — same cardinalities, trip-keyed join
+with a spatial residual that actually selects, band filter that
+actually bites, window dedup, group agg — entirely with Column
+expressions (distributed generation, no driver-side data), writes it
+to parquet, and times the engine's flagship operator end-to-end
+(noop sink: full computation, no driver materialization).
+
+Usage:  python scripts/flagship_anchor.py [--fact-rows N] [--dim-rows N]
+        [--workdir DIR] [--keep]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+# Runnable from anywhere: the package lives at the repo root.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+FACT_ROWS = 21_312_146
+DIM_ROWS = 4_316_828
+STOPS_PER_TRIP = 30
+N_STOPS = 10_000
+N_ROUTES = 200
+
+
+def build(spark, workdir: str, fact_rows: int, dim_rows: int) -> dict:
+    n_trips = dim_rows // STOPS_PER_TRIP
+
+    routes = spark.range(N_ROUTES).select(
+        F.concat(F.lit("R"), F.col("id").cast("string")).alias("route_id"),
+        F.col("id").cast("string").alias("route_short_name"),
+        F.lit(3).cast("int").alias("route_type"),
+    )
+    trips = spark.range(n_trips).select(
+        F.concat(F.lit("T"), F.col("id").cast("string")).alias("trip_id"),
+        F.concat(F.lit("R"), (F.col("id") % N_ROUTES).cast("string")).alias(
+            "route_id"
+        ),
+    )
+
+    # Deterministic stop geometry shared by schedule and pings: stop s
+    # sits on a 1e-4-degree grid.
+    def stop_idx(t, j):
+        return (t * 31 + j * 7) % N_STOPS
+
+    def stop_lat(s):
+        return F.round(F.lit(43.60) + (s % 2000) * F.lit(1e-4), 6)
+
+    def stop_lon(s):
+        return F.round(F.lit(-79.60) + (s / 2000).cast("long") * F.lit(1e-3)
+                       + (s % 5) * F.lit(2e-5), 6)
+
+    # arrival seconds: 6:00 + progression along the trip (fits < 24h).
+    def arrival_secs(t, j):
+        return F.lit(6 * 3600) + j * F.lit(90) + (t % 240) * F.lit(60)
+
+    def hms(secs):
+        return F.concat(
+            F.lpad((secs / 3600).cast("long").cast("string"), 2, "0"),
+            F.lit(":"),
+            F.lpad(((secs % 3600) / 60).cast("long").cast("string"), 2, "0"),
+            F.lit(":"),
+            F.lpad((secs % 60).cast("string"), 2, "0"),
+        )
+
+    st = spark.range(dim_rows)
+    t, j = (st["id"] / STOPS_PER_TRIP).cast("long"), st["id"] % STOPS_PER_TRIP
+    s = stop_idx(t, j)
+    stop_times = st.select(
+        F.concat(F.lit("T"), t.cast("string")).alias("trip_id"),
+        hms(arrival_secs(t, j)).alias("arrival_time"),
+        hms(arrival_secs(t, j) + 10).alias("departure_time"),
+        s.cast("string").alias("stop_id"),
+        j.cast("int").alias("stop_sequence"),
+    )
+
+    sp = spark.range(N_STOPS)
+    stops = sp.select(
+        sp["id"].cast("string").alias("stop_id"),
+        F.concat(F.lit("Stop "), sp["id"].cast("string")).alias("stop_name"),
+        stop_lat(sp["id"]).alias("stop_lat"),
+        stop_lon(sp["id"]).alias("stop_lon"),
+    )
+
+    # Pings: each row picks one scheduled stop event of its trip; half
+    # land inside the dwithin radius (2e-4 deg), half just outside;
+    # timestamps spread ±900 s around the scheduled arrival so the
+    # ±600 s band filter actually filters.
+    lc = spark.range(fact_rows)
+    pings_per_trip = max(fact_rows // n_trips, 1)
+    pt = (lc["id"] / pings_per_trip).cast("long") % n_trips
+    pj = lc["id"] % STOPS_PER_TRIP
+    ps = stop_idx(pt, pj)
+    jitter = (lc["id"] % 4) * F.lit(6e-5)  # 0,.6e-4,1.2e-4,1.8e-4: in/out mix
+    delta = (lc["id"] % 1800) - F.lit(900)
+    ts_secs = arrival_secs(pt, pj) + delta
+    locations = lc.select(
+        F.concat(F.lit("T"), pt.cast("string")).alias("trip_id"),
+        F.to_timestamp(
+            F.concat(F.lit("2024-03-05 "), hms(ts_secs))
+        ).alias("timestamp"),
+        (stop_lon(ps) + jitter).alias("longitude"),
+        (stop_lat(ps) + jitter).alias("latitude"),
+    )
+
+    paths = {}
+    for name, df in [
+        ("routes", routes), ("trips", trips), ("stops", stops),
+        ("stop_times", stop_times), ("locations", locations),
+    ]:
+        p = f"{workdir}/{name}.parquet"
+        df.write.mode("overwrite").parquet(p)
+        paths[name] = p
+    return paths
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fact-rows", type=int, default=FACT_ROWS)
+    ap.add_argument("--dim-rows", type=int, default=DIM_ROWS)
+    ap.add_argument("--workdir", default="/tmp/flagship_anchor")
+    ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--skew-safe", action="store_true")
+    args = ap.parse_args()
+
+    from gtfs_realtime_etl_spark.operators.schedule_deviation import (
+        schedule_deviation,
+    )
+    from gtfs_realtime_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="flagship-anchor")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.perf_counter()
+    paths = build(spark, args.workdir, args.fact_rows, args.dim_rows)
+    gen_s = time.perf_counter() - t0
+    tabs = {n: spark.read.parquet(p) for n, p in paths.items()}
+    n_fact = tabs["locations"].count()
+    n_dim = tabs["stop_times"].count()
+
+    def run() -> tuple[float, int]:
+        t0 = time.perf_counter()
+        out = schedule_deviation(
+            tabs["locations"], tabs["routes"], tabs["trips"],
+            tabs["stops"], tabs["stop_times"], skew_safe=args.skew_safe,
+        )
+        out.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        return dt, out.count()
+
+    cold, n_out = run()
+    warm, _ = run()
+    print(
+        {
+            "fact_rows": n_fact,
+            "dim_rows": n_dim,
+            "result_rows": n_out,
+            "generate_s": round(gen_s, 1),
+            "cold_s": round(cold, 1),
+            "warm_s": round(warm, 1),
+            "reference_s": 18.2,
+        }
+    )
+    if not args.keep:
+        shutil.rmtree(args.workdir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
