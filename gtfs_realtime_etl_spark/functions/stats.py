@@ -84,3 +84,65 @@ def norm_cdf_sql(x_expr: str) -> str:
         a4=repr(_A4),
         a5=repr(_A5),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable log2 for positive integers.
+#
+# Engine-native log/log2 differ between Spark (JVM libm) and other
+# engines in the last ulp, which flips ROUND(x, k) at a boundary and
+# breaks cross-engine hash parity when thousands of values are in
+# play.  This computes log2(n) for INTEGER n >= 1 from correctly-
+# rounded IEEE-754 operations only (+, -, *, / and an EXACT 2^e via an
+# integer shift), so every ANSI engine that evaluates the same
+# expression tree produces the bit-identical double:
+#
+#   e = floor(log2 n)  (bit length - 1: exact integer arithmetic)
+#   m = n / 2^e in [1, 2)
+#   ln m = 2t * sum_{j>=0} s^j/(2j+1),  t = (m-1)/(m+1), s = t^2
+#   log2 n = e + (2t * horner(s)) / ln 2
+#
+# Truncated at j = 14: |s| <= 1/9, truncation < 1e-15 — far below the
+# 12-dp rounding the callers apply, and identical in both engines
+# because every coefficient is the same double literal and every op is
+# correctly rounded.  Same portability pattern as norm_cdf above.
+# ---------------------------------------------------------------------------
+
+_LOG2_TERMS = 14
+_LN2 = 0.6931471805599453
+
+
+def portable_int_log2(n: Column) -> Column:
+    """log2 of a positive INTEGER column, bit-identical across engines
+    (see block comment).  Behavior is undefined for n < 1."""
+    nl = n.cast("long")
+    e = F.length(F.bin(nl)) - F.lit(1)
+    # F.shiftleft only takes a literal bit count; the SQL function
+    # accepts a column — 1 << e is the EXACT 2^e (never libm pow).
+    p = F.call_function("shiftleft", F.lit(1).cast("long"), e).cast("double")
+    m = nl.cast("double") / p
+    t = (m - F.lit(1.0)) / (m + F.lit(1.0))
+    s = t * t
+    acc = F.lit(1.0 / (2 * _LOG2_TERMS + 1))
+    for j in range(_LOG2_TERMS - 1, -1, -1):
+        acc = acc * s + F.lit(1.0 / (2 * j + 1))
+    return e.cast("double") + F.lit(2.0) * t * acc / F.lit(_LN2)
+
+
+def portable_int_log2_sql(expr: str, prefix: str) -> str:
+    """DuckDB twin of :func:`portable_int_log2` as lateral-alias SELECT
+    items.  Returns a SQL fragment defining ``<prefix>_lg`` (the log2
+    value) via intermediate aliases — splice into a SELECT list."""
+    c0 = repr(1.0 / (2 * _LOG2_TERMS + 1))
+    acc = c0
+    for j in range(_LOG2_TERMS - 1, -1, -1):
+        acc = f"({acc} * {prefix}_s + {repr(1.0 / (2 * j + 1))})"
+    return (
+        f"CAST({expr} AS BIGINT) AS {prefix}_n, "
+        f"length(format('{{:b}}', {prefix}_n)) - 1 AS {prefix}_e, "
+        f"CAST({prefix}_n AS DOUBLE) / CAST((CAST(1 AS BIGINT) << {prefix}_e) AS DOUBLE) AS {prefix}_m, "
+        f"({prefix}_m - 1.0) / ({prefix}_m + 1.0) AS {prefix}_t, "
+        f"{prefix}_t * {prefix}_t AS {prefix}_s, "
+        f"{acc} AS {prefix}_acc, "
+        f"CAST({prefix}_e AS DOUBLE) + 2.0 * {prefix}_t * {prefix}_acc / {repr(_LN2)} AS {prefix}_lg"
+    )

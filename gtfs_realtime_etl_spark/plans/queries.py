@@ -2952,6 +2952,15 @@ from gtfs_realtime_etl_spark.plans.graph import (  # noqa: E402
 QUERIES.update(EXT4_QUERIES)
 ORACLE_SQL.update(EXT4_ORACLE_SQL)
 
+# Sixth bank: corpus novelty, bigram-LM scoring, embedding silhouette.
+from gtfs_realtime_etl_spark.plans.analytics3 import (  # noqa: E402
+    EXT5_ORACLE_SQL,
+    EXT5_QUERIES,
+)
+
+QUERIES.update(EXT5_QUERIES)
+ORACLE_SQL.update(EXT5_ORACLE_SQL)
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #

@@ -284,3 +284,31 @@ def test_to_web_mercator_known_values(spark):
         x, y = exp[(r.lon, r.lat)]
         assert abs(r.m.x - x) <= 1e-6, (r.lon, r.lat)
         assert abs(r.m.y - y) <= 1e-6, (r.lon, r.lat)
+
+
+def test_portable_int_log2_accuracy_and_cross_engine_bits(spark):
+    """portable_int_log2 is (a) within 1e-12 of math.log2 and (b)
+    BIT-identical between Spark and DuckDB — the property engine-native
+    log2 lacks (last-ulp divergence flips fixed-dp rounding)."""
+    import math
+
+    import duckdb
+
+    from gtfs_realtime_etl_spark.functions.stats import (
+        portable_int_log2,
+        portable_int_log2_sql,
+    )
+
+    vals = [1, 2, 3, 7, 29, 1023, 1024, 1025, 999_983, 2**40 - 1, 2**40,
+            12_345_678_901]
+    df = spark.createDataFrame([(v,) for v in vals], "n long")
+    got = {
+        r.n: r.lg
+        for r in df.select("n", portable_int_log2(F.col("n")).alias("lg")).collect()
+    }
+    con = duckdb.connect()
+    for n in vals:
+        frag = portable_int_log2_sql(str(n), "p")
+        (oracle,) = con.execute(f"SELECT p_lg FROM (SELECT {frag})").fetchone()
+        assert got[n] == oracle, (n, got[n], oracle)  # bit-identical
+        assert abs(got[n] - math.log2(n)) < 1e-12, (n, got[n])
