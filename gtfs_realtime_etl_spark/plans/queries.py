@@ -3028,11 +3028,39 @@ _DRIVER_GREEN_R05: tuple[str, ...] = (
 )
 
 
+#: Round-6 additions — never seen by any external gate run, so they
+#: lead the queue.
+_NEW_R06: tuple[str, ...] = (
+    "winnow_dedup",
+    "ngram_novelty",
+    "bigram_lm_score",
+    "embedding_silhouette",
+)
+
+#: Demoted behind the r05-green block: each is a plan-shape repeat of
+#: an already-driver-green query (simple groupBy/histogram/ntile/
+#: conditional-agg/anti-join), so they contribute the least NEW
+#: verification signal if the gate's 50-entry prefix budget runs out.
+_DEMOTE_R06: tuple[str, ...] = (
+    "activity_heatmap",
+    "doc_length_histogram",
+    "quality_deciles",
+    "promo_share",
+    "idle_customers",
+)
+
+
 def _driver_gate_order(d: dict) -> dict:
     checked = set(_DRIVER_GREEN_R05)
-    front = {k: v for k, v in d.items() if k not in checked}
+    new = {k: d[k] for k in _NEW_R06 if k in d}
+    demoted = {k: d[k] for k in _DEMOTE_R06 if k in d}
+    front = {
+        k: v
+        for k, v in d.items()
+        if k not in checked and k not in new and k not in demoted
+    }
     back = {k: d[k] for k in _DRIVER_GREEN_R05 if k in d}
-    return {**front, **back}
+    return {**new, **front, **demoted, **back}
 
 
 QUERIES = _driver_gate_order(QUERIES)
