@@ -357,14 +357,127 @@ FROM sil GROUP BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# k-means coarse quantizer — the learned-cell path of the IVF family
+# (operators/kmeans.py), fit round for round inside the hash gate: the
+# oracle UNROLLS Lloyd's iterations into chained CTEs (same promotion
+# the pagerank_knn oracle made for power iteration).  Determinism:
+# smallest-id init, argmin ties on cell_id, per-round 8-dp centroid
+# quantization (drift cannot accumulate), empty cells carry forward.
+# ---------------------------------------------------------------------------
+
+KM_K = 8
+KM_ITER = 3
+KM_SCALE = 8
+
+
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gtfs_realtime_etl_spark.operators.kmeans import (
+        kmeans_assignments,
+        kmeans_fit,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(embeddings, k=KM_K, iterations=KM_ITER, scale=KM_SCALE)
+    counts = (
+        kmeans_assignments(embeddings, cents)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    cent_df = spark.createDataFrame(
+        [(c["cell_id"], c["centroid"]) for c in cents],
+        "cell_id int, centroid array<double>",
+    )
+    exploded = cent_df.select(
+        "cell_id", F.posexplode("centroid")
+    ).select("cell_id", (F.col("pos") + 1).alias("dim"), F.col("col").alias("cval"))
+    return exploded.join(F.broadcast(counts), "cell_id", "left").select(
+        "cell_id",
+        F.coalesce(F.col("n_members"), F.lit(0)).cast("long").alias("n_members"),
+        "dim",
+        "cval",
+    )
+
+
+_KM_DIST = (
+    "list_reduce(list_prepend(0.0, list_transform("
+    "range(1, len(e.vec) + 1), "
+    "i -> (e.vec[i] - c.centroid[i]) * (e.vec[i] - c.centroid[i]))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _kmeans_round_sql(t: int) -> str:
+    return f"""a{t} AS (
+  SELECT vec_id, vec, cell_id FROM (
+    SELECT e.vec_id, e.vec, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_KM_DIST}, c.cell_id) AS rn
+    FROM emb e CROSS JOIN c{t - 1} c
+  ) WHERE rn = 1
+),
+u{t} AS (
+  SELECT cell_id, list(cval ORDER BY dim) AS centroid
+  FROM (
+    SELECT cell_id, dim,
+           ROUND(CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), {KM_SCALE}) AS cval
+    FROM (SELECT cell_id, unnest(range(1, len(vec) + 1)) AS dim,
+                 unnest(vec) AS val FROM a{t})
+    GROUP BY cell_id, dim
+  ) GROUP BY cell_id
+),
+c{t} AS (
+  SELECT p.cell_id, COALESCE(u.centroid, p.centroid) AS centroid
+  FROM c{t - 1} p LEFT JOIN u{t} u USING (cell_id)
+)"""
+
+
+def _kmeans_centroids_sql() -> str:
+    rounds = ",\n".join(_kmeans_round_sql(t) for t in range(1, KM_ITER + 1))
+    final = KM_ITER
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+c0 AS (
+  SELECT cell_id, centroid FROM (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell_id,
+           vec AS centroid
+    FROM emb
+  ) WHERE cell_id < {KM_K}
+),
+{rounds},
+afinal AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_KM_DIST}, c.cell_id) AS rn
+    FROM emb e CROSS JOIN c{final} c
+  ) WHERE rn = 1
+),
+counts AS (SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_members
+           FROM afinal GROUP BY cell_id)
+SELECT c.cell_id,
+       COALESCE(n.n_members, 0) AS n_members,
+       dim, cval
+FROM (SELECT cell_id, unnest(range(1, len(centroid) + 1)) AS dim,
+             unnest(centroid) AS cval FROM c{final}) c
+LEFT JOIN counts n USING (cell_id)
+"""
+
+
+Q_KMEANS_CENTROIDS_SQL = _kmeans_centroids_sql()
+
+
 EXT5_QUERIES = {
     "ngram_novelty": q_ngram_novelty,
     "bigram_lm_score": q_bigram_lm_score,
     "embedding_silhouette": q_embedding_silhouette,
+    "kmeans_centroids": q_kmeans_centroids,
 }
 
 EXT5_ORACLE_SQL = {
     "ngram_novelty": Q_NGRAM_NOVELTY_SQL,
     "bigram_lm_score": Q_BIGRAM_LM_SCORE_SQL,
     "embedding_silhouette": Q_EMBEDDING_SILHOUETTE_SQL,
+    "kmeans_centroids": Q_KMEANS_CENTROIDS_SQL,
 }

@@ -3032,6 +3032,7 @@ _DRIVER_GREEN_R05: tuple[str, ...] = (
 #: lead the queue.
 _NEW_R06: tuple[str, ...] = (
     "winnow_dedup",
+    "kmeans_centroids",
     "ngram_novelty",
     "bigram_lm_score",
     "embedding_silhouette",

@@ -1,0 +1,64 @@
+"""k-means coarse quantizer: Lloyd's improves the clustering objective
+and the fitted table plugs into the IVF consumers unchanged."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gtfs_realtime_etl_spark.operators.kmeans import (
+    kmeans_assignments,
+    kmeans_fit,
+)
+from gtfs_realtime_etl_spark.operators.similarity import _l2sq, ivf_topk
+
+
+def _cost(spark, emb, cents) -> float:
+    """Total within-cluster squared distance under a centroid list."""
+    cent_df = spark.createDataFrame(
+        [(c["cell_id"], c["centroid"]) for c in cents],
+        "cell_id int, centroid array<double>",
+    )
+    assigned = kmeans_assignments(emb, cents)
+    return (
+        assigned.join(
+            emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+            "vec_id",
+        )
+        .join(F.broadcast(cent_df), "cell_id")
+        .select(_l2sq(F.col("v"), F.col("centroid")).alias("d"))
+        .agg(F.sum("d"))
+        .collect()[0][0]
+    )
+
+
+def test_kmeans_improves_objective_and_partitions_totally(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    init = kmeans_fit(emb, k=8, iterations=0)
+    fit = kmeans_fit(emb, k=8, iterations=3)
+    # Lloyd's is (quantization-tolerant) non-increasing in the objective
+    assert _cost(spark, emb, fit) <= _cost(spark, emb, init) + 1e-6
+    # total assignment: every vector lands in exactly one cell
+    counts = kmeans_assignments(emb, fit).groupBy("cell_id").count().collect()
+    assert sum(r["count"] for r in counts) == n
+    assert len(counts) <= 8
+
+
+def test_kmeans_centroids_feed_ivf_topk(spark):
+    """The fitted list is drop-in for ivf_topk (same collected form as
+    centroids_from_labels): probing returns exactly k hits per query."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_fit(emb, k=8, iterations=2)
+    q = emb.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    out = ivf_topk(emb, q, cents, k=5, nprobe=3).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(len(v) for v in per_q.values()) == {5}
+    # a query vector present in the corpus must find itself first
+    for qid, rows in per_q.items():
+        best = max(rows, key=lambda r: r["cosine"])
+        assert best["vec_id"] == qid
