@@ -774,24 +774,61 @@ FROM counts
 
 
 # ---------------------------------------------------------------------------
-# Approximate distinct profile (rows-only lane): HyperLogLog++ distinct
-# counts per event_type next to the exact answer's cost profile.  No
-# SQL oracle ON PURPOSE: DuckDB's approx_count_distinct is a different
-# HLL implementation, so cross-engine hashes cannot match — the
-# accuracy contract is pinned by tests/test_semdedup_chunking.py-style
-# unit test (|approx - exact| / exact < 5%) instead.  At 100 TB this is
-# the distinct-count you actually run: one pass, fixed 2^p-register
-# state per group, no Expand blowup.
+# Approximate distinct profile: HyperLogLog++ distinct counts per
+# event_type.  The raw HLL estimates cannot be hash-matched against
+# another engine (DuckDB's approx_count_distinct is a different HLL
+# implementation), so the driver-checkable contract is:
+#   * exact COUNT(DISTINCT) columns the oracle hash-matches bit-for-bit
+#   * boolean |approx - exact| / exact <= 2.5% bound columns that are
+#     TRUE under Spark's rsd=0.01 sketch and literal TRUE in the oracle
+# — a wrong exact count OR an out-of-tolerance sketch both flip the
+# hash.  At 100 TB you run the HLL columns only (one pass, fixed
+# 2^p-register state per group, no distinct-agg Expand blowup); the
+# exact twin here is the verification harness, not the production plan.
+# The two exact COUNT(DISTINCT) aggs deliberately share one groupBy —
+# Spark plans a single Expand (×3) + partial/final agg, still one
+# shuffle on event_type.
 # ---------------------------------------------------------------------------
+
+APPROX_DISTINCT_TOL = 0.025
 
 
 def q_approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    tol = F.lit(APPROX_DISTINCT_TOL)
+    out = events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.approx_count_distinct("value", rsd=0.01).alias("approx_values"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count_distinct("value").alias("exact_values"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_au"),
+        F.approx_count_distinct("value", rsd=0.01).alias("_av"),
     )
+    def _ok(approx, exact):
+        return (
+            F.abs(F.col(approx) - F.col(exact))
+            / F.greatest(F.col(exact).cast("double"), F.lit(1.0))
+            <= tol
+        )
+    return out.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        "exact_values",
+        _ok("_au", "exact_users").alias("approx_users_ok"),
+        _ok("_av", "exact_values").alias("approx_values_ok"),
+    )
+
+
+Q_APPROX_DISTINCT_PROFILE_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT)              AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(COUNT(DISTINCT value)  AS BIGINT) AS exact_values,
+       TRUE AS approx_users_ok,
+       TRUE AS approx_values_ok
+FROM events
+GROUP BY event_type
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1273,8 +1310,7 @@ EXT2_ORACLE_SQL = {
     "doc_chunks": Q_DOC_CHUNKS_SQL,
     "quality_resample": Q_QUALITY_RESAMPLE_SQL,
     "event_transitions": Q_EVENT_TRANSITIONS_SQL,
-    # approx_distinct_profile: rows-only lane by design (HLL impls
-    # differ across engines — see the query docstring).
+    "approx_distinct_profile": Q_APPROX_DISTINCT_PROFILE_SQL,
     "vocab_coverage": Q_VOCAB_COVERAGE_SQL,
     "semantic_decontam": Q_SEMANTIC_DECONTAM_SQL,
     "group_split": Q_GROUP_SPLIT_SQL,

@@ -3028,40 +3028,77 @@ _DRIVER_GREEN_R05: tuple[str, ...] = (
 )
 
 
-#: Round-6 additions — never seen by any external gate run, so they
-#: lead the queue.
-_NEW_R06: tuple[str, ...] = (
+#: Entries the round-6 driver pass verified hash-green (CORRECTNESS_r06.json;
+#: ``approx_distinct_profile`` is excluded — its r06 row was ``no_oracle``
+#: rows-only, and it was reworked in round 7 to carry exact COUNT(DISTINCT)
+#: columns the oracle can hash, so it must be re-checked).
+_DRIVER_GREEN_R06: tuple[str, ...] = (
     "winnow_dedup",
     "kmeans_centroids",
     "ngram_novelty",
     "bigram_lm_score",
     "embedding_silhouette",
-)
-
-#: Demoted behind the r05-green block: each is a plan-shape repeat of
-#: an already-driver-green query (simple groupBy/histogram/ntile/
-#: conditional-agg/anti-join), so they contribute the least NEW
-#: verification signal if the gate's 50-entry prefix budget runs out.
-_DEMOTE_R06: tuple[str, ...] = (
-    "activity_heatmap",
-    "doc_length_histogram",
-    "quality_deciles",
-    "promo_share",
-    "idle_customers",
+    "embedding_quantization",
+    "mixture_sample",
+    "tfidf_top_terms",
+    "ngram_dup_spans",
+    "shard_assignment",
+    "edit_distance_pairs",
+    "funnel_conversion",
+    "retention_cohorts",
+    "rolling_event_value",
+    "event_rate_anomaly",
+    "cdc_upsert",
+    "value_hour_corr",
+    "incremental_revenue",
+    "domain_cap",
+    "interval_overlap_join",
+    "gap_fill_resample",
+    "table_profile",
+    "boilerplate_prefixes",
+    "lexical_diversity",
+    "semantic_dedup",
+    "doc_chunks",
+    "quality_resample",
+    "event_transitions",
+    "vocab_coverage",
+    "semantic_decontam",
+    "group_split",
+    "shipping_priority",
+    "returned_items",
+    "epoch_shuffle",
+    "min_cost_supplier",
+    "order_count_distribution",
+    "small_qty_revenue",
+    "large_orders",
+    "waiting_supplier",
+    "top_supplier",
+    "supplier_part_counts",
+    "important_parts",
+    "fk_integrity",
+    "scd2_intervals",
+    "period_reconciliation",
+    "point_in_time_state",
+    "grouping_sets_revenue",
+    "activity_islands",
+    "pagerank_knn",
 )
 
 
 def _driver_gate_order(d: dict) -> dict:
-    checked = set(_DRIVER_GREEN_R05)
-    new = {k: d[k] for k in _NEW_R06 if k in d}
-    demoted = {k: d[k] for k in _DEMOTE_R06 if k in d}
-    front = {
-        k: v
-        for k, v in d.items()
-        if k not in checked and k not in new and k not in demoted
-    }
+    """Order the registry so the external driver's 50-entry correctness
+    budget lands on entries that do NOT yet have a driver-green
+    CORRECTNESS row.  Never-verified entries (anything outside the
+    cumulative r05+r06 green sets — including every new round-7 query
+    and the reworked ``approx_distinct_profile``) lead the queue; the
+    r06-green block follows, then the r05-green block.  Purely a
+    dict-ordering change — every (name, callable, oracle) triple is
+    unchanged, and no entry is ever excluded."""
+    green = set(_DRIVER_GREEN_R05) | set(_DRIVER_GREEN_R06)
+    front = {k: v for k, v in d.items() if k not in green}
+    mid = {k: d[k] for k in _DRIVER_GREEN_R06 if k in d}
     back = {k: d[k] for k in _DRIVER_GREEN_R05 if k in d}
-    return {**new, **front, **demoted, **back}
+    return {**front, **mid, **back}
 
 
 QUERIES = _driver_gate_order(QUERIES)
