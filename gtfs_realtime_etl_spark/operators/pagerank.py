@@ -54,10 +54,16 @@ def pagerank(
     (a preempted executor fails the computation rather than recomputing
     lineage — acceptable on static local/driver sessions, not on
     clusters with dynamic allocation); and plan construction is no
-    longer lazy.  Callers with cheap edge lineage, preemptible
-    executors, or their own persistence should pass
-    ``materialize_edges=False`` (edges are then re-read per derivation;
-    correct either way).
+    longer lazy.  Callers with cheap edge lineage or their own
+    persistence should pass ``materialize_edges=False`` (edges are then
+    re-read per derivation; correct either way).  NOTE this flag only
+    removes the up-front edge pins: the per-round rank localCheckpoint
+    below is unconditional (eager under ``dangling="collect"``, lazy
+    under ``dangling="none"`` but still checkpoint-backed once
+    evaluated), so executor loss mid-iteration invalidates checkpoint
+    blocks and fails the fit regardless of ``materialize_edges``.  On
+    preemptible clusters rerun the fit (it is deterministic) or snapshot
+    ranks between rounds with your own ``persist(DISK_ONLY)``.
 
     ``dangling="collect"`` (default) measures the rank mass held by
     nodes without out-edges each round (one driver action per round)

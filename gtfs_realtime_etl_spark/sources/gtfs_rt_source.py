@@ -19,12 +19,14 @@ Semantics:
   small batch"; a vehicle-positions payload is KBs, the fan-out
   happens AFTER decode in the distributed pipeline).
 - Offsets are fetch tick numbers (``{"tick": n}``).  Every fetched
-  payload is spooled as ``tick_<n>.pb`` under the required
-  ``spool_dir`` BEFORE the rows are returned, which makes recovery
-  honest: ``readBetweenOffsets`` (Spark's failure-recovery replay)
-  re-reads the exact bytes from the spool — an HTTP endpoint cannot
-  re-serve the past.  The spool is also the raw-payload archive the
-  reference keeps in S3.
+  payload is spooled as ``tick_<n>_<fetch_ts_us>.pb`` under the
+  required ``spool_dir`` BEFORE the rows are returned, which makes
+  recovery honest: ``readBetweenOffsets`` (Spark's failure-recovery
+  replay) re-reads the exact bytes from the spool — an HTTP endpoint
+  cannot re-serve the past — and recovers the ORIGINAL ``fetch_ts_us``
+  from the filename, so replay is bit-identical in every output column
+  (file bytes stay the raw protobuf payload; the spool doubles as the
+  raw-payload archive the reference keeps in S3).
 - ``max_ticks`` (option, default unbounded) stops advancing the offset
   after N fetches — the bounded-drain mode used by tests and backfill
   jobs; further reads return no rows and the same offset.
@@ -66,8 +68,30 @@ FEED_FRAME_SCHEMA = StructType(
 )
 
 
-def _spool_path(spool_dir: str, tick: int) -> str:
-    return os.path.join(spool_dir, f"tick_{tick:012d}.pb")
+def _spool_path(spool_dir: str, tick: int, ts_us: int) -> str:
+    return os.path.join(spool_dir, f"tick_{tick:012d}_{ts_us:020d}.pb")
+
+
+def _find_spool(spool_dir: str, tick: int) -> tuple[str, int] | None:
+    """Locate tick ``n``'s spool file; returns (path, fetch_ts_us).
+
+    A pre-offset-commit crash can leave more than one variant for the
+    same tick (each attempt spools under its own fetch timestamp); the
+    LATEST one is the attempt whose rows were exposed, and ``read``
+    prunes stale variants on its next successful pass anyway.
+    """
+    try:
+        names = sorted(
+            n
+            for n in os.listdir(spool_dir)
+            if n.startswith(f"tick_{tick:012d}_") and n.endswith(".pb")
+        )
+    except FileNotFoundError:
+        return None
+    if not names:
+        return None
+    name = names[-1]
+    return os.path.join(spool_dir, name), int(name[len("tick_000000000000_"):-3])
 
 
 class GtfsRtStreamReader(SimpleDataSourceStreamReader):
@@ -104,37 +128,47 @@ class GtfsRtStreamReader(SimpleDataSourceStreamReader):
                 raise
             payload = b""  # skip tick: offset advances, empty spool marker
         # Spool BEFORE returning rows: once the offset is exposed, the
-        # bytes must be replayable (readBetweenOffsets).  Atomic rename
-        # so a crashed write never leaves a torn spool file; idempotent
-        # (same tick re-fetched after a pre-offset-commit crash simply
-        # overwrites its own spool slot).
+        # bytes must be replayable (readBetweenOffsets).  The fetch
+        # timestamp rides in the FILENAME (payload bytes stay the raw
+        # protobuf), so replay emits the same fetch_ts_us the original
+        # batch did.  Atomic rename so a crashed write never leaves a
+        # torn spool file; a same-tick re-fetch after a
+        # pre-offset-commit crash spools under a new timestamp and the
+        # stale variant is pruned below.
+        ts_us = int(time.time() * 1_000_000)
         os.makedirs(self.spool_dir, exist_ok=True)
-        final = _spool_path(self.spool_dir, tick)
+        final = _spool_path(self.spool_dir, tick, ts_us)
         tmp = f"{final}.tmp"
         with open(tmp, "wb") as f:
             f.write(payload)
         os.replace(tmp, final)
-        ts_us = int(time.time() * 1_000_000)
+        for name in os.listdir(self.spool_dir):
+            if (
+                name.startswith(f"tick_{tick:012d}_")
+                and name.endswith(".pb")
+                and os.path.join(self.spool_dir, name) != final
+            ):
+                os.remove(os.path.join(self.spool_dir, name))
         rows = iter([(ts_us, payload)]) if payload else iter(())
         return rows, {"tick": tick + 1}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        # Failure recovery: deterministic replay from the spool.  The
-        # fetch timestamp is not part of the replayed data contract
-        # (downstream event time comes from the decoded feed, not the
-        # fetch clock); the spool mtime stands in for it.
+        # Failure recovery: deterministic replay from the spool —
+        # payload bytes from the file, fetch_ts_us from the filename,
+        # so a recovered batch is bit-identical to the original.
         for tick in range(int(start["tick"]), int(end["tick"])):
-            path = _spool_path(self.spool_dir, tick)
-            if not os.path.exists(path):
+            found = _find_spool(self.spool_dir, tick)
+            if found is None:
                 raise FileNotFoundError(
-                    f"gtfs_rt spool missing tick {tick} ({path}); cannot "
-                    "replay — was the spool pruned below the checkpoint "
-                    "horizon?"
+                    f"gtfs_rt spool missing tick {tick} "
+                    f"({self.spool_dir}); cannot replay — was the spool "
+                    "pruned below the checkpoint horizon?"
                 )
+            path, ts_us = found
             with open(path, "rb") as f:
                 payload = f.read()
             if payload:
-                yield (int(os.path.getmtime(path) * 1_000_000), payload)
+                yield (ts_us, payload)
 
     def commit(self, end: dict) -> None:
         # Spool files at ticks < end are no longer needed for recovery.

@@ -28,9 +28,23 @@ whole-batch redelivery.  A crash BETWEEN an append and the marker write
 re-runs the batch, so each append is additionally idempotent on its
 own: the pairs output is deduplicated at read (``read_candidate_pairs``
 distinct), and the index append anti-joins the batch's (id, band_id)
-rows against the stored index first — a retry after partial failure
-appends only the rows the crashed attempt did not commit, preserving
-the one-row-per-(doc, band) invariant that bucket-size caps rely on.
+rows against the stored index rows OF THIS BATCH (the index carries a
+``batch_id`` partition column, so the guard read partition-prunes to
+the retried batch's own directories — O(batch), not O(index), and empty
+on a clean first attempt) — a retry after partial failure appends only
+the rows the crashed attempt did not commit, preserving the
+one-row-per-(doc, band) invariant that bucket-size caps rely on.
+
+ASSUMPTION (load-bearing): document ids are immutable and unique across
+the stream's lifetime — a doc_id is ingested once, and its text never
+changes.  Structured Streaming replays a failed micro-batch with the
+SAME batch_id, which the guards above handle; a SOURCE that re-emits an
+already-ingested doc_id in a LATER batch (same or changed text) is
+outside the contract: the index would hold two signature sets for that
+id (stale + new), candidate pairs may include (id, id) artifacts, and
+bucket caps count the id twice.  If your source can re-deliver, dedup
+upstream on doc_id (e.g. ``dropDuplicates`` with a watermark) before
+this sink.
 
 Scale shape: per batch, ONE narrow scan of the stored index
 ((id, band_id, band_key) — never the text), one exchange on
@@ -41,6 +55,7 @@ pair explode.  Index growth is linear in corpus cardinality, not bytes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from gtfs_realtime_etl_spark.operators.dedup import DEFAULT_MAX_BUCKET
@@ -116,20 +131,28 @@ def make_dedup_index_sink(
 
         sigs = banded_signatures(
             batch, text_col, id_col, num_hashes, bands, shingle_k
-        )
+        ).withColumn("batch_id", F.lit(batch_id))
         if index_exists:
             # Partial-failure guard: if a prior attempt crashed after
             # committing (some of) the index append but before the
             # marker, this retry must not double-append.  Anti-join on
-            # (id, band_id): reads ONE data column (the id) plus the
-            # band_id partition key from the stored index — never the
-            # signatures — and handles non-atomic committers that left
-            # only some of a doc's band rows behind.
+            # (id, band_id) against the stored rows of THIS batch only:
+            # batch_id is a partition column, so the read prunes to the
+            # retried batch's own directories (empty on a clean
+            # attempt) — O(batch) cost however large the index grows —
+            # and reads one data column (the id) plus partition keys,
+            # never the signatures.  Sufficient because Structured
+            # Streaming replays a failed batch under the SAME batch_id
+            # and doc ids are unique across batches (module contract).
             stored = (
-                spark.read.parquet(index_root).select(id_col, "band_id")
+                spark.read.parquet(index_root)
+                .where(F.col("batch_id") == batch_id)
+                .select(id_col, "band_id")
             )
             sigs = sigs.join(stored, [id_col, "band_id"], "left_anti")
-        sigs.write.partitionBy("band_id").mode("append").parquet(index_root)
+        sigs.write.partitionBy("band_id", "batch_id").mode("append").parquet(
+            index_root
+        )
 
         fs.mkdirs(marker.getParent())
         fs.create(marker, True).close()

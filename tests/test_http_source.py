@@ -13,7 +13,7 @@ import pytest
 from gtfs_realtime_etl_spark.sources.gtfs_rt import encode_feed
 from gtfs_realtime_etl_spark.sources.gtfs_rt_source import (
     GtfsRtStreamReader,
-    _spool_path,
+    _find_spool,
 )
 from gtfs_realtime_etl_spark.streaming.ingest import (
     start_feed_file_stream,
@@ -96,7 +96,7 @@ def test_http_stream_matches_file_path(spark, tmp_path, rotating_feed_server):
 
     # every tick's raw payload was spooled (replay archive)
     for tick in range(N_TICKS):
-        assert (tmp_path / "spool" / f"tick_{tick:012d}.pb").exists()
+        assert _find_spool(str(tmp_path / "spool"), tick) is not None
 
 
 def test_reader_offsets_spool_and_replay(tmp_path, rotating_feed_server):
@@ -113,19 +113,24 @@ def test_reader_offsets_spool_and_replay(tmp_path, rotating_feed_server):
     assert off1 == {"tick": 1} and len(rows0) == 1
     assert rows0[0][1] == PAYLOADS[0]
     rows1, off2 = r.read(off1)
-    assert list(rows1)[0][1] == PAYLOADS[1] and off2 == {"tick": 2}
+    rows1_list = list(rows1)
+    assert rows1_list[0][1] == PAYLOADS[1] and off2 == {"tick": 2}
     # drained: no rows, no progress
     rows2, off3 = r.read(off2)
     assert list(rows2) == [] and off3 == {"tick": 2}
 
-    # deterministic replay from the spool, not the (rotating) endpoint
-    replayed = [p for _, p in r.readBetweenOffsets({"tick": 0}, {"tick": 2})]
-    assert replayed == PAYLOADS[:2]
+    # deterministic replay from the spool, not the (rotating) endpoint —
+    # BIT-identical: fetch_ts_us comes back from the spool filename, so
+    # a recovered batch equals the original in every column.
+    replayed = list(r.readBetweenOffsets({"tick": 0}, {"tick": 2}))
+    assert replayed == [tuple(rows0[0]), tuple(list(rows1_list)[0])]
+    assert [p for _, p in replayed] == PAYLOADS[:2]
 
     # missing spool tick fails loud
     import os
 
-    os.remove(_spool_path(spool, 0))
+    path0, _ = _find_spool(spool, 0)
+    os.remove(path0)
     with pytest.raises(FileNotFoundError):
         list(r.readBetweenOffsets({"tick": 0}, {"tick": 2}))
 
@@ -140,7 +145,9 @@ def test_reader_error_skip_advances_offset(tmp_path):
     )
     rows, off = r.read({"tick": 0})
     assert list(rows) == [] and off == {"tick": 1}
-    assert (tmp_path / "spool" / "tick_000000000000.pb").read_bytes() == b""
+    path0, _ = _find_spool(spool, 0)
+    with open(path0, "rb") as f:
+        assert f.read() == b""
     # replay of the skipped tick yields nothing (not a crash)
     assert list(r.readBetweenOffsets({"tick": 0}, {"tick": 1})) == []
 

@@ -1,5 +1,7 @@
-"""Streaming per-source token budget (transformWithStateInPandas):
-cross-batch state, in-flight drop semantics, retry-stable totals."""
+"""Streaming per-source token budget (applyInPandasWithState — see
+streaming/budget.py for why transformWithStateInPandas is unavailable
+in this container): cross-batch state, in-flight drop semantics,
+retry-stable totals."""
 
 from __future__ import annotations
 
@@ -39,6 +41,13 @@ def _write_slices(tmp_path, rows, n_slices):
             ),
             str(src / f"slice_{i}.parquet"),
         )
+        # FileStreamSource orders files by modification time and breaks
+        # ties arbitrarily — pin strictly increasing mtimes so the
+        # micro-batch order is the slice order (the property under test
+        # is budget-vs-batching, not file-discovery order).
+        import os
+
+        os.utime(str(src / f"slice_{i}.parquet"), (1_700_000_000 + i, 1_700_000_000 + i))
     return str(src)
 
 
