@@ -172,9 +172,19 @@ def _l2sq(a: Column, b: Column) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _centroid_rows(centroids: "DataFrame | list") -> list:
+    """Normalize a centroid table to its collected ``[{cell_id,
+    centroid}]`` form — accepts either a DataFrame (e.g.
+    ``centroids_from_labels``) or an already-collected list (e.g.
+    ``kmeans_fit``).  A coarse quantizer is tiny by definition, so the
+    collect is broadcast-class."""
+    rows = centroids if isinstance(centroids, list) else centroids.collect()
+    return sorted(rows, key=lambda r: r["cell_id"])
+
+
 def assign_cells(
     embeddings: DataFrame,
-    centroids: DataFrame,
+    centroids: "DataFrame | list",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Nearest-centroid cell id per vector, as a PURE PROJECTION.
@@ -184,10 +194,7 @@ def assign_cells(
     argmin becomes a narrow Column expression — no shuffle, no join, no
     aggregation; assignment scales linearly with the corpus scan.  Ties
     break on cell_id via lexicographic struct ordering (deterministic)."""
-    cents = sorted(
-        centroids.collect(), key=lambda r: r["cell_id"]
-    )  # tiny by definition
-    return _assign_cells_rows(embeddings, cents, vec_col)
+    return _assign_cells_rows(embeddings, _centroid_rows(centroids), vec_col)
 
 
 def _assign_cells_rows(embeddings: DataFrame, cents: list, vec_col: str) -> DataFrame:
@@ -233,10 +240,7 @@ def ivf_topk(
     # posexplode+groupBy lineage for the probe broadcast.)  Callers that
     # already hold the collected rows (e.g. via a registry-level cache)
     # pass the list directly and skip the collect.
-    if isinstance(centroids, list):
-        cents = sorted(centroids, key=lambda r: r["cell_id"])
-    else:
-        cents = sorted(centroids.collect(), key=lambda r: r["cell_id"])
+    cents = _centroid_rows(centroids)
     cent_local = embeddings.sparkSession.createDataFrame(
         [(r["cell_id"], [float(v) for v in r["centroid"]]) for r in cents],
         "cell_id int, centroid array<double>",
@@ -340,7 +344,7 @@ def dequantize(
 
 def write_ivf_index(
     embeddings: DataFrame,
-    centroids: DataFrame,
+    centroids: "DataFrame | list",
     path: str,
     vec_col: str = "embedding",
     mode: str = "overwrite",
@@ -358,7 +362,7 @@ def write_ivf_index(
 
 def select_probe_cells(
     query: DataFrame,
-    centroids: DataFrame,
+    centroids: "DataFrame | list",
     nprobe: int,
     query_id_col: str = "query_id",
     query_vec_col: str = "qvec",
@@ -368,7 +372,7 @@ def select_probe_cells(
     nearest centroids.  Same left-to-right squared-L2 fold and the same
     (dist, cell_id) tie-break as :func:`_l2sq` + :func:`ivf_topk`'s
     in-plan window, so both probe paths pick identical cells."""
-    cents = sorted(centroids.collect(), key=lambda r: r["cell_id"])
+    cents = _centroid_rows(centroids)
 
     def l2sq(a, b) -> float:
         acc = 0.0
@@ -388,7 +392,7 @@ def ivf_index_topk(
     spark,
     index_path: str,
     query: DataFrame,
-    centroids: DataFrame,
+    centroids: "DataFrame | list",
     k: int = 10,
     nprobe: int = 2,
     id_col: str = "vec_id",

@@ -1203,15 +1203,22 @@ def _shuffle_key(doc_id: Column, epoch: Column) -> Column:
     return F.pmod(r * r + r, F.lit(MOD))
 
 
-def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (documents,) = _t(spark, sf_dir, "documents")
+def epoch_shuffle_positions(
+    documents: DataFrame,
+    n_epochs: int = SHUFFLE_EPOCHS,
+    n_buckets: int = EPOCH_SHUFFLE_BUCKETS,
+) -> DataFrame:
+    """Deterministic per-epoch shuffle positions for any frame with a
+    ``doc_id`` column — the two-level range rank described above,
+    exposed as a reusable operator (the registry query and the 20×
+    scale smoke both call this)."""
     # Epoch replication as a pure projection (explode of a literal
     # sequence) — no join of any kind, each task emits its own rows.
     epochs = documents.select(
         "doc_id",
         F.explode(
             F.sequence(
-                F.lit(0).cast("int"), F.lit(SHUFFLE_EPOCHS - 1).cast("int")
+                F.lit(0).cast("int"), F.lit(n_epochs - 1).cast("int")
             )
         ).alias("epoch"),
     )
@@ -1223,7 +1230,7 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a broadcast-sized per-bucket count.
     from gtfs_realtime_etl_spark.functions.hashing import MOD
 
-    width = (MOD + EPOCH_SHUFFLE_BUCKETS - 1) // EPOCH_SHUFFLE_BUCKETS
+    width = (MOD + n_buckets - 1) // n_buckets
     keyed = keyed.withColumn("bucket", (F.col("k") / F.lit(width)).cast("int"))
     local = keyed.withColumn(
         "local_pos",
@@ -1252,6 +1259,11 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("offset") + F.col("local_pos")).cast("int").alias("pos"),
     )
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    return epoch_shuffle_positions(documents)
 
 
 def _epoch_shuffle_sql() -> str:

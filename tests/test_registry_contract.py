@@ -10,11 +10,12 @@ import pytest
 from gtfs_realtime_etl_spark.plans.queries import ORACLE_SQL, QUERIES
 
 
-#: Queries DECLARED rows-only: a cross-engine hash oracle is impossible
-#: by construction (different HLL sketches), and their accuracy
-#: contract lives in a dedicated unit test instead.  Anything else
+#: Queries DECLARED rows-only (no cross-engine hash oracle possible by
+#: construction).  Empty since round 7: approx_distinct_profile now
+#: emits exact COUNT(DISTINCT) twins plus boolean HLL-error-bound
+#: columns, so even the sketch rides a hashable oracle.  Anything
 #: missing an oracle is a registry bug.
-ROWS_ONLY_BY_DESIGN = {"approx_distinct_profile"}
+ROWS_ONLY_BY_DESIGN: set[str] = set()
 
 
 def test_every_query_has_an_oracle():
