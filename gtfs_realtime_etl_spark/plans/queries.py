@@ -2961,6 +2961,16 @@ from gtfs_realtime_etl_spark.plans.analytics3 import (  # noqa: E402
 QUERIES.update(EXT5_QUERIES)
 ORACLE_SQL.update(EXT5_ORACLE_SQL)
 
+# Seventh bank: distributed linear algebra (decimal-exact covariance,
+# per-dim standardization) + MinHash sketch-accuracy harness.
+from gtfs_realtime_etl_spark.plans.analytics4 import (  # noqa: E402
+    EXT6_ORACLE_SQL,
+    EXT6_QUERIES,
+)
+
+QUERIES.update(EXT6_QUERIES)
+ORACLE_SQL.update(EXT6_ORACLE_SQL)
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
