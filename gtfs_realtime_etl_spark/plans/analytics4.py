@@ -339,13 +339,218 @@ FROM (
 Q_MINHASH_JACCARD_ESTIMATE_SQL = _mje_sql()
 
 
+# ---------------------------------------------------------------------------
+# Quantile-sketch accuracy profile — third member of the
+# sketch-accuracy family (HLL: approx_distinct_profile, MinHash:
+# minhash_jaccard_estimate).  Per event_type: the EXACT interpolated
+# percentiles (both engines use the same (n−1)p linear interpolation —
+# verified bit-identical) ride the hash gate, and the
+# Greenwald-Khanna ``percentile_approx`` estimates are checked against
+# an exact-percentile BAND: GK guarantees rank error ≤ n/accuracy, so
+# with accuracy=1000 the estimate at p must lie within the exact
+# quantiles at p ± 2/1000 (2× the bound, engine-deterministic — the
+# boolean cannot flake).  At 100 TB the sketch is the one you run: one
+# pass, bounded state, mergeable partials; the exact twin here is the
+# verification harness.
+# ---------------------------------------------------------------------------
+
+QPROF_PS = (0.25, 0.50, 0.75, 0.95)
+QPROF_ACCURACY = 1000
+QPROF_EPS = 2.0 / QPROF_ACCURACY
+
+
+def q_approx_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    ps = ", ".join(f"{p}D" for p in QPROF_PS)
+    lo = ", ".join(f"{max(p - QPROF_EPS, 0.0)}D" for p in QPROF_PS)
+    hi = ", ".join(f"{min(p + QPROF_EPS, 1.0)}D" for p in QPROF_PS)
+    agg = events.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.expr(f"percentile(value, array({ps}))").alias("_ex"),
+        F.expr(f"percentile(value, array({lo}))").alias("_lo"),
+        F.expr(f"percentile(value, array({hi}))").alias("_hi"),
+        F.expr(
+            f"approx_percentile(value, array({ps}), {QPROF_ACCURACY})"
+        ).alias("_ap"),
+    )
+    cols = [F.col("event_type"), F.col("n")]
+    for idx, p in enumerate(QPROF_PS):
+        tag = str(int(p * 100))
+        cols.append(F.round(F.element_at("_ex", idx + 1), 6).alias(f"p{tag}"))
+        cols.append(
+            (
+                (F.element_at("_ap", idx + 1) >= F.element_at("_lo", idx + 1))
+                & (F.element_at("_ap", idx + 1) <= F.element_at("_hi", idx + 1))
+            ).alias(f"ok{tag}")
+        )
+    return agg.select(*cols)
+
+
+def _qprof_sql() -> str:
+    sel = ["event_type", "CAST(COUNT(value) AS BIGINT) AS n"]
+    for p in QPROF_PS:
+        tag = str(int(p * 100))
+        sel.append(f"ROUND(quantile_cont(value, {p}), 6) AS p{tag}")
+        sel.append(f"TRUE AS ok{tag}")
+    return (
+        "SELECT " + ",\n       ".join(sel) + "\nFROM events GROUP BY event_type"
+    )
+
+
+Q_APPROX_QUANTILE_PROFILE_SQL = _qprof_sql()
+
+
+# ---------------------------------------------------------------------------
+# Token co-occurrence PMI — the GloVe/word2vec-era association
+# statistic a corpus pipeline computes before embedding training, and
+# the standard collocation detector for tokenizer/vocab design.
+#
+#   pmi(x,y) = log2( p(x,y) / (p(x)·p(y)) )
+#            = L(c_xy) − L(N_p) − L(c_x) − L(c_y) + 2·L(N_tok)
+#
+# where every L(·) is the PORTABLE integer log2 (functions/stats.py) —
+# all five arguments are integer counts, so the whole score is
+# bit-identical across engines (same trick as bigram_lm_score; native
+# log2 differs in the last ulp and flips rounded hashes).
+#
+# Pairs are unordered co-occurrences within a ±(PMI_WINDOW−1) token
+# window, generated as a pure projection (zip_with over shifted
+# slices — no join); counts are two hash aggregates (pair, unigram);
+# the corpus scalars (N_p, N_tok) ride a 1-row broadcast crossJoin
+# (allowlisted scalar-BNLJ pattern).  Output is the top PMI_TOPK
+# collocations among pairs seen ≥ PMI_MIN_COOC times —
+# TakeOrderedAndProject, no full sort.
+# ---------------------------------------------------------------------------
+
+PMI_WINDOW = 3
+PMI_MIN_COOC = 5
+PMI_TOPK = 100
+
+
+def _window_pair_array(t, window: int):
+    arrs = []
+    for d in range(1, window):
+        n = F.greatest(F.size(t) - d, F.lit(0))
+        a = F.slice(t, 1, n)
+        b = F.slice(t, 1 + d, n)
+        arrs.append(
+            F.zip_with(
+                a, b,
+                lambda x, y: F.concat_ws(" ", F.least(x, y), F.greatest(x, y)),
+            )
+        )
+    return F.flatten(F.array(*arrs))
+
+
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gtfs_realtime_etl_spark.functions.stats import portable_int_log2
+    from gtfs_realtime_etl_spark.functions.text import tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(tokens(F.col("text")).alias("t"))
+    unis = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pairs = toks.select(
+        F.explode(_window_pair_array(F.col("t"), PMI_WINDOW)).alias("pair")
+    )
+    pair_counts = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .where(F.col("cxy") >= PMI_MIN_COOC)
+        .withColumn("x", F.split("pair", " ").getItem(0))
+        .withColumn("y", F.split("pair", " ").getItem(1))
+    )
+    scalars = (
+        pairs.agg(F.count(F.lit(1)).alias("np"))
+        .crossJoin(
+            F.broadcast(
+                toks.select(F.explode("t").alias("w")).agg(
+                    F.count(F.lit(1)).alias("ntok")
+                )
+            )
+        )
+    )
+    ux = unis.select(F.col("w").alias("x"), F.col("c").alias("cx"))
+    uy = unis.select(F.col("w").alias("y"), F.col("c").alias("cy"))
+    pmi = (
+        portable_int_log2(F.col("cxy"))
+        - portable_int_log2(F.col("np"))
+        - portable_int_log2(F.col("cx"))
+        - portable_int_log2(F.col("cy"))
+        + F.lit(2.0) * portable_int_log2(F.col("ntok"))
+    )
+    return (
+        pair_counts.join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "pair", "cxy", "cx", "cy", F.round(pmi, 6).alias("pmi")
+        )
+        .orderBy(F.desc("pmi"), F.asc("pair"))
+        .limit(PMI_TOPK)
+    )
+
+
+def _token_pmi_sql() -> str:
+    from gtfs_realtime_etl_spark.functions.stats import portable_int_log2_sql
+    from gtfs_realtime_etl_spark.plans.analytics import SQL_TOKS
+
+    pair_arrays = ", ".join(
+        f"list_transform(range(1, GREATEST(len(t) - {d}, 0) + 1), "
+        f"i -> concat(LEAST(t[i], t[i + {d}]), ' ', GREATEST(t[i], t[i + {d}])))"
+        for d in range(1, PMI_WINDOW)
+    )
+    return f"""
+WITH toks AS (SELECT {SQL_TOKS} AS t FROM documents),
+unis AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+),
+pairs AS (SELECT unnest(list_concat({pair_arrays})) AS pair FROM toks),
+pair_counts AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS cxy,
+         string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y
+  FROM pairs GROUP BY pair HAVING COUNT(*) >= {PMI_MIN_COOC}
+),
+scalars AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS np,
+         (SELECT CAST(SUM(len(t)) AS BIGINT) FROM toks) AS ntok
+),
+logs AS (
+  SELECT pair, cxy, cx, cy,
+         {portable_int_log2_sql("cxy", "lxy")},
+         {portable_int_log2_sql("np", "lnp")},
+         {portable_int_log2_sql("cx", "lcx")},
+         {portable_int_log2_sql("cy", "lcy")},
+         {portable_int_log2_sql("ntok", "lnt")}
+  FROM pair_counts
+  JOIN (SELECT w AS ux, c AS cx FROM unis) ON ux = x
+  JOIN (SELECT w AS uy, c AS cy FROM unis) ON uy = y
+  CROSS JOIN scalars
+)
+SELECT pair, cxy, cx, cy,
+       ROUND(lxy_lg - lnp_lg - lcx_lg - lcy_lg + 2.0 * lnt_lg, 6) AS pmi
+FROM logs
+ORDER BY pmi DESC, pair ASC
+LIMIT {PMI_TOPK}
+"""
+
+
+Q_TOKEN_PMI_SQL = _token_pmi_sql()
+
+
 EXT6_QUERIES = {
+    "approx_quantile_profile": q_approx_quantile_profile,
+    "token_pmi": q_token_pmi,
     "embedding_covariance": q_embedding_covariance,
     "embedding_standardize": q_embedding_standardize,
     "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
 }
 
 EXT6_ORACLE_SQL = {
+    "approx_quantile_profile": Q_APPROX_QUANTILE_PROFILE_SQL,
+    "token_pmi": Q_TOKEN_PMI_SQL,
     "embedding_covariance": Q_EMBEDDING_COVARIANCE_SQL,
     "embedding_standardize": Q_EMBEDDING_STANDARDIZE_SQL,
     "minhash_jaccard_estimate": Q_MINHASH_JACCARD_ESTIMATE_SQL,

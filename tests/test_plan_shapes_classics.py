@@ -138,6 +138,7 @@ def test_no_cartesian_anywhere_in_registry(spark):
         "promo_share",       # single-row ratio output
         "period_reconciliation",  # segment scalar guards
         "bigram_lm_score",   # vocab-size 1-row scalar broadcast (plans/analytics3.py)
+        "token_pmi",         # corpus-totals 1-row scalar broadcast (plans/analytics4.py)
     }
     for name, fn in QUERIES.items():
         buf = io.StringIO()
