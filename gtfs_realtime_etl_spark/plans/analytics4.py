@@ -540,9 +540,99 @@ LIMIT {PMI_TOPK}
 Q_TOKEN_PMI_SQL = _token_pmi_sql()
 
 
+# ---------------------------------------------------------------------------
+# Hard-negative / hard-positive mining — contrastive-pair assembly for
+# embedding training: for each anchor in a bounded mining batch, the
+# most similar vector with a DIFFERENT label (hard negative — the
+# confusable you train against) and the most similar with the SAME
+# label excluding self (hard positive).
+#
+# Plan shape: the anchor batch (HN_ANCHORS rows) broadcasts against
+# one corpus scan — the same bounded probe-batch BroadcastNestedLoop
+# pattern as ann_cosine_topk, cost HN_ANCHORS · n narrow cosine folds,
+# then ONE anchor-keyed aggregate whose argmax rides a struct max
+# (cos desc, vec_id asc tie-break) — no window over the pair set, and
+# map-side partial agg collapses each task to ≤ HN_ANCHORS rows.  At
+# production scale the corpus scan is replaced by ANN candidates
+# (ivf_index_topk / lsh_bucketed_topk) feeding the same argmax — the
+# mining batch loop is embarrassingly parallel across batches.
+# Cosine is rounded to 6 dp BEFORE the argmax in both engines so the
+# tie-break compares identical values.
+# ---------------------------------------------------------------------------
+
+HN_ANCHORS = 64
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gtfs_realtime_etl_spark.functions.vector import cosine_similarity
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    emb = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    anchors = emb.where(F.col("vec_id") < HN_ANCHORS).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("alabel"),
+        F.col("vec").alias("avec"),
+    )
+    cos = F.round(cosine_similarity(F.col("vec"), F.col("avec")), 6)
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .where(F.col("vec_id") != F.col("aid"))
+        .select("aid", "alabel", "vec_id", "label", cos.alias("cos"))
+    )
+    # argmax as struct max: (cos, -vec_id) orders by cos desc then
+    # vec_id asc on recovery — no per-anchor window sort
+    entry = F.struct(F.col("cos").alias("c"), (-F.col("vec_id")).alias("nid"))
+    agg = scored.groupBy("aid").agg(
+        F.max(F.when(F.col("label") != F.col("alabel"), entry)).alias("neg"),
+        F.max(F.when(F.col("label") == F.col("alabel"), entry)).alias("pos"),
+    )
+    return (
+        agg.where(F.col("neg").isNotNull() & F.col("pos").isNotNull())
+        .select(
+            F.col("aid").alias("anchor_id"),
+            (-F.col("neg.nid")).alias("neg_id"),
+            F.col("neg.c").alias("neg_cos"),
+            (-F.col("pos.nid")).alias("pos_id"),
+            F.col("pos.c").alias("pos_cos"),
+        )
+    )
+
+
+Q_HARD_NEGATIVES_SQL = f"""
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+anchors AS (
+  SELECT vec_id AS aid, label AS alabel, vec AS avec
+  FROM emb WHERE vec_id < {HN_ANCHORS}
+),
+scored AS (
+  SELECT aid, alabel, e.vec_id, e.label,
+         ROUND(list_cosine_similarity(e.vec, avec), 6) AS cos
+  FROM emb e CROSS JOIN anchors WHERE e.vec_id <> aid
+),
+rneg AS (
+  SELECT aid, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY aid ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM scored WHERE label <> alabel
+),
+rpos AS (
+  SELECT aid, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY aid ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM scored WHERE label = alabel
+)
+SELECT n.aid AS anchor_id,
+       n.vec_id AS neg_id, n.cos AS neg_cos,
+       p.vec_id AS pos_id, p.cos AS pos_cos
+FROM (SELECT * FROM rneg WHERE rn = 1) n
+JOIN (SELECT * FROM rpos WHERE rn = 1) p ON n.aid = p.aid
+"""
+
+
 EXT6_QUERIES = {
     "approx_quantile_profile": q_approx_quantile_profile,
     "token_pmi": q_token_pmi,
+    "hard_negatives": q_hard_negatives,
     "embedding_covariance": q_embedding_covariance,
     "embedding_standardize": q_embedding_standardize,
     "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
@@ -551,6 +641,7 @@ EXT6_QUERIES = {
 EXT6_ORACLE_SQL = {
     "approx_quantile_profile": Q_APPROX_QUANTILE_PROFILE_SQL,
     "token_pmi": Q_TOKEN_PMI_SQL,
+    "hard_negatives": Q_HARD_NEGATIVES_SQL,
     "embedding_covariance": Q_EMBEDDING_COVARIANCE_SQL,
     "embedding_standardize": Q_EMBEDDING_STANDARDIZE_SQL,
     "minhash_jaccard_estimate": Q_MINHASH_JACCARD_ESTIMATE_SQL,

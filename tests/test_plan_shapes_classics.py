@@ -117,8 +117,10 @@ def test_period_reconciliation_full_outer_smj_reuses_partitioning(spark):
 def test_no_cartesian_anywhere_in_registry(spark):
     """Registry-wide plan hygiene: NO query may plan a CartesianProduct,
     and BroadcastNestedLoopJoin is allowed only where the build side is
-    a 1-row scalar aggregate (the crossJoin-a-scalar pattern) — listed
-    explicitly so a new accidental NLJ fails loudly."""
+    a 1-row scalar aggregate (the crossJoin-a-scalar pattern) or a
+    bounded probe batch (ann_cosine_topk / hard_negatives: tens of
+    query vectors broadcast against one scan) — listed explicitly so a
+    new accidental NLJ fails loudly."""
     SCALAR_BNLJ_OK = {
         "ann_cosine_topk",   # probe vector broadcast
         "ann_ivf_topk",      # probe vector broadcast
@@ -139,6 +141,7 @@ def test_no_cartesian_anywhere_in_registry(spark):
         "period_reconciliation",  # segment scalar guards
         "bigram_lm_score",   # vocab-size 1-row scalar broadcast (plans/analytics3.py)
         "token_pmi",         # corpus-totals 1-row scalar broadcast (plans/analytics4.py)
+        "hard_negatives",    # bounded 64-anchor probe-batch broadcast (plans/analytics4.py)
     }
     for name, fn in QUERIES.items():
         buf = io.StringIO()
