@@ -30,7 +30,7 @@ LLM-pipeline extensions (SURVEY.md §7 step 7).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gtfs_realtime_etl_spark.functions.hashing import (
@@ -629,10 +629,171 @@ JOIN (SELECT * FROM rpos WHERE rn = 1) p ON n.aid = p.aid
 """
 
 
+# ---------------------------------------------------------------------------
+# Top principal component by power iteration — iterative distributed
+# linear algebra with a REPLAYABLE oracle (the same round-for-round
+# quantization discipline as kmeans_centroids):
+#
+#   v_{r+1} = round( C·v_r / ‖C·v_r‖ , PC1_ROUND )
+#
+# where C is the full covariance matrix mirrored from the
+# embedding_covariance triangle.  Every mat-vec component is a
+# DECIMAL(38,12)-accumulated sum of products of already-quantized
+# doubles — exact and order-free — and each round's normalized vector
+# is rounded to PC1_ROUND dp, so cross-engine float drift cannot
+# accumulate: DuckDB replays the whole fit via PC1_ITERS unrolled CTE
+# rounds and hash-matches the final vector bit-for-bit.
+#
+# Scale shape: the 100 TB part is the covariance build (one corpus
+# scan; decimal triangle here, operators/linalg.py mapInPandas Gram in
+# production).  The iteration itself runs on the d×d matrix — 64²
+# rows — as tiny joins/aggregates; per round one scalar norm rides a
+# 1-row broadcast crossJoin (allowlisted).  Output: the unit vector
+# (dim, v) plus the Rayleigh-estimate eigenvalue.
+# ---------------------------------------------------------------------------
+
+PC1_ITERS = 4
+PC1_ROUND = 10
+_PC1_DEC = "decimal(38,12)"
+
+
+def q_embedding_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Materialize the d(d+1)/2-row covariance triangle ONCE (one
+    # distributed job — the 100 TB part); the collect is d²-bounded,
+    # broadcast-class by the same argument as kmeans_fit's per-round
+    # centroid collect.  The iteration then runs as a driver loop of
+    # tiny single-partition Spark jobs — one per round, kmeans-style —
+    # with EVERY arithmetic step still a Spark Column expression
+    # (decimal casts, ROUND), so the engine's decimal semantics — and
+    # therefore the DuckDB oracle's — are preserved exactly.  (A fully
+    # chained in-plan form was hash-identical but re-optimized the
+    # deepening plan per round: 105 s vs ~3 s at sf0.01.)
+    tri_rows = (
+        q_embedding_covariance(spark, sf_dir)
+        .select("i", "j", F.col("cov").alias("c"))
+        .collect()
+    )
+    d = max(r["i"] for r in tri_rows)
+    mat: dict[int, list[float]] = {i: [0.0] * d for i in range(1, d + 1)}
+    for r in tri_rows:
+        mat[r["i"]][r["j"] - 1] = r["c"]
+        mat[r["j"]][r["i"] - 1] = r["c"]
+    # The per-round frames are built from spark.range + LITERAL arrays —
+    # pure JVM LocalRelation/Range plans.  (A createDataFrame-from-
+    # Python frame plans a Python-RDD scan, and EVERY per-round job
+    # then pays a Python-worker round trip — measured 1.4-3.7 s per
+    # 64-row job; the literal form runs the same job in ~0.1 s.)
+    crow_lit = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in mat[i]])
+            for i in range(1, d + 1)
+        ]
+    )
+    base = (
+        spark.range(1, d + 1)
+        .coalesce(1)
+        .select(
+            F.col("id").cast("int").alias("dim"),
+            F.element_at(crow_lit, F.col("id").cast("int")).alias("crow"),
+        )
+        # pin the d-row matrix once: each round's job otherwise
+        # re-analyzes and re-compiles the d²-literal array expression
+        # (~0.4 s/round of pure planning at d=64)
+        .localCheckpoint(eager=True)
+    )
+    v = [0.125] * d
+    eig = None
+    # Fold decimal widths: elements DECIMAL(25,12) into a DECIMAL(37,12)
+    # accumulator — (37,12)+(25,12) = (38,12) with NO scale reduction,
+    # so every intermediate is exact and the fold equals the oracle's
+    # order-free SUM.  (A (38,12)+(38,12) fold silently narrows each
+    # intermediate to scale 11 — Spark rounds to fit precision 38 — and
+    # diverged from the oracle by ~1e-8.)  The cast back to (37,12) is
+    # lossless at these magnitudes.
+    elem_dec = "decimal(25,12)"
+    acc_dec = "decimal(37,12)"
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    for _ in range(PC1_ITERS):
+        vlit = F.array(*[F.lit(float(x)) for x in v])
+        w = F.aggregate(
+            F.zip_with(F.col("crow"), vlit, lambda c, x: (c * x).cast(elem_dec)),
+            F.lit(0).cast(acc_dec),
+            lambda acc, t: (acc + t).cast(acc_dec),
+        ).cast("double")
+        # norm over the single 64-row partition as an unpartitioned
+        # window — one stage per round, no broadcast exchange
+        wdf = base.select("dim", w.alias("w"))
+        out = wdf.select(
+            "dim",
+            F.round(
+                F.col("w")
+                / F.sqrt(
+                    F.sum((F.col("w") * F.col("w")).cast(_PC1_DEC))
+                    .over(wall)
+                    .cast("double")
+                ),
+                PC1_ROUND,
+            ).alias("v"),
+            F.sqrt(
+                F.sum((F.col("w") * F.col("w")).cast(_PC1_DEC))
+                .over(wall)
+                .cast("double")
+            ).alias("nrm"),
+        ).collect()
+        v = [r["v"] for r in sorted(out, key=lambda r: r["dim"])]
+        eig = out[0]["nrm"]
+    vlit = F.array(*[F.lit(float(x)) for x in v])
+    return (
+        spark.range(1, d + 1)
+        .coalesce(1)
+        .select(
+            F.col("id").cast("int").alias("dim"),
+            F.element_at(vlit, F.col("id").cast("int")).alias("v"),
+            F.round(F.lit(float(eig)), 6).alias("eig"),
+        )
+    )
+
+
+def _pc1_sql() -> str:
+    cov = Q_EMBEDDING_COVARIANCE_SQL.strip().rstrip()
+    rounds = []
+    prev = "v0"
+    for r in range(1, PC1_ITERS + 1):
+        rounds.append(
+            f"w{r} AS (\n"
+            f"  SELECT f.i AS dim,\n"
+            f"         CAST(SUM(CAST(f.c * {prev}.v AS DECIMAL(38,12))) AS DOUBLE) AS w\n"
+            f"  FROM fullm f JOIN {prev} ON {prev}.dim = f.j GROUP BY f.i\n"
+            f"),\n"
+            f"n{r} AS (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS nrm FROM w{r}),\n"
+            f"v{r} AS (SELECT dim, ROUND(w / nrm, {PC1_ROUND}) AS v FROM w{r} CROSS JOIN n{r})"
+        )
+        prev = f"v{r}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH cov_tbl AS ({cov}),
+tri AS (SELECT i, j, cov AS c FROM cov_tbl),
+fullm AS (
+  SELECT i, j, c FROM tri
+  UNION ALL
+  SELECT j AS i, i AS j, c FROM tri WHERE i <> j
+),
+v0 AS (SELECT DISTINCT i AS dim, 0.125 AS v FROM fullm),
+{body}
+SELECT dim, v, ROUND((SELECT nrm FROM n{PC1_ITERS}), 6) AS eig FROM v{PC1_ITERS}
+"""
+
+
+Q_EMBEDDING_PC1_SQL = _pc1_sql()
+
+
 EXT6_QUERIES = {
     "approx_quantile_profile": q_approx_quantile_profile,
     "token_pmi": q_token_pmi,
     "hard_negatives": q_hard_negatives,
+    "embedding_pc1": q_embedding_pc1,
     "embedding_covariance": q_embedding_covariance,
     "embedding_standardize": q_embedding_standardize,
     "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
@@ -642,6 +803,7 @@ EXT6_ORACLE_SQL = {
     "approx_quantile_profile": Q_APPROX_QUANTILE_PROFILE_SQL,
     "token_pmi": Q_TOKEN_PMI_SQL,
     "hard_negatives": Q_HARD_NEGATIVES_SQL,
+    "embedding_pc1": Q_EMBEDDING_PC1_SQL,
     "embedding_covariance": Q_EMBEDDING_COVARIANCE_SQL,
     "embedding_standardize": Q_EMBEDDING_STANDARDIZE_SQL,
     "minhash_jaccard_estimate": Q_MINHASH_JACCARD_ESTIMATE_SQL,
