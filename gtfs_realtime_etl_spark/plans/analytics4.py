@@ -789,11 +789,80 @@ SELECT dim, v, ROUND((SELECT nrm FROM n{PC1_ITERS}), 6) AS eig FROM v{PC1_ITERS}
 Q_EMBEDDING_PC1_SQL = _pc1_sql()
 
 
+# ---------------------------------------------------------------------------
+# BPE merge-pair statistics — the first iteration of byte-pair-encoding
+# tokenizer training: adjacent character-pair counts over the corpus.
+# The trainer's classic efficiency trick IS the distributed plan: count
+# pairs over the DISTINCT-WORD dictionary weighted by word frequency,
+# not over the raw token stream — the first aggregate compresses the
+# corpus to its vocabulary (at 100 TB: billions of tokens → millions of
+# words), and the per-word pair explode runs on the compressed side.
+# Two hash aggregates (word, pair), pure integer counts, top-K via
+# TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+BPE_TOPK = 50
+
+
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gtfs_realtime_etl_spark.functions.text import tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    words = (
+        documents.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_TOPK)
+    )
+
+
+Q_BPE_MERGE_PAIRS_SQL = f"""
+WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest({{toks}}) AS w FROM documents)
+  GROUP BY w HAVING length(w) >= 2
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair, c
+  FROM words
+)
+SELECT pair, CAST(SUM(c) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT {BPE_TOPK}
+"""
+
+
+def _bpe_sql() -> str:
+    from gtfs_realtime_etl_spark.plans.analytics import SQL_TOKS
+
+    return Q_BPE_MERGE_PAIRS_SQL.replace("{toks}", SQL_TOKS)
+
+
+Q_BPE_MERGE_PAIRS_SQL = _bpe_sql()
+
+
 EXT6_QUERIES = {
     "approx_quantile_profile": q_approx_quantile_profile,
     "token_pmi": q_token_pmi,
     "hard_negatives": q_hard_negatives,
     "embedding_pc1": q_embedding_pc1,
+    "bpe_merge_pairs": q_bpe_merge_pairs,
     "embedding_covariance": q_embedding_covariance,
     "embedding_standardize": q_embedding_standardize,
     "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
@@ -804,6 +873,7 @@ EXT6_ORACLE_SQL = {
     "token_pmi": Q_TOKEN_PMI_SQL,
     "hard_negatives": Q_HARD_NEGATIVES_SQL,
     "embedding_pc1": Q_EMBEDDING_PC1_SQL,
+    "bpe_merge_pairs": Q_BPE_MERGE_PAIRS_SQL,
     "embedding_covariance": Q_EMBEDDING_COVARIANCE_SQL,
     "embedding_standardize": Q_EMBEDDING_STANDARDIZE_SQL,
     "minhash_jaccard_estimate": Q_MINHASH_JACCARD_ESTIMATE_SQL,

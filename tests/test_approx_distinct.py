@@ -1,6 +1,9 @@
-"""approx_distinct_profile has no SQL oracle (different HLL
-implementations can't hash-match); its accuracy contract lives here:
-every approximate count within 5% of the exact distinct count."""
+"""approx_distinct_profile (round-7 form): the HLL estimates ride as
+deterministic error-bound booleans next to exact COUNT(DISTINCT) twins
+that the DuckDB oracle hash-matches.  This test pins the full contract
+from the Spark side: exact columns equal an independent exact
+aggregation, and every bound boolean is TRUE (the sketch really is
+within the declared 2.5% relative error)."""
 
 from __future__ import annotations
 
@@ -11,9 +14,9 @@ from gtfs_realtime_etl_spark.sources.testdata import load_testdata
 from tests.conftest import SF_CORRECTNESS
 
 
-def test_approx_distinct_within_tolerance(spark):
+def test_exact_twins_and_bound_booleans(spark):
     got = {
-        r["event_type"]: (r["approx_users"], r["approx_values"])
+        r["event_type"]: r
         for r in QUERIES["approx_distinct_profile"](
             spark, SF_CORRECTNESS
         ).collect()
@@ -29,7 +32,9 @@ def test_approx_distinct_within_tolerance(spark):
         .collect()
     }
     assert set(got) == set(exact) and got
-    for et, (au, av) in got.items():
+    for et, row in got.items():
         eu, ev = exact[et]
-        assert abs(au - eu) / eu <= 0.05, (et, au, eu)
-        assert abs(av - ev) / ev <= 0.05, (et, av, ev)
+        assert row["exact_users"] == eu, et
+        assert row["exact_values"] == ev, et
+        assert row["approx_users_ok"] is True, et
+        assert row["approx_values_ok"] is True, et
