@@ -5,6 +5,7 @@ from gtfs_realtime_etl_spark.streaming.compaction import (
     compact_partition,
     compact_partitions,
 )
+from gtfs_realtime_etl_spark.streaming.drift import baseline_stats, feature_drift
 from gtfs_realtime_etl_spark.streaming.joins import interval_join
 from gtfs_realtime_etl_spark.streaming.ingest import (
     feed_pipeline,
@@ -22,8 +23,10 @@ from gtfs_realtime_etl_spark.streaming.stateful import (
 from gtfs_realtime_etl_spark.streaming.windows import windowed_counts
 
 __all__ = [
+    "baseline_stats",
     "compact_partition",
     "compact_partitions",
+    "feature_drift",
     "feed_pipeline",
     "interval_join",
     "kafka_feed_frames",
