@@ -2971,6 +2971,16 @@ from gtfs_realtime_etl_spark.plans.analytics4 import (  # noqa: E402
 QUERIES.update(EXT6_QUERIES)
 ORACLE_SQL.update(EXT6_ORACLE_SQL)
 
+# Eighth bank: the remaining TPC-H plan classics (Q4/Q6/Q7/Q8/Q9/Q12/
+# Q19/Q20 shapes).
+from gtfs_realtime_etl_spark.plans.classics2 import (  # noqa: E402
+    EXT7_ORACLE_SQL,
+    EXT7_QUERIES,
+)
+
+QUERIES.update(EXT7_QUERIES)
+ORACLE_SQL.update(EXT7_ORACLE_SQL)
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
