@@ -49,6 +49,17 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Warm every base-table scan (parquet footers, page cache, the
+    # events-ts normalization path) so first-table-touch cost doesn't
+    # bill to whichever query happens to sit at the front of the
+    # registry order (the driver-gate ordering rotates new entries to
+    # the front each round, which previously inflated their medians by
+    # multiple seconds of environment init).
+    from gtfs_realtime_etl_spark.sources.testdata import TABLES, load_testdata
+
+    for _t, _df in load_testdata(spark, sf_dir, tables=TABLES).items():
+        _df.write.format("noop").mode("overwrite").save()
+
     # n runs per query (default 4, override SPARK_GRAFT_BENCH_RUNS):
     # this box shows intermittent multi-second background stalls
     # (documented in BENCH_ANCHOR.md) that would otherwise land on one
