@@ -1,0 +1,321 @@
+"""Ninth query bank: frequent-items sketching, weighted sampling, and
+a token-frequency power-law fit.
+
+- ``heavy_hitters`` — the Misra-Gries frequent-items sketch
+  (``operators/sketches.py``) next to its exact twin: the top tokens
+  by exact count, each carrying theorem-derived verdict columns
+  (estimate-within-bound, guaranteed-retention) that hold under EVERY
+  partition layout — so the approximate operator rides the hash gate
+  the same way ``approx_distinct_profile`` and
+  ``minhash_jaccard_estimate`` do.
+- ``weighted_sample`` — deterministic size-n-per-stratum weighted
+  sampling (sequential Poisson / Ohlsson PPS): priority key u/w from
+  the engine's portable integer hash and the document length as the
+  weight.  Key arithmetic is a single IEEE division (correctly
+  rounded on every engine) — no libm, so the sample is bit-identical
+  across Spark, DuckDB and partition layouts.
+- ``zipf_fit`` — least-squares slope of log2(freq) against log2(rank)
+  over the top tokens: the Zipf exponent a corpus-quality pipeline
+  watches for degenerate/boilerplate corpora.  Logs are the engine's
+  portable integer log2 (functions/stats.py), moment sums are
+  decimal-accumulated, so the single-row fit is hash-exact.
+
+Reference scope note: the reference (smohiudd/gtfs-realtime-etl) has
+no sketch/sampling surface; these are driver-mandated LLM-pipeline
+extensions (SURVEY.md §7 step 7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gtfs_realtime_etl_spark.functions.hashing import MOD, token_hash64_column
+from gtfs_realtime_etl_spark.functions.stats import (
+    portable_int_log2,
+    portable_int_log2_sql,
+)
+from gtfs_realtime_etl_spark.functions.text import tokens
+from gtfs_realtime_etl_spark.operators.sketches import mg_partials
+from gtfs_realtime_etl_spark.plans.analytics import SQL_TOKS
+from gtfs_realtime_etl_spark.sources.testdata import load_testdata
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tabs = load_testdata(spark, sf_dir, tables=tuple(names))
+    return [tabs[n] for n in names]
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries sketch vs exact twin.
+#
+# The sketch side never shuffles data — each partition folds its token
+# stream into <= HH_CAPACITY counters plus one decrement scalar
+# (operators/sketches.py), and the partials (partitions x capacity
+# rows) merge in one tiny aggregate.  The exact side (a full token
+# groupBy) exists for the hash gate; at 100 TB the sketch runs alone
+# and the guarantee columns ARE the contract:
+#
+#   bound_ok      est <= exact  AND  exact - est <= D      (always true)
+#   retained_ok   exact > N/(cap+1)  implies  est > 0      (always true)
+#   guaranteed    exact * (cap+1) > N   -- integer arithmetic, exact
+#
+# D (summed decrement mass) and the reported estimate values vary with
+# partition layout; the verdict columns do NOT (mergeable-summaries
+# theorem), which is what makes the output deterministic and
+# oracle-hashable.  ``guaranteed`` is a pure function of exact counts.
+# ---------------------------------------------------------------------------
+
+HH_CAPACITY = 64
+HH_TOPK = 40
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(F.explode(tokens(F.col("text"))).alias("token"))
+    partials = mg_partials(toks, "token", HH_CAPACITY)
+    est = (
+        partials.where(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.sum("est").alias("est"))
+    )
+    scalars = partials.agg(F.sum("dec").alias("d")).crossJoin(
+        F.broadcast(toks.agg(F.count(F.lit(1)).alias("n_tokens")))
+    )
+    exact_top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c_exact"))
+        .orderBy(F.desc("c_exact"), F.asc("token"))
+        .limit(HH_TOPK)
+    )
+    j = (
+        exact_top.join(F.broadcast(est), "token", "left")
+        .withColumn("est", F.coalesce(F.col("est"), F.lit(0)))
+        .crossJoin(F.broadcast(scalars))
+    )
+    guaranteed = (F.col("c_exact") * F.lit(HH_CAPACITY + 1)) > F.col("n_tokens")
+    bound_ok = (F.col("est") <= F.col("c_exact")) & (
+        (F.col("c_exact") - F.col("est")) <= F.col("d")
+    )
+    retained_ok = (~guaranteed) | (F.col("est") > 0)
+    return j.select(
+        "token",
+        "c_exact",
+        "n_tokens",
+        guaranteed.alias("guaranteed"),
+        bound_ok.alias("bound_ok"),
+        retained_ok.alias("retained_ok"),
+    ).orderBy(F.desc("c_exact"), F.asc("token"))
+
+
+Q_HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT unnest({SQL_TOKS}) AS token FROM documents
+),
+scalars AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks),
+exact_top AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c_exact
+  FROM toks GROUP BY token
+  ORDER BY c_exact DESC, token ASC
+  LIMIT {HH_TOPK}
+)
+SELECT token, c_exact, n_tokens,
+       c_exact * {HH_CAPACITY + 1} > n_tokens AS guaranteed,
+       TRUE AS bound_ok,
+       TRUE AS retained_ok
+FROM exact_top CROSS JOIN scalars
+ORDER BY c_exact DESC, token ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling: sequential Poisson (Ohlsson) PPS, n per stratum.
+#
+# Priority key xi = u / w with u a deterministic integer hash of the
+# doc id (functions/hashing.py — the engine's portable 62-bit hash,
+# folded into [1, MOD]) and w = n_chars the size weight; the n
+# SMALLEST keys per source win, giving inclusion probability
+# approximately proportional to length.  One IEEE division per row —
+# +,-,x,/ are correctly rounded in every engine, so (unlike an
+# exp/ln-based Efraimidis-Spirakis key) the sample is bit-identical
+# across Spark, DuckDB, and partition layouts.
+#
+# Scale shape: the per-source top-n runs two-phase — a per-(source,
+# input-partition) local rank prunes to <= n x partitions candidate
+# rows with NO shuffle (window keys include spark_partition_id, so the
+# sort is partition-local), then the global per-source rank runs on
+# the surviving sliver.  The prefilter keeps a superset of the global
+# top-n for ANY salt assignment, so the result does not depend on the
+# physical layout.  Same discipline as the salted top-k in
+# operators/similarity.py.
+# ---------------------------------------------------------------------------
+
+WS_PER_SOURCE = 5
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    u = (
+        F.pmod(token_hash64_column(F.col("doc_id").cast("string")), F.lit(MOD))
+        + F.lit(1)
+    ).cast("double")
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    keyed = documents.select(
+        "source", "doc_id", "n_chars", (u / w).alias("samp_key")
+    )
+    local = Window.partitionBy("source", F.spark_partition_id()).orderBy(
+        F.asc("samp_key"), F.asc("doc_id")
+    )
+    pruned = (
+        keyed.withColumn("_lrn", F.row_number().over(local))
+        .where(F.col("_lrn") <= WS_PER_SOURCE)
+        .drop("_lrn")
+    )
+    final = Window.partitionBy("source").orderBy(
+        F.asc("samp_key"), F.asc("doc_id")
+    )
+    return (
+        pruned.withColumn("rn", F.row_number().over(final))
+        .where(F.col("rn") <= WS_PER_SOURCE)
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.round("samp_key", 6).alias("samp_key"),
+            "rn",
+        )
+        .orderBy("source", "rn")
+    )
+
+
+from gtfs_realtime_etl_spark.functions.hashing import sql_token_hash64  # noqa: E402
+
+Q_WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         CAST(({sql_token_hash64("CAST(doc_id AS VARCHAR)")} % {MOD}
+               + {MOD}) % {MOD} + 1 AS DOUBLE)
+           / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS samp_key
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, n_chars, samp_key,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY samp_key ASC, doc_id ASC) AS rn
+  FROM keyed
+)
+SELECT source, doc_id, n_chars, ROUND(samp_key, 6) AS samp_key,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {WS_PER_SOURCE}
+ORDER BY source, rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit: least-squares log2(freq) ~ log2(rank) over the top tokens.
+#
+# Corpus-quality monitors watch the Zipf exponent (natural text ~ -1;
+# boilerplate-flooded or templated corpora flatten or steepen it).
+# The fit is one exact token count (the only shuffle), a top-N global
+# sort, then a 1-row aggregate: x = log2(rank), y = log2(count) via
+# the engine's portable integer log2 (functions/stats.py — argument
+# reduction + odd atanh series, bit-identical across engines), moment
+# sums decimal-accumulated so they are associative and
+# layout-independent, and the closed-form slope/intercept/r2 in plain
+# IEEE arithmetic on the already-exact sums.
+# ---------------------------------------------------------------------------
+
+ZIPF_TOPN = 200
+_ZDEC = "decimal(30,15)"
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    counts = (
+        documents.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("token"))
+        .limit(ZIPF_TOPN)
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("c"), F.asc("token"))),
+    )
+    xy = ranked.select(
+        portable_int_log2(F.col("rank")).alias("x"),
+        portable_int_log2(F.col("c")).alias("y"),
+    )
+    sums = xy.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(F.col("x").cast(_ZDEC)).alias("sx"),
+        F.sum(F.col("y").cast(_ZDEC)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(_ZDEC)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(_ZDEC)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(_ZDEC)).alias("sxy"),
+    )
+    n = F.col("n_terms").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return sums.select(
+        "n_terms",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(cov_n * cov_n / (var_x * var_y), 6).alias("r2"),
+    )
+
+
+def _zipf_sql() -> str:
+    xlog = portable_int_log2_sql("rank", "zx")
+    ylog = portable_int_log2_sql("c", "zy")
+    return f"""
+WITH counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest({SQL_TOKS}) AS token FROM documents)
+  GROUP BY token ORDER BY c DESC, token ASC LIMIT {ZIPF_TOPN}
+),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS rank
+  FROM counts
+),
+logs AS (SELECT {xlog}, {ylog} FROM ranked),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(CAST(zx_lg AS DECIMAL(30,15))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(zy_lg AS DECIMAL(30,15))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(zx_lg * zx_lg AS DECIMAL(30,15))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(zy_lg * zy_lg AS DECIMAL(30,15))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(zx_lg * zy_lg AS DECIMAL(30,15))) AS DOUBLE) AS sxy
+  FROM logs
+)
+SELECT n_terms,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+             6) AS intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM (SELECT *, CAST(n_terms AS DOUBLE) AS n FROM sums)
+"""
+
+
+Q_ZIPF_FIT_SQL = _zipf_sql()
+
+
+EXT8_QUERIES = {
+    "heavy_hitters": q_heavy_hitters,
+    "weighted_sample": q_weighted_sample,
+    "zipf_fit": q_zipf_fit,
+}
+
+EXT8_ORACLE_SQL = {
+    "heavy_hitters": Q_HEAVY_HITTERS_SQL,
+    "weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
+    "zipf_fit": Q_ZIPF_FIT_SQL,
+}

@@ -2981,6 +2981,16 @@ from gtfs_realtime_etl_spark.plans.classics2 import (  # noqa: E402
 QUERIES.update(EXT7_QUERIES)
 ORACLE_SQL.update(EXT7_ORACLE_SQL)
 
+# Ninth bank: Misra-Gries heavy hitters (theorem-verdict columns over
+# the exact twin), sequential-Poisson weighted sampling, Zipf fit.
+from gtfs_realtime_etl_spark.plans.analytics5 import (  # noqa: E402
+    EXT8_ORACLE_SQL,
+    EXT8_QUERIES,
+)
+
+QUERIES.update(EXT8_QUERIES)
+ORACLE_SQL.update(EXT8_ORACLE_SQL)
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #

@@ -142,6 +142,7 @@ def test_no_cartesian_anywhere_in_registry(spark):
         "bigram_lm_score",   # vocab-size 1-row scalar broadcast (plans/analytics3.py)
         "token_pmi",         # corpus-totals 1-row scalar broadcast (plans/analytics4.py)
         "hard_negatives",    # bounded 64-anchor probe-batch broadcast (plans/analytics4.py)
+        "heavy_hitters",     # sketch D/N 1-row scalar broadcast (plans/analytics5.py)
     }
     for name, fn in QUERIES.items():
         buf = io.StringIO()
