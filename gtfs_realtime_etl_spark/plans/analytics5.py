@@ -73,20 +73,22 @@ HH_TOPK = 40
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
     toks = documents.select(F.explode(tokens(F.col("text"))).alias("token"))
-    partials = mg_partials(toks, "token", HH_CAPACITY)
-    est = (
-        partials.where(F.col("token").isNotNull())
-        .groupBy("token")
-        .agg(F.sum("est").alias("est"))
+    # One groupBy consumes the partials for BOTH outputs (the per-token
+    # estimates and the global decrement scalar D, which lands in the
+    # NULL-token group) — the shared aggregate exchange is reused at
+    # runtime, so the sketch side scans the corpus exactly once.
+    grouped = mg_partials(toks, "token", HH_CAPACITY).groupBy("token").agg(
+        F.sum("est").alias("est"), F.sum("dec").alias("d")
     )
-    scalars = partials.agg(F.sum("dec").alias("d")).crossJoin(
-        F.broadcast(toks.agg(F.count(F.lit(1)).alias("n_tokens")))
+    est = grouped.where(F.col("token").isNotNull()).select("token", "est")
+    # The exact twin also scans the corpus once: N rides off the
+    # (already vocabulary-sized) count frame, not a second corpus pass.
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_exact"))
+    scalars = grouped.where(F.col("token").isNull()).select("d").crossJoin(
+        F.broadcast(counts.agg(F.sum("c_exact").alias("n_tokens")))
     )
-    exact_top = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("c_exact"))
-        .orderBy(F.desc("c_exact"), F.asc("token"))
-        .limit(HH_TOPK)
+    exact_top = counts.orderBy(F.desc("c_exact"), F.asc("token")).limit(
+        HH_TOPK
     )
     j = (
         exact_top.join(F.broadcast(est), "token", "left")
@@ -140,14 +142,16 @@ ORDER BY c_exact DESC, token ASC
 # exp/ln-based Efraimidis-Spirakis key) the sample is bit-identical
 # across Spark, DuckDB, and partition layouts.
 #
-# Scale shape: the per-source top-n runs two-phase — a per-(source,
-# input-partition) local rank prunes to <= n x partitions candidate
-# rows with NO shuffle (window keys include spark_partition_id, so the
-# sort is partition-local), then the global per-source rank runs on
-# the surviving sliver.  The prefilter keeps a superset of the global
-# top-n for ANY salt assignment, so the result does not depend on the
-# physical layout.  Same discipline as the salted top-k in
-# operators/similarity.py.
+# Scale shape: the per-source top-n runs two-phase — a local rank
+# over (source, spark_partition_id) prunes to <= n x partitions
+# candidate rows, then the global per-source rank runs on the
+# surviving sliver.  Phase 1 still plans one exchange (a window always
+# redistributes on its partition keys), but the salt spreads each
+# source across all tasks, so a mega-source can never pin one reducer
+# — and the phase-2 sort only ever sees the sliver.  The prefilter
+# keeps a superset of the global top-n for ANY salt assignment, so the
+# result does not depend on the physical layout.  Same discipline as
+# the salted top-k in operators/similarity.py.
 # ---------------------------------------------------------------------------
 
 WS_PER_SOURCE = 5
