@@ -312,14 +312,219 @@ FROM (SELECT *, CAST(n_terms AS DOUBLE) AS n FROM sums)
 Q_ZIPF_FIT_SQL = _zipf_sql()
 
 
+# ---------------------------------------------------------------------------
+# Robust outlier profile: median / MAD per event type.
+#
+# Mean/std outlier fences (the reliability query's z-scores) break down
+# when the contamination itself drags the moments; the robust pair —
+# median and the median absolute deviation, scaled by the normal
+# consistency constant 1.4826 — is the standard quality-monitor
+# replacement.  Exact interpolated percentiles hash bit-for-bit across
+# Spark and DuckDB (pinned by approx_quantile_profile), the fence
+# comparison is plain IEEE arithmetic on those exact medians, so the
+# whole report rides the hash gate.
+#
+# Plan shape: three keyed aggregates over event_type (a handful of
+# groups — the med/mad frames are broadcast-class), corpus scanned per
+# pass.  At 100 TB the single-pass variant swaps the exact percentile
+# for the GK sketch (approx_quantile_profile's machinery) — this query
+# is the exact monitor.
+# ---------------------------------------------------------------------------
+
+MAD_K = 3.0
+MAD_CONSISTENCY = 1.4826
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    ev = events.select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    fenced = dev.join(F.broadcast(mad), "event_type")
+    thr = F.lit(MAD_K * MAD_CONSISTENCY) * F.col("mad")
+    return (
+        fenced.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("_med"),
+            F.min("mad").alias("_mad"),
+            F.sum(
+                F.when(F.col("adev") > thr, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("_med", 6).alias("med"),
+            F.round("_mad", 6).alias("mad"),
+            "n_outliers",
+            F.round(
+                F.col("n_outliers").cast("double") / F.col("n").cast("double"),
+                6,
+            ).alias("outlier_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_MAD_OUTLIERS_SQL = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, med, ABS(value - med) AS adev
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(d.med), 6) AS med,
+       ROUND(MIN(m.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN d.adev > {MAD_K * MAD_CONSISTENCY!r} * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(CAST(SUM(CASE WHEN d.adev > {MAD_K * MAD_CONSISTENCY!r} * m.mad
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_share
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of two retrievers — the standard way a
+# retrieval pipeline merges heterogeneous rankers (dense full-dim,
+# cheap truncated-dim, BM25, ...) without score calibration:
+#
+#   rrf(v) = sum over retrievers of 1 / (K + rank_r(v)),  K = 60
+#
+# Retriever A is full 64-dim cosine, retriever B is the 16-dim head
+# (the truncated "cheap first-stage" ranker).  Ranks come from the
+# ROUNDED scores with vec_id tiebreak, so the ordering — and hence the
+# integer ranks and the rational RRF sum — is engine-exact.  Top-R per
+# retriever is TakeOrderedAndProject (no global sort materialization);
+# the rank window then runs on the R surviving rows.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_R = 50
+RRF_TOPK = 20
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gtfs_realtime_etl_spark.functions.vector import cosine_similarity
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("vec").alias("qvec"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("vec"), F.col("qvec")), 6).alias(
+                "s_full"
+            ),
+            F.round(
+                cosine_similarity(
+                    F.slice(F.col("vec"), 1, 16), F.slice(F.col("qvec"), 1, 16)
+                ),
+                6,
+            ).alias("s_head"),
+        )
+    )
+
+    def ranked(score: str) -> DataFrame:
+        top = scored.select("vec_id", score).orderBy(
+            F.desc(score), F.asc("vec_id")
+        ).limit(RRF_R)
+        w = Window.orderBy(F.desc(score), F.asc("vec_id"))
+        return top.select(
+            "vec_id", F.row_number().over(w).alias(f"rank_{score}")
+        )
+
+    a, b = ranked("s_full"), ranked("s_head")
+    j = a.join(b, "vec_id", "full_outer")
+    contrib_a = F.when(
+        F.col("rank_s_full").isNotNull(),
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("rank_s_full").cast("double")),
+    ).otherwise(F.lit(0.0))
+    contrib_b = F.when(
+        F.col("rank_s_head").isNotNull(),
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("rank_s_head").cast("double")),
+    ).otherwise(F.lit(0.0))
+    return (
+        j.select(
+            "vec_id",
+            F.col("rank_s_full").alias("rank_full"),
+            F.col("rank_s_head").alias("rank_head"),
+            F.round(contrib_a + contrib_b, 9).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("vec_id"))
+        .limit(RRF_TOPK)
+    )
+
+
+Q_RRF_FUSION_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+q AS (SELECT vec AS qvec FROM emb WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         ROUND(list_cosine_similarity(e.vec, q.qvec), 6) AS s_full,
+         ROUND(list_cosine_similarity(e.vec[1:16], q.qvec[1:16]), 6) AS s_head
+  FROM emb e CROSS JOIN q WHERE e.vec_id <> 0
+),
+ra AS (
+  SELECT vec_id, rank_full FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY s_full DESC, vec_id ASC)
+           AS rank_full
+    FROM scored
+  ) WHERE rank_full <= {RRF_R}
+),
+rb AS (
+  SELECT vec_id, rank_head FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY s_head DESC, vec_id ASC)
+           AS rank_head
+    FROM scored
+  ) WHERE rank_head <= {RRF_R}
+)
+SELECT COALESCE(ra.vec_id, rb.vec_id) AS vec_id,
+       CAST(rank_full AS INT) AS rank_full,
+       CAST(rank_head AS INT) AS rank_head,
+       ROUND(COALESCE(1.0 / ({RRF_K} + CAST(rank_full AS DOUBLE)), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + CAST(rank_head AS DOUBLE)), 0.0),
+             9) AS rrf
+FROM ra FULL OUTER JOIN rb ON ra.vec_id = rb.vec_id
+ORDER BY rrf DESC, vec_id ASC
+LIMIT {RRF_TOPK}
+"""
+
+
 EXT8_QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "weighted_sample": q_weighted_sample,
     "zipf_fit": q_zipf_fit,
+    "mad_outliers": q_mad_outliers,
+    "rrf_fusion": q_rrf_fusion,
 }
 
 EXT8_ORACLE_SQL = {
     "heavy_hitters": Q_HEAVY_HITTERS_SQL,
     "weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
     "zipf_fit": Q_ZIPF_FIT_SQL,
+    "mad_outliers": Q_MAD_OUTLIERS_SQL,
+    "rrf_fusion": Q_RRF_FUSION_SQL,
 }
