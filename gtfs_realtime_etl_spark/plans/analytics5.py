@@ -513,7 +513,83 @@ LIMIT {RRF_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# ANN recall report — the accuracy contract for the approximate
+# retrieval family, completing the sketch-accuracy set (MinHash →
+# minhash_jaccard_estimate, GK → approx_quantile_profile, HLL →
+# approx_distinct_profile, frequent items → heavy_hitters): for each
+# approximate retriever (IVF with nprobe=2, LSH hyperplane buckets),
+# recall@k against the exact cosine top-k.  Every input ranking is
+# already deterministic and oracle-gated (ann_cosine_topk /
+# ann_ivf_topk / ann_lsh_topk), so the overlap counts and the rational
+# recall are engine-exact — an approximate operator whose accuracy
+# report is EXACT.
+# ---------------------------------------------------------------------------
+
+
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Runtime import: plans.queries imports this bank at its module
+    # bottom, so a module-level import here would be circular.
+    from gtfs_realtime_etl_spark.plans.queries import (
+        TOP_K,
+        q_ann_cosine_topk,
+        q_ann_ivf_topk,
+        q_ann_lsh_topk,
+    )
+
+    exact = q_ann_cosine_topk(spark, sf_dir).select("vec_id")
+
+    def row(method: str, approx: DataFrame) -> DataFrame:
+        return (
+            exact.join(approx.select("vec_id"), "vec_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+            .select(
+                F.lit(method).alias("method"),
+                F.lit(TOP_K).alias("k"),
+                "n_overlap",
+                F.round(
+                    F.col("n_overlap").cast("double") / F.lit(float(TOP_K)), 6
+                ).alias("recall"),
+            )
+        )
+
+    return (
+        row("ivf", q_ann_ivf_topk(spark, sf_dir))
+        .unionByName(row("lsh", q_ann_lsh_topk(spark, sf_dir)))
+        .orderBy("method")
+    )
+
+
+def _ann_recall_sql() -> str:
+    # Import at EXT8 build time: plans.queries defines the three ANN
+    # oracles BEFORE it imports this bank, so the partially-initialized
+    # module already carries them (same pattern as _bpe_sql).
+    from gtfs_realtime_etl_spark.plans.queries import (
+        Q_ANN_COSINE_TOPK_SQL,
+        Q_ANN_IVF_TOPK_SQL,
+        Q_ANN_LSH_TOPK_SQL,
+        TOP_K,
+    )
+
+    def one(method: str, sql: str) -> str:
+        return f"""
+SELECT '{method}' AS method, {TOP_K} AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / {float(TOP_K)!r}, 6) AS recall
+FROM ({Q_ANN_COSINE_TOPK_SQL.strip()}) ex
+JOIN ({sql.strip()}) ap ON ex.vec_id = ap.vec_id
+"""
+
+    return (
+        one("ivf", Q_ANN_IVF_TOPK_SQL)
+        + " UNION ALL "
+        + one("lsh", Q_ANN_LSH_TOPK_SQL)
+        + " ORDER BY method"
+    )
+
+
 EXT8_QUERIES = {
+    "ann_recall_report": q_ann_recall_report,
     "heavy_hitters": q_heavy_hitters,
     "weighted_sample": q_weighted_sample,
     "zipf_fit": q_zipf_fit,
@@ -522,6 +598,7 @@ EXT8_QUERIES = {
 }
 
 EXT8_ORACLE_SQL = {
+    "ann_recall_report": _ann_recall_sql(),
     "heavy_hitters": Q_HEAVY_HITTERS_SQL,
     "weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
     "zipf_fit": Q_ZIPF_FIT_SQL,

@@ -144,6 +144,7 @@ def test_no_cartesian_anywhere_in_registry(spark):
         "hard_negatives",    # bounded 64-anchor probe-batch broadcast (plans/analytics4.py)
         "heavy_hitters",     # sketch D/N 1-row scalar broadcast (plans/analytics5.py)
         "rrf_fusion",        # probe vector broadcast (plans/analytics5.py)
+        "ann_recall_report", # probe vector broadcasts via the three ANN rankers
     }
     for name, fn in QUERIES.items():
         buf = io.StringIO()
