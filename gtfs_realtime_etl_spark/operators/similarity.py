@@ -479,3 +479,168 @@ def lsh_bucketed_topk(
     # dedup=True: multi-probe emits one identical row per matching
     # probe; collect_set folds them inside the phase-1 aggregate.
     return _two_phase_topk(scored, k, query_id_col, id_col, dedup=True)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric distance computation (ADC)
+# — the memory-bound ANN scale path (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011).  The corpus
+# is stored as M small codeword indices per vector (here M bytes); a
+# query scores a vector by summing M table lookups instead of a
+# dim-wide dot product.  At 100 TB this is what makes exhaustive
+# re-ranking feasible: the codes table is dim/M × smaller than the
+# vectors and the per-vector cost is M additions.
+#
+# Everything is deterministic and fold-ordered so a SQL oracle can
+# replay encoding and ADC bit-for-bit (see plans/analytics5.py).
+# ---------------------------------------------------------------------------
+
+
+def pq_codebook_from_ids(
+    embeddings: DataFrame,
+    ids: "list[int]",
+    n_subspaces: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[list[list[float]]]":
+    """Deterministic sampled PQ codebook: ``codebook[m][c]`` is subvector
+    ``m`` of the vector whose id is the c-th smallest in ``ids``.
+
+    Sampled (untrained) codebooks are the classic PQ baseline; swap in
+    per-subspace k-means (``operators/kmeans.kmeans_fit`` over each
+    slice) for a trained quantizer at production scale — the encode and
+    ADC paths below take any codebook list.  The collect is K rows of
+    one vector each (broadcast-class, same cost posture as
+    ``_centroid_rows``), and the id filter pushes down to the scan.
+    """
+    rows = {
+        r[0]: [float(v) for v in r[1]]
+        for r in embeddings.filter(F.col(id_col).isin([int(i) for i in ids]))
+        .select(id_col, vec_col)
+        .collect()
+    }
+    missing = sorted(set(int(i) for i in ids) - set(rows))
+    if missing:
+        raise ValueError(f"codebook ids not present in corpus: {missing}")
+    ordered = [rows[i] for i in sorted(set(int(i) for i in ids))]
+    dim = len(ordered[0])
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible into {n_subspaces} subspaces")
+    d_sub = dim // n_subspaces
+    return [
+        [vec[m * d_sub : (m + 1) * d_sub] for vec in ordered]
+        for m in range(n_subspaces)
+    ]
+
+
+def _pq_code(vec: Column, subbook: "list[list[float]]", m: int, d_sub: int) -> Column:
+    """Nearest-codeword index for subspace ``m``: lexicographic struct
+    min over (l2sq, codeword_index) — ties break to the lowest index,
+    the same contract as ``_assign_cells_rows``."""
+    sub = F.slice(vec, m * d_sub + 1, d_sub)
+    entries = [
+        F.struct(
+            _l2sq(sub, F.array(*[F.lit(float(v)) for v in cw])).alias("dist"),
+            F.lit(c).alias("c"),
+        )
+        for c, cw in enumerate(subbook)
+    ]
+    return F.array_min(F.array(*entries))["c"]
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: "list[list[list[float]]]",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Append ``code_col`` (``array<int>``, one codeword index per
+    subspace) — a PURE PROJECTION like ``assign_cells``: the codebook
+    rides the plan as literals, so encoding is a narrow map over the
+    corpus scan with no shuffle and no Python.  This is the write-side
+    op: at rest, store the codes (M small ints) next to (or instead of)
+    the raw vectors."""
+    d_sub = len(codebook[0][0])
+    vec = F.col(vec_col).cast("array<double>")
+    codes = F.array(
+        *[_pq_code(vec, subbook, m, d_sub) for m, subbook in enumerate(codebook)]
+    )
+    return embeddings.withColumn(code_col, codes)
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    codebook: "list[list[list[float]]]",
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """PQ/ADC approximate top-k: rank by the asymmetric distance
+    ``sum_m l2sq(q_m, codebook[m][code(v, m)])`` — the query stays
+    exact, the corpus is quantized.
+
+    Plan shape: the per-query distance tables (M×K doubles — the whole
+    point of ADC) are computed DRIVER-SIDE from the collected query
+    rows (queries are few by contract, same posture as the IVF centroid
+    collect) and ride the plan as literal lookup arrays; the corpus
+    side is scan → encode projection → M ``element_at`` lookups → one
+    seeded fold → salted two-phase top-k.  No join, no Python, one
+    shuffle (the top-k aggregate).
+
+    Fold-order contract (oracle-matchable): per-subspace l2sq folds
+    left-to-right seeded 0.0 (:func:`_l2sq` — driver-side tables use
+    the identical IEEE op order), and the M ADC terms fold in subspace
+    order seeded 0.0.
+    """
+    n_sub = len(codebook)
+    d_sub = len(codebook[0][0])
+    qrows = query.select(
+        F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_q")
+    ).collect()
+
+    def l2sq_py(a: "list[float]", b: "list[float]") -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    vec = F.col(vec_col).cast("array<double>")
+    passthrough = [c for c in embeddings.columns if c != vec_col]
+    per_query = []
+    for qr in qrows:
+        qv = [float(v) for v in qr["_q"]]
+        # ADC lookup tables: qdist[m][c] = l2sq(q_m, codebook[m][c]).
+        qdist = [
+            [l2sq_py(qv[m * d_sub : (m + 1) * d_sub], cw) for cw in subbook]
+            for m, subbook in enumerate(codebook)
+        ]
+        terms = F.array(
+            *[
+                F.element_at(
+                    F.array(*[F.lit(d) for d in qdist[m]]),
+                    _pq_code(vec, codebook[m], m, d_sub) + F.lit(1),
+                )
+                for m in range(n_sub)
+            ]
+        )
+        adc = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+        per_query.append(
+            embeddings.select(
+                F.lit(qr[query_id_col]).alias(query_id_col),
+                *passthrough,
+                (-adc).alias("_negd"),
+            )
+        )
+    scored = per_query[0]
+    for df in per_query[1:]:
+        scored = scored.unionByName(df)
+    topk = _two_phase_topk(scored, k, query_id_col, id_col, score_col="_negd")
+    return topk.select(
+        query_id_col,
+        *passthrough,
+        (-F.col("_negd")).alias("adc_dist"),
+        "rank",
+    )

@@ -514,16 +514,115 @@ LIMIT {RRF_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# Product-quantization ADC top-k — the memory-bound ANN scale path
+# (operators/similarity.py::pq_adc_topk; Jégou et al. 2011).  The
+# corpus is encoded as PQ_M codeword indices against a deterministic
+# sampled codebook (the subvectors of vec_ids 1..PQ_K — the classic
+# untrained-PQ baseline; kmeans_fit per subspace is the trained
+# drop-in); the query ranks vectors by summing PQ_M driver-computed
+# table lookups.  Encoding, lookups, and both folds follow the seeded
+# left-fold contract, so the oracle replays the whole quantize →
+# encode → ADC → rank pipeline bit-for-bit — including every argmin
+# tie (dist, then lowest codeword).
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (64-dim corpus -> 8-dim subvectors)
+PQ_K = 16  # codewords per subspace
+PQ_CODEBOOK_IDS = tuple(range(1, PQ_K + 1))  # vec_id 0 is the query
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gtfs_realtime_etl_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook_from_ids,
+    )
+    from gtfs_realtime_etl_spark.plans.queries import TOP_K  # circular at import
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    codebook = pq_codebook_from_ids(embeddings, list(PQ_CODEBOOK_IDS), PQ_M)
+    q = embeddings.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    res = pq_adc_topk(embeddings.filter("vec_id != 0"), q, codebook, k=TOP_K)
+    return res.select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.round("adc_dist", 6).alias("adc_dist"),
+        "rank",
+    )
+
+
+def _ann_pq_sql() -> str:
+    """Oracle: rebuild the sampled codebook, the per-(vec, subspace)
+    argmin encoding, the query's ADC tables, and the ranked ADC sums
+    entirely in SQL — every float op in the same seeded-fold order as
+    the Spark plan and the driver-side table build."""
+    from gtfs_realtime_etl_spark.plans.queries import _FOLD_SUM, TOP_K
+
+    d_sub = 64 // PQ_M
+
+    def l2sq(vec_elem: str) -> str:
+        term = f"({vec_elem} - w.w[j]) * ({vec_elem} - w.w[j])"
+        return _FOLD_SUM.format(
+            terms=f"list_transform(range(1, {d_sub} + 1), j -> {term})"
+        )
+
+    return f"""
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+samp AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, vec
+  FROM emb WHERE vec_id BETWEEN 1 AND {PQ_K}
+),
+cw AS (
+  SELECT ms.m, samp.c,
+         list_transform(range(1, {d_sub} + 1), j -> vec[ms.m * {d_sub} + j]) AS w
+  FROM samp CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) ms
+),
+docdist AS (
+  SELECT e.vec_id, w.m, w.c, {l2sq(f"e.vec[w.m * {d_sub} + j]")} AS d
+  FROM emb e CROSS JOIN cw w
+  WHERE e.vec_id <> 0
+),
+codes AS (
+  SELECT vec_id, m, c FROM (
+    SELECT vec_id, m, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+    FROM docdist
+  ) WHERE rn = 1
+),
+qdist AS (
+  SELECT w.m, w.c, {l2sq(f"qv.vec[w.m * {d_sub} + j]")} AS qd
+  FROM (SELECT vec FROM emb WHERE vec_id = 0) qv CROSS JOIN cw w
+),
+adc AS (
+  SELECT codes.vec_id,
+         list_reduce(list_prepend(0.0, list(qd ORDER BY codes.m)),
+                     (acc, x) -> acc + x) AS adc_dist
+  FROM codes JOIN qdist ON codes.m = qdist.m AND codes.c = qdist.c
+  GROUP BY codes.vec_id
+),
+ranked AS (
+  SELECT CAST(0 AS INTEGER) AS query_id, a.vec_id, e.label, a.adc_dist,
+         ROW_NUMBER() OVER (ORDER BY a.adc_dist ASC, a.vec_id ASC) AS rank
+  FROM adc a JOIN emb e ON a.vec_id = e.vec_id
+)
+SELECT query_id, vec_id, label, ROUND(adc_dist, 6) AS adc_dist, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # ANN recall report — the accuracy contract for the approximate
 # retrieval family, completing the sketch-accuracy set (MinHash →
 # minhash_jaccard_estimate, GK → approx_quantile_profile, HLL →
 # approx_distinct_profile, frequent items → heavy_hitters): for each
-# approximate retriever (IVF with nprobe=2, LSH hyperplane buckets),
-# recall@k against the exact cosine top-k.  Every input ranking is
-# already deterministic and oracle-gated (ann_cosine_topk /
-# ann_ivf_topk / ann_lsh_topk), so the overlap counts and the rational
-# recall are engine-exact — an approximate operator whose accuracy
-# report is EXACT.
+# approximate retriever (IVF with nprobe=2, LSH hyperplane buckets,
+# PQ/ADC sampled codebooks), recall@k against the exact cosine top-k.
+# Every input ranking is already deterministic and oracle-gated
+# (ann_cosine_topk / ann_ivf_topk / ann_lsh_topk / ann_pq_topk), so the
+# overlap counts and the rational recall are engine-exact — approximate
+# operators whose accuracy report is EXACT.
 # ---------------------------------------------------------------------------
 
 
@@ -556,6 +655,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         row("ivf", q_ann_ivf_topk(spark, sf_dir))
         .unionByName(row("lsh", q_ann_lsh_topk(spark, sf_dir)))
+        .unionByName(row("pq", q_ann_pq_topk(spark, sf_dir)))
         .orderBy("method")
     )
 
@@ -584,11 +684,14 @@ JOIN ({sql.strip()}) ap ON ex.vec_id = ap.vec_id
         one("ivf", Q_ANN_IVF_TOPK_SQL)
         + " UNION ALL "
         + one("lsh", Q_ANN_LSH_TOPK_SQL)
+        + " UNION ALL "
+        + one("pq", _ann_pq_sql())
         + " ORDER BY method"
     )
 
 
 EXT8_QUERIES = {
+    "ann_pq_topk": q_ann_pq_topk,
     "ann_recall_report": q_ann_recall_report,
     "heavy_hitters": q_heavy_hitters,
     "weighted_sample": q_weighted_sample,
@@ -598,6 +701,7 @@ EXT8_QUERIES = {
 }
 
 EXT8_ORACLE_SQL = {
+    "ann_pq_topk": _ann_pq_sql(),
     "ann_recall_report": _ann_recall_sql(),
     "heavy_hitters": Q_HEAVY_HITTERS_SQL,
     "weighted_sample": Q_WEIGHTED_SAMPLE_SQL,

@@ -333,3 +333,64 @@ def test_minhash_pair_cache_recomputes_after_block_loss(spark):
     assert again == baseline
     # Restore the persisted invariant for any later consumer.
     pairs.persist(StorageLevel.DISK_ONLY)
+
+
+def test_pq_full_codebook_reduces_to_exact_l2(spark):
+    """PQ identity property: when the codebook contains EVERY corpus
+    vector's subvectors, each vector encodes to itself (all subspace
+    distances 0, ties impossible for distinct subvectors) and the ADC
+    distance IS the exact squared L2 to the query — so the PQ ranking
+    must equal the exact ranking bit-for-bit."""
+    from gtfs_realtime_etl_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook_from_ids,
+        pq_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, i % 2, [float(x) for x in rng.standard_normal(16)]) for i in range(13)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    corpus = df.filter("vec_id != 0")
+    codebook = pq_codebook_from_ids(corpus, list(range(1, 13)), n_subspaces=4)
+
+    # encode: every vector's code must point at its own subvectors
+    codes = {r["vec_id"]: r["pq_code"] for r in pq_encode(corpus, codebook).collect()}
+    for vid, code in codes.items():
+        assert code == [vid - 1] * 4, (vid, code)
+
+    q = df.filter("vec_id = 0").select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = pq_adc_topk(corpus, q, codebook, k=5).toPandas()
+    qv = np.array(rows[0][2])
+    exact = sorted(
+        ((float(((np.array(v) - qv) ** 2).sum()), i) for i, _, v in rows[1:]),
+    )[:5]
+    assert list(got["vec_id"]) == [i for _, i in exact]
+    assert np.allclose(sorted(got["adc_dist"]), [d for d, _ in exact], atol=1e-9)
+
+
+def test_pq_adc_partitioning_invariant(vectors):
+    """The PQ ranking is a pure projection + top-k: any partition layout
+    must give the identical result rows."""
+    from gtfs_realtime_etl_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook_from_ids,
+    )
+
+    corpus = vectors.filter("vec_id != 0")
+    codebook = pq_codebook_from_ids(corpus, list(range(1, 17)), n_subspaces=8)
+    q = vectors.filter("vec_id = 0").select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    a = pq_adc_topk(corpus, q, codebook, k=10).toPandas()
+    b = pq_adc_topk(corpus.repartition(7), q, codebook, k=10).toPandas()
+    assert list(a["vec_id"]) == list(b["vec_id"])
+    assert list(a["adc_dist"]) == list(b["adc_dist"])
+    # coarse quantizer on clustered data: most ADC top-k should share
+    # the query's cluster label
+    assert (a["label"] == 0).mean() >= 0.7
