@@ -2991,6 +2991,16 @@ from gtfs_realtime_etl_spark.plans.analytics5 import (  # noqa: E402
 QUERIES.update(EXT8_QUERIES)
 ORACLE_SQL.update(EXT8_ORACLE_SQL)
 
+# Tenth bank: iterative BPE tokenizer training (unrolled-CTE oracle)
+# + k-anonymity privacy audit.
+from gtfs_realtime_etl_spark.plans.analytics6 import (  # noqa: E402
+    EXT9_ORACLE_SQL,
+    EXT9_QUERIES,
+)
+
+QUERIES.update(EXT9_QUERIES)
+ORACLE_SQL.update(EXT9_ORACLE_SQL)
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
