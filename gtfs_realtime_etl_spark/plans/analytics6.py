@@ -202,14 +202,322 @@ ORDER BY k_size
 """
 
 
+# ---------------------------------------------------------------------------
+# l-diversity audit — the companion attack model to k-anonymity: a
+# class can be k-large yet leak if every member shares the same
+# sensitive value (homogeneity attack).  Sensitive attribute =
+# o_orderpriority of the customers' orders; l = distinct sensitive
+# values observed per quasi-identifier class (0 for classes whose
+# customers never ordered).  One shuffle join on custkey + two hash
+# aggregates; the second input is class-count-sized.  Scale-safe.
+# ---------------------------------------------------------------------------
+
+L_DIV_L = 2
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    qi = customer.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(K_ANON_BAND))
+        .cast("int")
+        .alias("bal_band"),
+    )
+    joined = qi.join(
+        orders.select("o_custkey", "o_orderpriority"),
+        qi.c_custkey == F.col("o_custkey"),
+        "left",
+    )
+    per_class = joined.groupBy(
+        "c_nationkey", "c_mktsegment", "bal_band"
+    ).agg(
+        F.countDistinct("o_orderpriority").alias("l"),
+        F.countDistinct("c_custkey").alias("n_customers"),
+    )
+    return (
+        per_class.groupBy("l")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("n_customers").alias("n_customers"),
+        )
+        .select(
+            "l",
+            "n_classes",
+            "n_customers",
+            (F.col("l") < F.lit(L_DIV_L)).alias("at_risk"),
+        )
+        .orderBy("l")
+    )
+
+
+Q_L_DIVERSITY_SQL = f"""
+WITH per_class AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / {K_ANON_BAND}) AS INTEGER) AS bal_band,
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS l,
+         CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1, 2, 3
+)
+SELECT l,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(n_customers) AS BIGINT) AS n_customers,
+       l < {L_DIV_L} AS at_risk
+FROM per_class GROUP BY l ORDER BY l
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k — the sparse-retrieval leg next to the dense ANN family
+# (ann_cosine_topk / rrf_fusion).  Lucene-shaped non-negative idf,
+# expressed in log2 base through the engine's PORTABLE integer log2
+# (functions/stats.py):
+#
+#   idf(t) = log2((N + 1) / (df_t + 0.5))
+#          = plog2(2N + 2) - plog2(2·df_t + 1)      -- integer args only
+#
+# so the whole score is deterministic cross-engine: integer tf/df/dl
+# aggregates, portable logs, IEEE-exact division chain, decimal
+# accumulation of the <=|Q| per-term scores (sum order cannot matter),
+# one final round.  Plan: one token explode feeding dl and (filtered)
+# tf aggregates, broadcast df + corpus scalars, TakeOrderedAndProject
+# top-k — no full sort, no Python.
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("dup", "hash", "join")
+BM25_N = 10
+_BM_DEC = "decimal(30,15)"
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gtfs_realtime_etl_spark.functions.stats import portable_int_log2
+    from gtfs_realtime_etl_spark.functions.text import tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.where(F.col("token").isin(*BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_toks")
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = portable_int_log2(
+        F.lit(2) * F.col("n_docs") + F.lit(2)
+    ) - portable_int_log2(F.lit(2) * F.col("df") + F.lit(1))
+    ratio = (F.col("dl") * F.col("n_docs")).cast("double") / F.col(
+        "total_toks"
+    ).cast("double")
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * ratio
+    )
+    term_score = idf * ((tf_d * F.lit(BM25_K1 + 1.0)) / denom)
+    return (
+        scored.select("doc_id", term_score.cast(_BM_DEC).alias("ts"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("ts").cast("double"), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_N)
+    )
+
+
+def _bm25_sql() -> str:
+    from gtfs_realtime_etl_spark.functions.stats import portable_int_log2_sql
+
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    lg_n = portable_int_log2_sql("2 * n_docs + 2", "bn")
+    lg_d = portable_int_log2_sql("2 * df + 1", "bd")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE token IN ({terms}) GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_toks
+  FROM dl
+),
+logs AS (
+  SELECT doc_id, tf, dl, n_docs, total_toks, {lg_n}, {lg_d}
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token) CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id,
+         CAST((bn_lg - bd_lg)
+              * ((CAST(tf AS DOUBLE) * {BM25_K1 + 1.0!r})
+                 / (CAST(tf AS DOUBLE)
+                    + {BM25_K1!r} * ({1.0 - BM25_B!r}
+                       + {BM25_B!r} * (CAST(dl * n_docs AS DOUBLE)
+                                       / CAST(total_toks AS DOUBLE)))))
+              AS DECIMAL(30,15)) AS ts
+  FROM logs
+)
+SELECT doc_id,
+       ROUND(CAST(SUM(ts) AS DOUBLE), 6) AS bm25,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {BM25_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Near-dup method agreement matrix — the dedup counterpart of
+# ann_recall_report: for the three pair generators (blocked exact
+# n-gram Jaccard, MinHash-LSH, SimHash), the size of each pair set and
+# the Jaccard agreement of every method pair.  No "recall" claim — the
+# methods use different similarity definitions by design; the matrix
+# is the drift diagnostic a pipeline owner watches when retuning
+# bands/thresholds.  Plan: three existing pair pipelines (the MinHash
+# side reuses the session-wide DISK_ONLY verified-pair cache), one
+# union + self-equi-join on the pair key, seeded so all three rows
+# always exist.
+# ---------------------------------------------------------------------------
+
+_DEDUP_METHOD_PAIRS = (
+    ("minhash", "ngram"),
+    ("minhash", "simhash"),
+    ("ngram", "simhash"),
+)
+
+
+def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Late imports: plans.queries defines these three entries BEFORE it
+    # imports this bank (same pattern as ann_recall_report).
+    from gtfs_realtime_etl_spark.plans.queries import (
+        q_dedup_ngram_jaccard,
+        q_minhash_lsh_pairs,
+        q_simhash_pairs,
+    )
+
+    ng = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.lit("ngram").alias("m"), F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    mh = q_minhash_lsh_pairs(spark, sf_dir).select(
+        F.lit("minhash").alias("m"), F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    sh = q_simhash_pairs(spark, sf_dir).select(
+        F.lit("simhash").alias("m"), F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    allp = ng.unionByName(mh).unionByName(sh)
+    counts = allp.groupBy("m").agg(F.count(F.lit(1)).alias("n"))
+    x, y = allp.alias("x"), allp.alias("y")
+    common = (
+        x.join(
+            y,
+            (F.col("x.a") == F.col("y.a"))
+            & (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.m") < F.col("y.m")),
+        )
+        .groupBy(F.col("x.m").alias("method_a"), F.col("y.m").alias("method_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    seed = spark.createDataFrame(
+        list(_DEDUP_METHOD_PAIRS), "method_a string, method_b string"
+    )
+    ca = counts.select(F.col("m").alias("method_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("m").alias("method_b"), F.col("n").alias("n_b"))
+    j = (
+        seed.join(F.broadcast(ca), "method_a", "left")
+        .join(F.broadcast(cb), "method_b", "left")
+        .join(F.broadcast(common), ["method_a", "method_b"], "left")
+        .select(
+            "method_a",
+            "method_b",
+            F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+        )
+    )
+    union_n = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    agreement = F.when(union_n == 0, F.lit(0.0)).otherwise(
+        F.round(F.col("n_common").cast("double") / union_n, 6)
+    )
+    return j.select(
+        "method_a", "method_b", "n_a", "n_b", "n_common",
+        agreement.alias("agreement"),
+    ).orderBy("method_a", "method_b")
+
+
+def _dedup_agreement_sql() -> str:
+    from gtfs_realtime_etl_spark.plans.queries import (
+        Q_DEDUP_NGRAM_JACCARD_SQL,
+        Q_MINHASH_LSH_PAIRS_SQL,
+        Q_SIMHASH_PAIRS_SQL,
+    )
+
+    seed = ", ".join(f"('{a}', '{b}')" for a, b in _DEDUP_METHOD_PAIRS)
+    return f"""
+WITH ng AS ({Q_DEDUP_NGRAM_JACCARD_SQL.strip()}),
+mh AS ({Q_MINHASH_LSH_PAIRS_SQL.strip()}),
+sh AS ({Q_SIMHASH_PAIRS_SQL.strip()}),
+allp AS (
+  SELECT 'ngram' AS m, doc_a AS a, doc_b AS b FROM ng
+  UNION ALL SELECT 'minhash', id_a, id_b FROM mh
+  UNION ALL SELECT 'simhash', id_a, id_b FROM sh
+),
+counts AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS n FROM allp GROUP BY m),
+common AS (
+  SELECT x.m AS method_a, y.m AS method_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM allp x JOIN allp y ON x.a = y.a AND x.b = y.b AND x.m < y.m
+  GROUP BY 1, 2
+),
+seed AS (SELECT * FROM (VALUES {seed}) t(method_a, method_b))
+SELECT method_a, method_b,
+       COALESCE(ca.n, 0) AS n_a,
+       COALESCE(cb.n, 0) AS n_b,
+       COALESCE(common.n_common, 0) AS n_common,
+       CASE WHEN COALESCE(ca.n, 0) + COALESCE(cb.n, 0)
+                 - COALESCE(common.n_common, 0) = 0 THEN 0.0
+            ELSE ROUND(CAST(COALESCE(common.n_common, 0) AS DOUBLE)
+                       / (COALESCE(ca.n, 0) + COALESCE(cb.n, 0)
+                          - COALESCE(common.n_common, 0)), 6)
+       END AS agreement
+FROM seed
+LEFT JOIN counts ca ON ca.m = method_a
+LEFT JOIN counts cb ON cb.m = method_b
+LEFT JOIN common USING (method_a, method_b)
+ORDER BY method_a, method_b
+"""
+
+
 EXT9_QUERIES = {
     "bpe_train": q_bpe_train,
     "bpe_encode_stats": q_bpe_encode_stats,
     "k_anonymity": q_k_anonymity,
+    "l_diversity": q_l_diversity,
+    "bm25_topk": q_bm25_topk,
+    "dedup_agreement": q_dedup_agreement,
 }
 
 EXT9_ORACLE_SQL = {
     "bpe_train": Q_BPE_TRAIN_SQL,
     "bpe_encode_stats": Q_BPE_ENCODE_STATS_SQL,
     "k_anonymity": Q_K_ANONYMITY_SQL,
+    "l_diversity": Q_L_DIVERSITY_SQL,
+    "bm25_topk": _bm25_sql(),
+    "dedup_agreement": _dedup_agreement_sql(),
 }
