@@ -504,6 +504,210 @@ ORDER BY method_a, method_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Order-invariant table checksums — the "did the 100 TB copy match"
+# integrity op a migration/replication pipeline runs on both sides.
+# Per row: md5 of a canonical field string, its first 60 bits parsed as
+# an integer (md5 is JVM-native in Spark and engine-native in DuckDB —
+# no HOF, no Python, one scan per table); per table: row count + the
+# modular sum of row hashes (mod 2^61-1), which is partition- and
+# order-invariant by construction.  Money columns ride as exact cents
+# (ROUND(x*100) — never a .5 tie for 2-dp values), timestamps as
+# yyyy-MM-dd strings.  Decimal(38,0) accumulation keeps the sum exact
+# at any row count before the final mod.
+# ---------------------------------------------------------------------------
+
+_CHK_MERSENNE61 = (1 << 61) - 1
+
+
+def _row_hash(canonical):
+    return F.conv(F.substring(F.md5(canonical), 1, 15), 16, 10).cast("long")
+
+
+def _chk_agg(df: DataFrame, name: str, canonical) -> DataFrame:
+    return df.select(_row_hash(canonical).alias("h")).agg(
+        F.lit(name).alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.pmod(F.sum(F.col("h").cast("decimal(38,0)")), F.lit(_CHK_MERSENNE61))
+        .cast("long")
+        .alias("checksum"),
+    )
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, documents = _t(
+        spark, sf_dir, "customer", "orders", "documents"
+    )
+    cust = _chk_agg(
+        customer,
+        "customer",
+        F.concat_ws(
+            "|",
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") * 100).cast("long"),
+            "c_mktsegment",
+        ),
+    )
+    ords = _chk_agg(
+        orders,
+        "orders",
+        F.concat_ws(
+            "|",
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            "o_orderpriority",
+        ),
+    )
+    docs = _chk_agg(
+        documents,
+        "documents",
+        F.concat_ws(
+            "|", "doc_id", F.md5("text"), "lang", "source", "n_chars"
+        ),
+    )
+    return cust.unionByName(ords).unionByName(docs).orderBy("table_name")
+
+
+def _chk_sql(table: str, canonical: str) -> str:
+    h = f"CAST(concat('0x', substr(md5({canonical}), 1, 15)) AS BIGINT)"
+    return f"""
+SELECT '{table}' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(((SUM(CAST({h} AS DECIMAL(38,0))) % {_CHK_MERSENNE61})
+             + {_CHK_MERSENNE61}) % {_CHK_MERSENNE61} AS BIGINT) AS checksum
+FROM {table}"""
+
+
+Q_TABLE_CHECKSUM_SQL = (
+    _chk_sql(
+        "customer",
+        "concat_ws('|', c_custkey, c_name, c_nationkey, "
+        "CAST(ROUND(c_acctbal * 100) AS BIGINT), c_mktsegment)",
+    )
+    + "\nUNION ALL"
+    + _chk_sql(
+        "orders",
+        "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT), "
+        "strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)",
+    )
+    + "\nUNION ALL"
+    + _chk_sql(
+        "documents",
+        "concat_ws('|', doc_id, md5(text), lang, source, n_chars)",
+    )
+    + "\nORDER BY table_name"
+)
+
+
+# ---------------------------------------------------------------------------
+# Key-skew report — the pre-join audit: is o_custkey safe to shuffle
+# on?  One row: key count, row count, top-1/top-10 key share, and the
+# Gini coefficient of the per-key distribution.  The Gini rank does
+# NOT use a single-task global sort: keys bucket by bit_length(count)
+# (monotone in count — floor(log2): pure integer, deterministic), sort
+# in parallel within buckets, and add broadcast per-bucket prefix
+# offsets — the epoch_shuffle two-level range rank, re-keyed by value.
+# Scalar assembly is 1-row broadcasts (SCALAR_BNLJ_OK).
+# ---------------------------------------------------------------------------
+
+
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
+    # bit_length bucket: length(bin(c)) - 1 == floor(log2 c), monotone.
+    bucketed = counts.withColumn(
+        "bkt", (F.length(F.bin(F.col("c"))) - F.lit(1)).cast("int")
+    )
+    local = bucketed.withColumn(
+        "local_pos",
+        F.row_number().over(
+            Window.partitionBy("bkt").orderBy("c", "o_custkey")
+        ),
+    )
+    offsets = (
+        bucketed.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "offset")
+    )
+    ranked = local.join(F.broadcast(offsets), "bkt").select(
+        "c", (F.col("offset") + F.col("local_pos")).alias("rnk")
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("sc"),
+        F.sum((F.col("rnk") * F.col("c")).cast("decimal(38,0)")).alias("src"),
+        F.max("c").alias("max_c"),
+    )
+    top10 = (
+        counts.orderBy(F.desc("c"), F.asc("o_custkey"))
+        .limit(10)
+        .agg(F.sum("c").alias("top10_rows"))
+    )
+    j = sums.crossJoin(F.broadcast(top10))
+    nk = F.col("n_keys").cast("double")
+    sc = F.col("sc").cast("double")
+    src = F.col("src").cast("double")
+    return j.select(
+        "n_keys",
+        F.col("sc").cast("long").alias("n_rows"),
+        F.round(F.col("max_c").cast("double") / sc, 12).alias("top1_share"),
+        F.round(F.col("top10_rows").cast("double") / sc, 12).alias(
+            "top10_share"
+        ),
+        F.round(
+            (F.lit(2.0) * src) / (nk * sc) - (nk + F.lit(1.0)) / nk, 12
+        ).alias("gini"),
+    )
+
+
+Q_KEY_SKEW_REPORT_SQL = """
+WITH counts AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c, o_custkey) AS BIGINT) AS rnk
+  FROM counts
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         SUM(CAST(c AS DECIMAL(38,0))) AS sc,
+         SUM(CAST(rnk * c AS DECIMAL(38,0))) AS src,
+         MAX(c) AS max_c
+  FROM ranked
+),
+top10 AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS top10_rows
+  FROM (SELECT c FROM counts ORDER BY c DESC, o_custkey ASC LIMIT 10)
+)
+SELECT n_keys,
+       CAST(sc AS BIGINT) AS n_rows,
+       ROUND(CAST(max_c AS DOUBLE) / CAST(sc AS DOUBLE), 12) AS top1_share,
+       ROUND(CAST(top10_rows AS DOUBLE) / CAST(sc AS DOUBLE), 12) AS top10_share,
+       ROUND((2.0 * CAST(src AS DOUBLE)) / (CAST(n_keys AS DOUBLE) * CAST(sc AS DOUBLE))
+             - (CAST(n_keys AS DOUBLE) + 1.0) / CAST(n_keys AS DOUBLE), 12) AS gini
+FROM sums CROSS JOIN top10
+"""
+
+
 EXT9_QUERIES = {
     "bpe_train": q_bpe_train,
     "bpe_encode_stats": q_bpe_encode_stats,
@@ -511,6 +715,8 @@ EXT9_QUERIES = {
     "l_diversity": q_l_diversity,
     "bm25_topk": q_bm25_topk,
     "dedup_agreement": q_dedup_agreement,
+    "table_checksum": q_table_checksum,
+    "key_skew_report": q_key_skew_report,
 }
 
 EXT9_ORACLE_SQL = {
@@ -520,4 +726,6 @@ EXT9_ORACLE_SQL = {
     "l_diversity": Q_L_DIVERSITY_SQL,
     "bm25_topk": _bm25_sql(),
     "dedup_agreement": _dedup_agreement_sql(),
+    "table_checksum": Q_TABLE_CHECKSUM_SQL,
+    "key_skew_report": Q_KEY_SKEW_REPORT_SQL,
 }
