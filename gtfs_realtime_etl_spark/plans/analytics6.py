@@ -720,6 +720,98 @@ FROM sums CROSS JOIN top10
 """
 
 
+# ---------------------------------------------------------------------------
+# Snapshot diff — row-level reconciliation between two table versions
+# (operators/diff.py).  The "new" snapshot is derived deterministically
+# from orders so both engines build the identical pair: keys divisible
+# by 97 deleted, keys divisible by 101 get a mutated status, keys
+# divisible by 89 are re-keyed clones (the added rows).  Output is the
+# change-type census plus min/max affected key per class — the report
+# a migration runs when the table checksums disagree.
+# ---------------------------------------------------------------------------
+
+_DIFF_DEL = 97
+_DIFF_MOD = 101
+_DIFF_ADD = 89
+_DIFF_KEY_OFFSET = 10_000_000_000
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gtfs_realtime_etl_spark.operators.diff import snapshot_diff
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    kept = base.where(F.col("o_orderkey") % _DIFF_DEL != 0)
+    mutated = kept.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % _DIFF_MOD == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    clones = base.where(F.col("o_orderkey") % _DIFF_ADD == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(_DIFF_KEY_OFFSET)
+    )
+    new = mutated.unionByName(clones)
+    canonical = F.concat_ws(
+        "|",
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long"),
+    )
+    d = snapshot_diff(base, new, "o_orderkey", canonical)
+    return (
+        d.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("change_type")
+    )
+
+
+Q_SNAPSHOT_DIFF_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+new_snap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {_DIFF_MOD} = 0 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice
+  FROM base WHERE o_orderkey % {_DIFF_DEL} <> 0
+  UNION ALL
+  SELECT o_orderkey + {_DIFF_KEY_OFFSET}, o_orderstatus, o_totalprice
+  FROM base WHERE o_orderkey % {_DIFF_ADD} = 0
+),
+o AS (
+  SELECT o_orderkey AS k,
+         CAST(concat('0x', substr(md5(concat_ws('|', o_orderkey, o_orderstatus,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT))), 1, 15)) AS BIGINT) AS h_old
+  FROM base
+),
+n AS (
+  SELECT o_orderkey AS k,
+         CAST(concat('0x', substr(md5(concat_ws('|', o_orderkey, o_orderstatus,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT))), 1, 15)) AS BIGINT) AS h_new
+  FROM new_snap
+),
+d AS (
+  SELECT COALESCE(o.k, n.k) AS k,
+         CASE WHEN o.k IS NULL THEN 'added'
+              WHEN n.k IS NULL THEN 'deleted'
+              WHEN h_old <> h_new THEN 'modified'
+              ELSE 'unchanged' END AS change_type
+  FROM o FULL OUTER JOIN n ON o.k = n.k
+)
+SELECT change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(k) AS min_key,
+       MAX(k) AS max_key
+FROM d GROUP BY change_type ORDER BY change_type
+"""
+
+
 EXT9_QUERIES = {
     "bpe_train": q_bpe_train,
     "bpe_encode_stats": q_bpe_encode_stats,
@@ -729,6 +821,7 @@ EXT9_QUERIES = {
     "dedup_agreement": q_dedup_agreement,
     "table_checksum": q_table_checksum,
     "key_skew_report": q_key_skew_report,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 EXT9_ORACLE_SQL = {
@@ -740,4 +833,5 @@ EXT9_ORACLE_SQL = {
     "dedup_agreement": _dedup_agreement_sql(),
     "table_checksum": Q_TABLE_CHECKSUM_SQL,
     "key_skew_report": Q_KEY_SKEW_REPORT_SQL,
+    "snapshot_diff": Q_SNAPSHOT_DIFF_SQL,
 }
