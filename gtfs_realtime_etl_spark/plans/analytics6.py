@@ -812,6 +812,286 @@ FROM d GROUP BY change_type ORDER BY change_type
 """
 
 
+# ---------------------------------------------------------------------------
+# CountMin join-cardinality estimate — the planner-adjacent sketch: how
+# big will A ⋈ B be, WITHOUT joining A and B?  Each side folds its key
+# counts into a depth×width counter matrix (additive → partition- and
+# order-invariant, unlike Misra-Gries); the estimate is the minimum
+# over rows of the per-row inner product.  The CountMin inner-product
+# theorem gives est_i >= exact for EVERY row (collisions only add
+# nonnegative cross terms), so ``overestimate_ok`` is a deterministic
+# verdict, not a probabilistic claim — the probabilistic part (how
+# close) rides as ``rel_error``.  Exact twin: one count-frame join.
+# At 100 TB the sketch path never joins the key domains — two scans,
+# two depth×width aggregates, one broadcast-sized merge.
+# ---------------------------------------------------------------------------
+
+CM_DEPTH_PARAMS = ((0, 1103515245, 12345), (1, 69069, 362437), (2, 1664525, 1013904223))
+CM_WIDTH = 8191  # prime (no affine-hash cycles on dense keys); err ~ Na*Nb/w
+_CM_MOD = 2147483647
+
+
+def _cm_bucket(key, a: int, b: int):
+    return F.pmod(
+        F.pmod(key.cast("long") * F.lit(a) + F.lit(b), F.lit(_CM_MOD)),
+        F.lit(CM_WIDTH),
+    )
+
+
+def _cm_sketch(counts: DataFrame, key: str) -> DataFrame:
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    _cm_bucket(F.col(key), a, b).alias("bucket"),
+                )
+                for i, a, b in CM_DEPTH_PARAMS
+            ]
+        )
+    ).alias("r")
+    return (
+        counts.select(rows, "c")
+        .select("r.i", "r.bucket", "c")
+        .groupBy("i", "bucket")
+        .agg(F.sum("c").alias("v"))
+    )
+
+
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, events = _t(spark, sf_dir, "orders", "events")
+    ca = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cb = events.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    exact = (
+        ca.join(cb.withColumnRenamed("c", "c2"), "k")
+        .agg(F.sum(F.col("c") * F.col("c2")).alias("exact_card"))
+        .select(F.coalesce(F.col("exact_card"), F.lit(0)).alias("exact_card"))
+    )
+    sa, sb = _cm_sketch(ca, "k"), _cm_sketch(cb, "k")
+    # Totals ride off the (already bucket-sized) sketch frames — no
+    # extra pass over either count frame.
+    tot = (
+        sa.where(F.col("i") == 0)
+        .agg(F.sum("v").alias("n_a"))
+        .crossJoin(
+            F.broadcast(sb.where(F.col("i") == 0).agg(F.sum("v").alias("n_b")))
+        )
+    )
+    est = (
+        sa.join(sb.withColumnRenamed("v", "v2"), ["i", "bucket"])
+        .groupBy("i")
+        .agg(F.sum(F.col("v") * F.col("v2")).alias("ip"))
+        .agg(F.min("ip").alias("est_card"))
+    )
+    j = exact.crossJoin(F.broadcast(est)).crossJoin(F.broadcast(tot))
+    # cm_epsilon: realized error as a multiple of the CM additive term
+    # Na*Nb/w — O(1) when the estimator behaves per theory.
+    return j.select(
+        "exact_card",
+        "est_card",
+        (F.col("est_card") >= F.col("exact_card")).alias("overestimate_ok"),
+        F.round(
+            (F.col("est_card") - F.col("exact_card")).cast("double")
+            / F.col("exact_card").cast("double"),
+            12,
+        ).alias("rel_error"),
+        F.round(
+            (F.col("est_card") - F.col("exact_card")).cast("double")
+            * F.lit(float(CM_WIDTH))
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
+            12,
+        ).alias("cm_epsilon"),
+    )
+
+
+def _cm_sql() -> str:
+    params = ", ".join(f"({i}, {a}, {b})" for i, a, b in CM_DEPTH_PARAMS)
+
+    def sketch(src: str) -> str:
+        return f"""
+  SELECT i, ((k * a + b) % {_CM_MOD} + {_CM_MOD}) % {_CM_MOD} % {CM_WIDTH} AS bucket,
+         CAST(SUM(c) AS BIGINT) AS v
+  FROM {src} CROSS JOIN (SELECT * FROM (VALUES {params}) t(i, a, b))
+  GROUP BY 1, 2"""
+
+    return f"""
+WITH ca AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+cb AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+exact AS (
+  SELECT COALESCE(CAST(SUM(ca.c * cb.c) AS BIGINT), 0) AS exact_card
+  FROM ca JOIN cb USING (k)
+),
+sa AS ({sketch("ca")}),
+sb AS ({sketch("cb")}),
+est AS (
+  SELECT CAST(MIN(ip) AS BIGINT) AS est_card FROM (
+    SELECT sa.i, SUM(sa.v * sb.v) AS ip
+    FROM sa JOIN sb ON sa.i = sb.i AND sa.bucket = sb.bucket
+    GROUP BY sa.i
+  )
+),
+tot AS (
+  SELECT (SELECT CAST(SUM(v) AS BIGINT) FROM sa WHERE i = 0) AS n_a,
+         (SELECT CAST(SUM(v) AS BIGINT) FROM sb WHERE i = 0) AS n_b
+)
+SELECT exact_card, est_card,
+       est_card >= exact_card AS overestimate_ok,
+       ROUND(CAST(est_card - exact_card AS DOUBLE)
+             / CAST(exact_card AS DOUBLE), 12) AS rel_error,
+       ROUND(CAST(est_card - exact_card AS DOUBLE) * {float(CM_WIDTH)!r}
+             / CAST(n_a * n_b AS DOUBLE), 12) AS cm_epsilon
+FROM exact CROSS JOIN est CROSS JOIN tot
+"""
+
+
+Q_JOIN_CARDINALITY_SQL = _cm_sql()
+
+
+# ---------------------------------------------------------------------------
+# Bloom semi-join pruning — the shuffle-reduction primitive: build a
+# Bloom filter over a selective dimension subset, probe the fact side
+# BEFORE its shuffle, report what survived.  The bit set is an OR over
+# keys (multiset- and partition-invariant), membership uses the same
+# three integer hash rows as the CountMin sketch; the no-false-negative
+# property is a theorem, so ``fn_count = 0`` is a hash-gated verdict
+# and the measured false-positive rate rides next to it.  The filter's
+# set-bit table is bounded by BLOOM_BITS — broadcast-class by
+# construction, which is exactly why this works at 100 TB.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 4096
+BLOOM_SEGMENT = "BUILDING"
+
+
+def _bloom_pos(key, a: int, b: int):
+    return F.pmod(
+        F.pmod(key.cast("long") * F.lit(a) + F.lit(b), F.lit(_CM_MOD)),
+        F.lit(BLOOM_BITS),
+    )
+
+
+def _bloom_positions(df: DataFrame, key: str) -> DataFrame:
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    _bloom_pos(F.col(key), a, b).alias("pos"),
+                )
+                for i, a, b in CM_DEPTH_PARAMS
+            ]
+        )
+    ).alias("r")
+    return df.select(rows).select("r.i", "r.pos")
+
+
+def q_bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    build = customer.where(
+        F.col("c_mktsegment") == BLOOM_SEGMENT
+    ).select(F.col("c_custkey").alias("k"))
+    bits = _bloom_positions(build, "k").distinct()
+    probe = orders.select(F.col("o_custkey").alias("k")).distinct()
+    probed = probe.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _bloom_pos(F.col("k"), a, b).alias("pos"),
+                    )
+                    for i, a, b in CM_DEPTH_PARAMS
+                ]
+            )
+        ).alias("r"),
+    ).select("k", "r.i", "r.pos")
+    hits = (
+        probed.join(F.broadcast(bits), ["i", "pos"], "left_semi")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    flags = (
+        probe.join(F.broadcast(hits), "k", "left")
+        .withColumn(
+            "bloom_pass",
+            F.coalesce(F.col("n_hit"), F.lit(0)) == len(CM_DEPTH_PARAMS),
+        )
+        .join(F.broadcast(build.withColumn("is_member", F.lit(True))), "k", "left")
+        .withColumn("is_member", F.coalesce(F.col("is_member"), F.lit(False)))
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_probe_keys"),
+        F.sum(F.col("bloom_pass").cast("long")).alias("n_pass"),
+        F.sum(F.col("is_member").cast("long")).alias("n_members"),
+        F.sum((F.col("bloom_pass") & ~F.col("is_member")).cast("long")).alias(
+            "fp_count"
+        ),
+        F.sum((~F.col("bloom_pass") & F.col("is_member")).cast("long")).alias(
+            "fn_count"
+        ),
+    ).select(
+        "n_probe_keys",
+        "n_pass",
+        "n_members",
+        "fp_count",
+        "fn_count",
+        F.round(
+            F.col("fp_count").cast("double")
+            / (F.col("n_probe_keys") - F.col("n_members")).cast("double"),
+            12,
+        ).alias("fp_rate"),
+    )
+
+
+def _bloom_sql() -> str:
+    params = ", ".join(f"({i}, {a}, {b})" for i, a, b in CM_DEPTH_PARAMS)
+    pos = f"((k * a + b) % {_CM_MOD} + {_CM_MOD}) % {_CM_MOD} % {BLOOM_BITS}"
+    return f"""
+WITH build AS (
+  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = '{BLOOM_SEGMENT}'
+),
+bits AS (
+  SELECT DISTINCT i, {pos} AS pos
+  FROM build CROSS JOIN (SELECT * FROM (VALUES {params}) t(i, a, b))
+),
+probe AS (SELECT DISTINCT o_custkey AS k FROM orders),
+probed AS (
+  SELECT k, i, {pos} AS pos
+  FROM probe CROSS JOIN (SELECT * FROM (VALUES {params}) t(i, a, b))
+),
+hits AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM probed SEMI JOIN bits USING (i, pos)
+  GROUP BY k
+),
+flags AS (
+  SELECT probe.k,
+         COALESCE(n_hit, 0) = {len(CM_DEPTH_PARAMS)} AS bloom_pass,
+         build.k IS NOT NULL AS is_member
+  FROM probe
+  LEFT JOIN hits ON probe.k = hits.k
+  LEFT JOIN (SELECT DISTINCT k FROM build) build ON probe.k = build.k
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_keys,
+       CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS fp_count,
+       CAST(SUM(CASE WHEN NOT bloom_pass AND is_member THEN 1 ELSE 0 END) AS BIGINT) AS fn_count,
+       ROUND(CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS DOUBLE),
+             12) AS fp_rate
+FROM flags
+"""
+
+
+Q_BLOOM_PRUNE_STATS_SQL = _bloom_sql()
+
+
 EXT9_QUERIES = {
     "bpe_train": q_bpe_train,
     "bpe_encode_stats": q_bpe_encode_stats,
@@ -822,6 +1102,8 @@ EXT9_QUERIES = {
     "table_checksum": q_table_checksum,
     "key_skew_report": q_key_skew_report,
     "snapshot_diff": q_snapshot_diff,
+    "join_cardinality": q_join_cardinality,
+    "bloom_prune_stats": q_bloom_prune_stats,
 }
 
 EXT9_ORACLE_SQL = {
@@ -834,4 +1116,6 @@ EXT9_ORACLE_SQL = {
     "table_checksum": Q_TABLE_CHECKSUM_SQL,
     "key_skew_report": Q_KEY_SKEW_REPORT_SQL,
     "snapshot_diff": Q_SNAPSHOT_DIFF_SQL,
+    "join_cardinality": Q_JOIN_CARDINALITY_SQL,
+    "bloom_prune_stats": Q_BLOOM_PRUNE_STATS_SQL,
 }

@@ -148,6 +148,7 @@ def test_no_cartesian_anywhere_in_registry(spark):
         "k_anonymity",       # table-total 1-row scalar broadcast (plans/analytics6.py)
         "bm25_topk",         # corpus N/avgdl 1-row scalar broadcast (plans/analytics6.py)
         "key_skew_report",   # moment/top10 1-row scalar assembly (plans/analytics6.py)
+        "join_cardinality",  # exact/estimate 1-row scalar assembly (plans/analytics6.py)
     }
     for name, fn in QUERIES.items():
         buf = io.StringIO()
