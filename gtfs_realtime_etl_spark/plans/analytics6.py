@@ -310,27 +310,58 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gtfs_realtime_etl_spark.functions.text import tokens
 
     (documents,) = _t(spark, sf_dir, "documents")
-    toks = documents.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    # NO token explode, NO token-stream shuffle: dl and the |Q| term
+    # frequencies are per-doc HOF projections over the tokens array
+    # (size / size∘filter — array traversals, not exchanges), and ALL
+    # corpus scalars (N, Σdl, per-term df) fold into ONE 1-row
+    # aggregate that broadcasts back.  Cost = two columnar scans (the
+    # scalar pass and the tf pass); the explode alternative scanned
+    # once but shuffled the full token stream per consumer — at 100 TB
+    # the second scan is far cheaper than one token-stream exchange.
+    # The two-stage select keeps tokens(text) a named attribute so
+    # CollapseProject cannot duplicate its evaluation per consumer.
+    tks = documents.select("doc_id", tokens(F.col("text")).alias("tks"))
+
+    def _eq(term: str):
+        # closure factory — a `t=t` default arg would give the lambda
+        # TWO parameters, which Spark reads as an (element, index) HOF.
+        return lambda x: x == F.lit(term)
+
+    per_doc = tks.select(
+        "doc_id",
+        F.size("tks").alias("dl"),
+        *[
+            F.size(F.filter(F.col("tks"), _eq(t))).alias(f"tf_{i}")
+            for i, t in enumerate(BM25_QUERY)
+        ],
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    tf = (
-        toks.where(F.col("token").isin(*BM25_QUERY))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_toks"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(BM25_QUERY))
+        ],
     )
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_toks")
+    stack_args = ", ".join(
+        f"'{t}', tf_{i}" for i, t in enumerate(BM25_QUERY)
     )
-    scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "token")
-        .crossJoin(F.broadcast(stats))
+    tf = per_doc.select(
+        "doc_id",
+        "dl",
+        F.expr(
+            f"stack({len(BM25_QUERY)}, {stack_args}) AS (token, tf)"
+        ),
+    ).where(F.col("tf") > 0)
+    scored = tf.crossJoin(F.broadcast(stats))
+    df_of_token = F.when(
+        F.col("token") == BM25_QUERY[0], F.col("df_0")
     )
+    for i, t in enumerate(BM25_QUERY[1:], start=1):
+        df_of_token = df_of_token.when(F.col("token") == t, F.col(f"df_{i}"))
     idf = portable_int_log2(
         F.lit(2) * F.col("n_docs") + F.lit(2)
-    ) - portable_int_log2(F.lit(2) * F.col("df") + F.lit(1))
+    ) - portable_int_log2(F.lit(2) * df_of_token + F.lit(1))
     ratio = (F.col("dl") * F.col("n_docs")).cast("double") / F.col(
         "total_toks"
     ).cast("double")
