@@ -122,6 +122,26 @@ _COS_NORM_A = "sqrt(" + _FOLD_SUM.format(terms="list_transform(a.vec, v -> v * v
 _COS_NORM_B = "sqrt(" + _FOLD_SUM.format(terms="list_transform(b.vec, v -> v * v)") + ")"
 
 
+#: Shared oracle prefix: the engine-exact kNN edge set (emb / pairs /
+#: knn CTEs) — consumed by both the PageRank and the triangle-count
+#: oracles so the two entries verify against the SAME graph text.
+_KNN_CTES = f"""emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS s, b.vec_id AS d,
+         ROUND(CASE WHEN {_COS_NORM_A} * {_COS_NORM_B} > 0
+                    THEN {_COS_DOT} / ({_COS_NORM_A} * {_COS_NORM_B})
+                    ELSE 0.0 END, 6) AS cosine
+  FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+knn AS (
+  SELECT s, d FROM (
+    SELECT s, d,
+           ROW_NUMBER() OVER (PARTITION BY s ORDER BY cosine DESC, d ASC) AS rn
+    FROM pairs
+  ) WHERE rn <= {KNN_K}
+)"""
+
+
 def _pagerank_knn_sql() -> str:
     rounds = []
     for t in range(1, PR_ITERATIONS + 1):
@@ -142,21 +162,7 @@ def _pagerank_knn_sql() -> str:
         )
     chained = ",\n".join(rounds)
     return f"""
-WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
-pairs AS (
-  SELECT a.vec_id AS s, b.vec_id AS d,
-         ROUND(CASE WHEN {_COS_NORM_A} * {_COS_NORM_B} > 0
-                    THEN {_COS_DOT} / ({_COS_NORM_A} * {_COS_NORM_B})
-                    ELSE 0.0 END, 6) AS cosine
-  FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id <> b.vec_id
-),
-knn AS (
-  SELECT s, d FROM (
-    SELECT s, d,
-           ROW_NUMBER() OVER (PARTITION BY s ORDER BY cosine DESC, d ASC) AS rn
-    FROM pairs
-  ) WHERE rn <= {KNN_K}
-),
+WITH {_KNN_CTES},
 nodes AS (
   SELECT DISTINCT node FROM (
     SELECT s AS node FROM knn UNION ALL SELECT d AS node FROM knn
@@ -355,14 +361,142 @@ FROM comp GROUP BY cluster_id
 Q_WINNOW_DEDUP_SQL = _winnow_dedup_sql()
 
 
+# ---------------------------------------------------------------------------
+# Triangle counting over the undirected kNN graph — the standard local
+# clustering / community-structure probe on a similarity graph.
+#
+# Scale shape: the DEGREE-ORDERED orientation.  Every undirected edge
+# {u, v} is directed from the endpoint that is smaller under the total
+# order π = (degree, node id); wedges are enumerated only from each
+# triangle's π-minimum vertex.  Out-degree under this orientation is
+# O(sqrt(m)) for ANY graph (a classic arboricity bound), so the wedge
+# join is Σ outdeg(u)² ≤ m·sqrt(m) worst-case instead of the Σ deg(u)²
+# blowup a hub suffers under naive id-ordering — the difference between
+# a web-scale graph finishing and one task receiving the hub's d² pairs.
+# The closing-edge check is one more equi-join on (v, w).  Three
+# shuffles total (degree agg, wedge join, closing join); the oracle
+# enumerates triangles by plain id-ordering — orientation changes WHICH
+# wedges are built, never how many triangles close.
+# ---------------------------------------------------------------------------
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    # Canonical undirected edges; checkpoint keeps the expensive kNN
+    # lineage (pair join + top-k window) from re-running per consumer
+    # (degree agg + three join legs read it).
+    und = (
+        _knn_edges(embeddings)
+        .select(F.least("s", "d").alias("lo"), F.greatest("s", "d").alias("hi"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionAll(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Orient each edge from the (deg, id)-smaller endpoint; carry the
+    # destination's rank pair for the wedge ordering below.
+    dl = deg.withColumnsRenamed({"node": "lo", "deg": "dlo"})
+    dh = deg.withColumnsRenamed({"node": "hi", "deg": "dhi"})
+    lo_first = (F.col("dlo") < F.col("dhi")) | (
+        (F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = (
+        und.join(dl, "lo")
+        .join(dh, "hi")
+        .select(
+            F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+            F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+            F.when(lo_first, F.col("dhi")).otherwise(F.col("dlo")).alias("dv"),
+        )
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedge_order = (F.col("e1.dv") < F.col("e2.dv")) | (
+        (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
+    )
+    tri = (
+        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & wedge_order)
+        .select(F.col("e1.u").alias("x"), F.col("e1.v").alias("v"), F.col("e2.v").alias("w"))
+        .join(
+            oriented.select(F.col("u").alias("v"), F.col("v").alias("w")),
+            ["v", "w"],
+            "left_semi",
+        )
+    )
+    lab = embeddings.select(F.col("vec_id").alias("node"), "label")
+    n_nodes = (
+        deg.join(lab, "node")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    n_edges = (
+        und.join(lab.withColumnsRenamed({"node": "lo"}), "lo")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    n_tri = (
+        tri.join(lab.withColumnsRenamed({"node": "x"}), "x")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        n_nodes.join(n_edges, "label")
+        .join(n_tri, "label", "left")
+        .select(
+            "label",
+            "n_nodes",
+            "n_edges",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        )
+    )
+
+
+Q_TRIANGLE_COUNT_SQL = f"""
+WITH {_KNN_CTES},
+und AS (
+  SELECT LEAST(s, d) AS lo, GREATEST(s, d) AS hi FROM knn GROUP BY 1, 2
+),
+tri AS (
+  SELECT e1.lo AS x
+  FROM und e1
+  JOIN und e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+  JOIN und e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+),
+lab AS (SELECT vec_id AS node, label FROM emb),
+n1 AS (
+  SELECT l.label, COUNT(*) AS n_nodes
+  FROM (SELECT lo AS node FROM und UNION SELECT hi AS node FROM und) n
+  JOIN lab l ON l.node = n.node GROUP BY 1
+),
+n2 AS (
+  SELECT l.label, COUNT(*) AS n_edges
+  FROM und JOIN lab l ON l.node = und.lo GROUP BY 1
+),
+n3 AS (
+  SELECT l.label, COUNT(*) AS n_triangles
+  FROM tri JOIN lab l ON l.node = tri.x GROUP BY 1
+)
+SELECT n1.label, n1.n_nodes, n2.n_edges,
+       COALESCE(n3.n_triangles, 0) AS n_triangles
+FROM n1
+JOIN n2 ON n1.label = n2.label
+LEFT JOIN n3 ON n1.label = n3.label
+"""
+
+
 EXT4_QUERIES = {
     "pagerank_knn": q_pagerank_knn,
     "winnow_profile": q_winnow_profile,
     "winnow_dedup": q_winnow_dedup,
+    "triangle_count": q_triangle_count,
 }
 
 EXT4_ORACLE_SQL = {
     "pagerank_knn": Q_PAGERANK_KNN_SQL,
     "winnow_profile": Q_WINNOW_PROFILE_SQL,
     "winnow_dedup": Q_WINNOW_DEDUP_SQL,
+    "triangle_count": Q_TRIANGLE_COUNT_SQL,
 }

@@ -2224,6 +2224,78 @@ GROUP BY source
 """
 
 
+def q_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: verified near-duplicate pairs
+    (the MinHash+LSH pipeline, shared session cache) bucketed by the
+    train/val/test assignment of BOTH endpoints.  Any pair whose two
+    docs land in different splits is evaluation leakage — a near-copy
+    of a test document sitting in the training corpus, the
+    highest-stakes audit a pre-training data team runs before a model
+    sees the split.
+
+    Plan shape: the expensive stage (shingle→signature→banded
+    candidates→Jaccard verify) is the SAME persisted pair set every
+    other dedup consumer reads (``_minhash_verified_pairs``); the
+    split labels are pure projections on the hashed doc id (no join
+    against an assignment table), so the audit itself is one small
+    aggregation over the pair set — at 100 TB it costs one scan of the
+    (already tiny relative to the corpus) pair table."""
+    from gtfs_realtime_etl_spark.operators.splits import split_assign
+
+    pairs = _minhash_verified_pairs(spark, sf_dir)
+    lab = split_assign(
+        split_assign(pairs, TRAIN_SPLITS, id_col="id_a", out_col="split_a"),
+        TRAIN_SPLITS,
+        id_col="id_b",
+        out_col="split_b",
+    )
+    lo = F.least("split_a", "split_b")
+    hi = F.greatest("split_a", "split_b")
+    return (
+        lab.select(
+            lo.alias("split_lo"),
+            hi.alias("split_hi"),
+            "id_a",
+            "id_b",
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("id_a").alias("n_docs_a"),
+            F.countDistinct("id_b").alias("n_docs_b"),
+        )
+        .withColumn("leaky", F.col("split_lo") != F.col("split_hi"))
+    )
+
+
+Q_LEAKAGE_AUDIT_SQL = f"""
+WITH mh AS ({Q_MINHASH_LSH_PAIRS_SQL}),
+lab AS (
+  SELECT id_a, id_b,
+         {{sa}} AS split_a,
+         {{sb}} AS split_b
+  FROM mh
+)
+SELECT LEAST(split_a, split_b) AS split_lo,
+       GREATEST(split_a, split_b) AS split_hi,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT id_a) AS n_docs_a,
+       COUNT(DISTINCT id_b) AS n_docs_b,
+       LEAST(split_a, split_b) <> GREATEST(split_a, split_b) AS leaky
+FROM lab
+GROUP BY 1, 2
+"""
+
+
+def _leakage_audit_sql() -> str:
+    from gtfs_realtime_etl_spark.operators.splits import sql_split_assign
+
+    return Q_LEAKAGE_AUDIT_SQL.format(
+        sa=sql_split_assign("id_a", TRAIN_SPLITS),
+        sb=sql_split_assign("id_b", TRAIN_SPLITS),
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
     return simhash_dedup(documents, hamming_threshold=SIMHASH_HAMMING)
@@ -2850,6 +2922,7 @@ QUERIES: dict[str, QueryFn] = {
     "context_pack": q_context_pack,
     "multimodal_features": q_multimodal_features,
     "decontamination": q_decontamination,
+    "leakage_audit": q_leakage_audit,
     "repetition_stats": q_repetition_stats,
     "embedding_quantization": q_embedding_quantization,
     "mixture_sample": q_mixture_sample,
@@ -2905,6 +2978,7 @@ ORACLE_SQL: dict[str, str] = {
     "context_pack": Q_CONTEXT_PACK_SQL,
     "multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
     "decontamination": Q_DECONTAMINATION_SQL,
+    "leakage_audit": _leakage_audit_sql(),
     "repetition_stats": Q_REPETITION_STATS_SQL,
     "embedding_quantization": Q_EMBEDDING_QUANTIZATION_SQL,
     "mixture_sample": Q_MIXTURE_SAMPLE_SQL,
