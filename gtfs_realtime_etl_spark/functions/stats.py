@@ -146,3 +146,4 @@ def portable_int_log2_sql(expr: str, prefix: str) -> str:
         f"{acc} AS {prefix}_acc, "
         f"CAST({prefix}_e AS DOUBLE) + 2.0 * {prefix}_t * {prefix}_acc / {repr(_LN2)} AS {prefix}_lg"
     )
+

@@ -3075,6 +3075,16 @@ from gtfs_realtime_etl_spark.plans.analytics6 import (  # noqa: E402
 QUERIES.update(EXT9_QUERIES)
 ORACLE_SQL.update(EXT9_ORACLE_SQL)
 
+# Eleventh bank: two-phase Pareto skyline, categorical mutual
+# information, market-basket association rules, HOF phrase search.
+from gtfs_realtime_etl_spark.plans.analytics7 import (  # noqa: E402
+    EXT10_ORACLE_SQL,
+    EXT10_QUERIES,
+)
+
+QUERIES.update(EXT10_QUERIES)
+ORACLE_SQL.update(EXT10_ORACLE_SQL)
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
