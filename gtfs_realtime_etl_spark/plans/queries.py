@@ -3085,6 +3085,16 @@ from gtfs_realtime_etl_spark.plans.analytics7 import (  # noqa: E402
 QUERIES.update(EXT10_QUERIES)
 ORACLE_SQL.update(EXT10_ORACLE_SQL)
 
+# Twelfth bank: integer-exact distribution drift (two-sample KS, PSI),
+# kNN-graph link prediction, Johnson-Lindenstrauss random projection.
+from gtfs_realtime_etl_spark.plans.analytics8 import (  # noqa: E402
+    EXT11_ORACLE_SQL,
+    EXT11_QUERIES,
+)
+
+QUERIES.update(EXT11_QUERIES)
+ORACLE_SQL.update(EXT11_ORACLE_SQL)
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
