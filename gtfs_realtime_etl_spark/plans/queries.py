@@ -3095,6 +3095,17 @@ from gtfs_realtime_etl_spark.plans.analytics8 import (  # noqa: E402
 QUERIES.update(EXT11_QUERIES)
 ORACLE_SQL.update(EXT11_ORACLE_SQL)
 
+# Thirteenth bank: integer-exact CUSUM change-point, info-gain decision
+# stump, closed-form OLS, Z-order layout statistics, greedy max-coverage
+# document selection.
+from gtfs_realtime_etl_spark.plans.analytics9 import (  # noqa: E402
+    EXT12_ORACLE_SQL,
+    EXT12_QUERIES,
+)
+
+QUERIES.update(EXT12_QUERIES)
+ORACLE_SQL.update(EXT12_ORACLE_SQL)
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
