@@ -3106,6 +3106,17 @@ from gtfs_realtime_etl_spark.plans.analytics9 import (  # noqa: E402
 QUERIES.update(EXT12_QUERIES)
 ORACLE_SQL.update(EXT12_ORACLE_SQL)
 
+# Fourteenth bank: statistical testing / scoring — Mann-Whitney ROC
+# AUC, chi-square independence, Benford first-digit audit, lagged
+# autocorrelation, diagonal-Mahalanobis embedding outliers.
+from gtfs_realtime_etl_spark.plans.analytics10 import (  # noqa: E402
+    EXT13_ORACLE_SQL,
+    EXT13_QUERIES,
+)
+
+QUERIES.update(EXT13_QUERIES)
+ORACLE_SQL.update(EXT13_ORACLE_SQL)
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
