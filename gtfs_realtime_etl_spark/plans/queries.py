@@ -3117,6 +3117,18 @@ from gtfs_realtime_etl_spark.plans.analytics10 import (  # noqa: E402
 QUERIES.update(EXT13_QUERIES)
 ORACLE_SQL.update(EXT13_ORACLE_SQL)
 
+# Fifteenth bank: graph BFS, event-sequence trigrams, calibration
+# bins, discrete hazard table, NDCG retrieval report.  The oracle dict
+# is built by a function because the NDCG oracle splices the ANN
+# top-k SQL defined above in this module (the EXT8 late-bind pattern).
+from gtfs_realtime_etl_spark.plans.analytics11 import (  # noqa: E402
+    EXT14_QUERIES,
+    _ext14_oracle_sql,
+)
+
+QUERIES.update(EXT14_QUERIES)
+ORACLE_SQL.update(_ext14_oracle_sql())
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #

@@ -151,6 +151,7 @@ def test_no_cartesian_anywhere_in_registry(spark):
         "join_cardinality",  # exact/estimate 1-row scalar assembly (plans/analytics6.py)
         "feature_mi",        # MI/entropy 1-row scalar combines (plans/analytics7.py)
         "basket_rules",      # n_orders 1-row scalar broadcast (plans/analytics7.py)
+        "ndcg_report",       # DCG×IDCG 1-row scalar combine + probe vector broadcasts (plans/analytics11.py)
     }
     for name, fn in QUERIES.items():
         buf = io.StringIO()
