@@ -478,10 +478,10 @@ FROM agg
 MAHA_TOPK = 20
 
 
-def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 diagonal-Mahalanobis embedding outliers, integer-exact
-    (module doc)."""
-    (emb,) = _t(spark, sf_dir, "embeddings")
+def mahalanobis_topk(emb: DataFrame, k: int = MAHA_TOPK) -> DataFrame:
+    """Integer-exact diagonal-Mahalanobis top-k over any
+    (vec_id, label, embedding) frame — the ``q_mahalanobis_outliers``
+    core, split out so scale smokes can feed replicated corpora."""
     x = emb.select(
         "vec_id",
         "label",
@@ -515,7 +515,14 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "label")
         .agg(F.sum("t").alias("d2_micro"))
     )
-    return d2.orderBy(F.desc("d2_micro"), F.asc("vec_id")).limit(MAHA_TOPK)
+    return d2.orderBy(F.desc("d2_micro"), F.asc("vec_id")).limit(k)
+
+
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 diagonal-Mahalanobis embedding outliers, integer-exact
+    (module doc)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return mahalanobis_topk(emb, MAHA_TOPK)
 
 
 Q_MAHALANOBIS_OUTLIERS_SQL = f"""
