@@ -3129,6 +3129,17 @@ from gtfs_realtime_etl_spark.plans.analytics11 import (  # noqa: E402
 QUERIES.update(EXT14_QUERIES)
 ORACLE_SQL.update(_ext14_oracle_sql())
 
+# Sixteenth bank: lossless prefix-filtered set-similarity join, KMV
+# distinct sketch (with in-plan mergeability theorem), multinomial
+# naive-Bayes language scoring, RAKE keyphrases, feature hashing.
+from gtfs_realtime_etl_spark.plans.analytics12 import (  # noqa: E402
+    EXT15_QUERIES,
+    _ext15_oracle_sql,
+)
+
+QUERIES.update(EXT15_QUERIES)
+ORACLE_SQL.update(_ext15_oracle_sql())
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
