@@ -24,7 +24,21 @@ and the feature-hashing trick.
   candidates); a length filter (t*|x| <= |y| <= |x|/t) prunes
   candidates before the verify.  At 100 TB one would add PPJoin's
   positional filter on top — same plan skeleton.  Oracle: the
-  quadratic token-join form (exact, no prefix).
+  quadratic token-join form (exact, no prefix).  Threshold regime
+  note, MEASURED: prefix length is ``(1-t)*n + 1``, so the candidate
+  volume is Σ_tok df_prefix(tok)² — on this synthetic corpus (a
+  ~31-word vocabulary, so even "rare" shingles have df in the
+  hundreds and Zipf pruning has nothing to bite on) t = 1/2 put half
+  of every set in the prefix and cost 305 s at sf0.1; t = 9/10 (the
+  near-dup regime this join is actually used for, and the same 25
+  planted pairs at sf0.01 — min pair J is 0.9286) keeps the prefix at
+  ~10% of each set.  On a real Zipfian corpus lower thresholds
+  re-become viable because prefixes then hold genuinely rare tokens.
+  Measured funnel at sf0.1 / t=9/10 (5,000 docs, ~204 hashed shingles
+  each): 104,901 prefix rows -> 656,678 join matches after the
+  length+positional filters (2,566,878 without the positional filter)
+  -> 410,703 distinct candidate pairs -> exact verify; 5.5 s
+  end-to-end on local[32].
 - ``kmv_distinct`` — K-minimum-values distinct-count sketch
   (Bar-Yossef et al. RANDOM'02) per event type, with its exact twin
   riding the hash gate: h = first 40 bits of md5 (engine-exact via the
@@ -138,13 +152,52 @@ def _plog2m(col) -> F.Column:
 # ---------------------------------------------------------------------------
 
 SETSIM_K = 5  # shingle width (same alphabet as dedup_ngram_jaccard)
-SETSIM_NUM = 1  # Jaccard threshold t = NUM/DEN, exact rational
-SETSIM_DEN = 2
+SETSIM_NUM = 9  # Jaccard threshold t = NUM/DEN, exact rational
+SETSIM_DEN = 10
+
+
+def _shingle_hashes_prefolded(lower, k: int = SETSIM_K):
+    """Distinct 31-bit polynomial window hashes of an ALREADY
+    case-folded attribute — same values as shingle_hashes_column /
+    sql_shingle_hashes, but computed per SHINGLE STRING, not by
+    indexing the whole document per window (``substring`` on a long
+    UTF-8 string is an O(position) scan, so hashing k chars straight
+    off the document costs O(k*n^2) per doc — measured minutes at
+    sf0.1; hashing the k-char shingle is O(k)).  Distinct-before-hash
+    equals hash-then-distinct as SETS, which is what the caller uses."""
+    from gtfs_realtime_etl_spark.functions.hashing import (
+        BASE_A,
+        MOD,
+        _pow_vec,
+    )
+
+    pw = _pow_vec(BASE_A, k)
+
+    def _hash5(s):
+        acc = F.lit(0).cast("long")
+        for j in range(k):
+            acc = acc + F.ascii(F.substring(s, j + 1, 1)).cast(
+                "long"
+            ) * F.lit(int(pw[j]))
+        return F.pmod(acc, F.lit(MOD))
+
+    return F.array_distinct(
+        F.transform(
+            F.array_distinct(char_shingles(lower, k, prefolded=True)), _hash5
+        )
+    )
 
 
 def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lossless prefix-filtered exact Jaccard >= 1/2 self-join (module
-    doc)."""
+    """Lossless prefix-filtered exact Jaccard >= t self-join (module
+    doc).
+
+    Sets are HASHED shingles (the 31-bit window hash shared with the
+    MinHash family, engine-exact via sql_shingle_hashes): every
+    downstream shuffle, sort key, and array_intersect runs on longs
+    instead of 5-char strings — measurably cheaper at sf0.1 and the
+    right representation at 100 TB.  Hash collisions merge shingles
+    deterministically in BOTH engines, so parity is by construction."""
     (documents,) = _t(spark, sf_dir, "documents")
     n_tasks = spark.sparkContext.defaultParallelism
     # Fold once into an attribute and spread BEFORE shingling (the
@@ -152,36 +205,51 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded = documents.select(
         "doc_id", F.translate("text", _AZ_UPPER, _AZ_LOWER).alias("_t")
     ).repartition(n_tasks, "doc_id")
-    sets = folded.select(
-        "doc_id",
-        F.array_distinct(
-            char_shingles(F.col("_t"), SETSIM_K, prefolded=True)
-        ).alias("sh"),
-    ).select("doc_id", "sh", F.size("sh").cast("long").alias("n"))
-    tok = sets.select("doc_id", "n", F.explode("sh").alias("tok"))
-    df_tok = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    # Per-doc global ordering (df asc, tok asc) WITHOUT a global rank
-    # window: sorting struct(df, tok) arrays per doc needs no
-    # single-task vocabulary sort.
-    ordered = (
-        tok.join(df_tok, "tok")
-        .groupBy("doc_id", "n")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "tok"))).alias("st"))
-        .select(
-            "doc_id", "n", F.expr("transform(st, x -> x.tok)").alias("stoks")
+    sets = (
+        folded.select(
+            "doc_id", _shingle_hashes_prefolded(F.col("_t")).alias("sh")
         )
+        .select("doc_id", "sh", F.size("sh").cast("long").alias("n"))
+        # Pin the hashed-set projection ONCE: without a barrier,
+        # CollapseProject inlines the interpreted HOF hash chain into
+        # every consumer (df build, prefix probe, both verify sides) —
+        # measured 30-45 s per consumer at sf0.1 vs 1.3 s for the
+        # projection itself.  The checkpoint also preserves the doc_id
+        # hash partitioning, so the prefix-rank window below reuses
+        # this exchange instead of adding one.
+        .localCheckpoint(eager=False)
     )
-    # Prefix length p = n - ceil(t*n) + 1, with ceil in exact integers.
-    pref = ordered.select(
-        "doc_id",
-        "n",
-        F.expr(
-            f"slice(stoks, 1, cast(n - ((n * {SETSIM_NUM} + {SETSIM_DEN - 1})"
-            f" div {SETSIM_DEN}) + 1 as int))"
-        ).alias("ptoks"),
+    tok = sets.select("doc_id", "n", F.explode("sh").alias("tok"))
+    # Corpus-vocabulary document frequencies: vocab-bounded, so it
+    # rides a broadcast here (at web scale this becomes a shuffle join
+    # — the plan is otherwise unchanged).
+    df_tok = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # Global token order (df asc, tok asc) realized as a PER-DOC rank
+    # window — it reuses the doc_id exchange already pinned above, and
+    # never builds, sorts, or re-explodes per-doc arrays (the previous
+    # collect_list/sort_array/slice chain cost ~24 s at sf0.1 on its
+    # own).  Prefix p = n - ceil(t*n) + 1, ceil in exact integers.
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "tok")
+    pref = (
+        tok.join(F.broadcast(df_tok), "tok")
+        .withColumn("rnk", F.row_number().over(w_doc).cast("long"))
+        .filter(
+            F.col("rnk")
+            <= F.col("n")
+            - F.expr(
+                f"(n * {SETSIM_NUM} + {SETSIM_DEN - 1}) div {SETSIM_DEN}"
+            )
+            + 1
+        )
+        .select("doc_id", "n", "tok", "rnk")
     )
-    cand_tok = pref.select("doc_id", "n", F.explode("ptoks").alias("tok"))
-    a, b = cand_tok.alias("a"), cand_tok.alias("b")
+    a, b = pref.alias("a"), pref.alias("b")
+    # PPJoin's positional filter rides the join: a match at ranks
+    # (i, j) bounds the overlap by 1 + min(n_a - i, n_b - j), which
+    # must reach alpha = ceil(t/(1+t) * (n_a + n_b)).  Lossless: for a
+    # true pair the globally-smallest common token c1 satisfies the
+    # bound (every common token ranks >= c1 in both docs), so the pair
+    # always survives at c1's match row.
     cand = (
         a.join(
             b,
@@ -189,21 +257,33 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # Length filter: J >= t forces t*|x| <= |y| both ways.
             & (F.col("a.n") * SETSIM_NUM <= F.col("b.n") * SETSIM_DEN)
-            & (F.col("b.n") * SETSIM_NUM <= F.col("a.n") * SETSIM_DEN),
+            & (F.col("b.n") * SETSIM_NUM <= F.col("a.n") * SETSIM_DEN)
+            # Positional filter, integer cross-multiplied.
+            & (
+                (
+                    F.lit(1)
+                    + F.least(
+                        F.col("a.n") - F.col("a.rnk"),
+                        F.col("b.n") - F.col("b.rnk"),
+                    )
+                )
+                * (SETSIM_NUM + SETSIM_DEN)
+                >= SETSIM_NUM * (F.col("a.n") + F.col("b.n"))
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
     )
-    sa = ordered.select(
+    sa = sets.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("stoks").alias("ta"),
+        F.col("sh").alias("ta"),
         F.col("n").alias("n_a"),
     )
-    sb = ordered.select(
+    sb = sets.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("stoks").alias("tb"),
+        F.col("sh").alias("tb"),
         F.col("n").alias("n_b"),
     )
     verified = (
@@ -232,9 +312,9 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _setsim_sql() -> str:
-    sh = _SQL_SHINGLES.format(
-        km1=SETSIM_K - 1, k=SETSIM_K, u=_AZ_UPPER, l=_AZ_LOWER
-    )
+    from gtfs_realtime_etl_spark.functions.hashing import sql_shingle_hashes
+
+    sh = sql_shingle_hashes("text", SETSIM_K)
     return f"""
 WITH docs AS (
   SELECT doc_id, list_distinct({sh}) AS sh FROM documents

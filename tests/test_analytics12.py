@@ -55,6 +55,21 @@ def _shingle_list(text: str) -> list[str]:
     return [lower[i : i + SETSIM_K] for i in range(m)]
 
 
+def _shingle_hash_set(text: str) -> set[int]:
+    """Replica of analytics12._shingle_hashes_prefolded (31-bit window
+    polynomial, zero padding past the end)."""
+    from gtfs_realtime_etl_spark.functions.hashing import BASE_A, MOD
+
+    codes = [ord(c) for c in text.translate(_FOLD)]
+    k = SETSIM_K
+    m = max(len(codes) - (k - 1), 1)
+    pw = [pow(BASE_A, k - 1 - j, MOD) for j in range(k)]
+    padded = codes + [0] * k
+    return {
+        sum(padded[i + j] * pw[j] for j in range(k)) % MOD for i in range(m)
+    }
+
+
 def _h40(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:10], 16)
 
@@ -81,7 +96,7 @@ def test_setsim_join_matches_bruteforce(spark):
     """The prefix-filtered join must equal the quadratic all-pairs
     ground truth EXACTLY — losslessness of the prefix filter."""
     docs = _docs(spark)
-    sets = {r.doc_id: set(_shingle_list(r.text)) for r in docs}
+    sets = {r.doc_id: _shingle_hash_set(r.text) for r in docs}
     expected = {}
     ids = sorted(sets)
     for i, da in enumerate(ids):
