@@ -167,6 +167,93 @@ def shingle_hash_set_kernel(k: int = 5):
     return _kernel
 
 
+def _shingle_hashes64_np(
+    codes: np.ndarray, k: int, pwa: np.ndarray, pwb: np.ndarray
+) -> np.ndarray:
+    """62-bit composite window hashes (hA * 2^31 + hB) — per-term
+    bounds as in :func:`_shingle_hashes_np`; the composite stays below
+    2^62."""
+    n = codes.size
+    m = max(n - k + 1, 1)
+    padded = np.concatenate([codes, np.zeros(k, dtype=np.int64)])
+    windows = padded[np.arange(m)[:, None] + np.arange(k)[None, :]]
+    ha = (windows @ pwa) % MOD
+    hb = (windows @ pwb) % MOD
+    return ha * H64_SHIFT + hb
+
+
+def shingle_hash64_set_kernel(k: int = 5):
+    """pandas_udf: text → SORTED DISTINCT 62-bit composite window
+    hashes — the setsim_join comparison sets, collision-safe at
+    10^7-10^8-shingle vocabularies where the plain 31-bit space
+    produces millions of colliding pairs.  Twins:
+    plans/analytics12._shingle_hashes_prefolded (Column) and
+    plans/analytics12._sql_shingle_hashes64 (DuckDB)."""
+    pwa = _pow_vec(BASE_A, k)
+    pwb = _pow_vec(BASE_B, k)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _kernel(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            out.append(
+                np.unique(
+                    _shingle_hashes64_np(
+                        _char_codes(_ascii_lower(t)), k, pwa, pwb
+                    )
+                )
+            )
+        return pd.Series(out)
+
+    return _kernel
+
+
+def token_hash64_set_kernel():
+    """pandas_udf: array<string> tokens → SORTED DISTINCT 62-bit token
+    hashes (the token_hash64 composition) — the WORD-mode comparison
+    sets for setsim_pairs.  Tokenization stays Spark-side (pass
+    functions.text.tokens(...)), so kernel and SQL twin
+    (sql_token_hash64) agree on token boundaries by construction; all
+    tokens in an Arrow batch are hashed in one right-aligned matrix
+    product (the simhash_tokens_kernel idiom)."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _kernel(token_lists: pd.Series) -> pd.Series:
+        counts: list[int] = []
+        all_tokens: list[str] = []
+        for toks in token_lists:
+            if toks is None:
+                counts.append(-1)
+                continue
+            counts.append(len(toks))
+            all_tokens.extend(toks)
+        h64 = np.zeros(0, dtype=np.int64)
+        if all_tokens:
+            codes = [_char_codes(t) for t in all_tokens]
+            width = max(c.size for c in codes)
+            mat = np.zeros((len(codes), width), dtype=np.int64)
+            for r, c in enumerate(codes):
+                mat[r, width - c.size :] = c  # right-aligned: pad is a no-op
+            h64 = (
+                _poly_hash_rows(mat, BASE_A) * H64_SHIFT
+                + _poly_hash_rows(mat, BASE_B)
+            )
+        out: list = []
+        pos = 0
+        for n in counts:
+            if n < 0:
+                out.append(None)
+                continue
+            out.append(np.unique(h64[pos : pos + n]))
+            pos += n
+        return pd.Series(out)
+
+    return _kernel
+
+
 def winnow_fingerprints_kernel(k: int = 5, window: int = 4):
     """pandas_udf: text → array<bigint> of DISTINCT winnowing
     fingerprints (sliding-window minima of the shingle hashes) — the

@@ -157,29 +157,40 @@ SETSIM_DEN = 10
 
 
 def _shingle_hashes_prefolded(lower, k: int = SETSIM_K):
-    """Distinct 31-bit polynomial window hashes of an ALREADY
-    case-folded attribute — same values as shingle_hashes_column /
-    sql_shingle_hashes, but computed per SHINGLE STRING, not by
-    indexing the whole document per window (``substring`` on a long
-    UTF-8 string is an O(position) scan, so hashing k chars straight
-    off the document costs O(k*n^2) per doc — measured minutes at
-    sf0.1; hashing the k-char shingle is O(k)).  Distinct-before-hash
-    equals hash-then-distinct as SETS, which is what the caller uses."""
+    """Distinct 62-bit composite polynomial window hashes of an ALREADY
+    case-folded attribute (h = hA * 2^31 + hB over the MinHash family's
+    BASE_A/BASE_B, the token_hash64 composition) — computed per SHINGLE
+    STRING, not by indexing the whole document per window
+    (``substring`` on a long UTF-8 string is an O(position) scan, so
+    hashing k chars straight off the document costs O(k*n^2) per doc —
+    measured minutes at sf0.1; hashing the k-char shingle is O(k)).
+    62 bits, not the family's plain 31: a fresh-content corpus reaches
+    ~10^7-10^8 distinct shingles (the 100k-doc scale smoke has ~64M),
+    where a 31-bit space produces millions of colliding PAIRS — each a
+    spurious candidate the verify stage must reject.  Distinct-before-
+    hash equals hash-then-distinct as SETS, which is what the caller
+    uses."""
     from gtfs_realtime_etl_spark.functions.hashing import (
         BASE_A,
+        BASE_B,
+        H64_SHIFT,
         MOD,
         _pow_vec,
     )
 
-    pw = _pow_vec(BASE_A, k)
+    pwa = _pow_vec(BASE_A, k)
+    pwb = _pow_vec(BASE_B, k)
 
     def _hash5(s):
-        acc = F.lit(0).cast("long")
+        acc_a = F.lit(0).cast("long")
+        acc_b = F.lit(0).cast("long")
         for j in range(k):
-            acc = acc + F.ascii(F.substring(s, j + 1, 1)).cast(
-                "long"
-            ) * F.lit(int(pw[j]))
-        return F.pmod(acc, F.lit(MOD))
+            c = F.ascii(F.substring(s, j + 1, 1)).cast("long")
+            acc_a = acc_a + c * F.lit(int(pwa[j]))
+            acc_b = acc_b + c * F.lit(int(pwb[j]))
+        return F.pmod(acc_a, F.lit(MOD)) * F.lit(H64_SHIFT) + F.pmod(
+            acc_b, F.lit(MOD)
+        )
 
     return F.array_distinct(
         F.transform(
@@ -188,41 +199,92 @@ def _shingle_hashes_prefolded(lower, k: int = SETSIM_K):
     )
 
 
-def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lossless prefix-filtered exact Jaccard >= t self-join (module
-    doc).
+def _sql_shingle_hashes64(text_expr: str, k: int = SETSIM_K) -> str:
+    """DuckDB twin of :func:`_shingle_hashes_prefolded` (pre-distinct):
+    62-bit composite window hashes of ``translate(text_expr)``."""
+    from gtfs_realtime_etl_spark.functions.hashing import (
+        BASE_A,
+        BASE_B,
+        H64_SHIFT,
+        MOD,
+        _pow_vec,
+    )
 
-    Sets are HASHED shingles (the 31-bit window hash shared with the
-    MinHash family, engine-exact via sql_shingle_hashes): every
-    downstream shuffle, sort key, and array_intersect runs on longs
-    instead of 5-char strings — measurably cheaper at sf0.1 and the
-    right representation at 100 TB.  Hash collisions merge shingles
-    deterministically in BOTH engines, so parity is by construction."""
-    (documents,) = _t(spark, sf_dir, "documents")
-    n_tasks = spark.sparkContext.defaultParallelism
-    # Fold once into an attribute and spread BEFORE shingling (the
-    # dedup_ngram_jaccard hot-path discipline).
-    folded = documents.select(
-        "doc_id", F.translate("text", _AZ_UPPER, _AZ_LOWER).alias("_t")
-    ).repartition(n_tasks, "doc_id")
-    sets = (
-        folded.select(
-            "doc_id", _shingle_hashes_prefolded(F.col("_t")).alias("sh")
+    t = f"translate({text_expr}, '{_AZ_UPPER}', '{_AZ_LOWER}')"
+
+    def _terms(base: int) -> str:
+        pw = _pow_vec(base, k)
+        return " + ".join(
+            f"CAST(ascii(substr({t}, i + {j}, 1)) AS BIGINT)"
+            f" * {int(pw[j])}"
+            for j in range(k)
         )
+
+    return (
+        f"list_transform(range(1, greatest(length({t}) - {k - 1}, 1) + 1), "
+        f"i -> (({_terms(BASE_A)}) % {MOD}) * {H64_SHIFT}"
+        f" + (({_terms(BASE_B)}) % {MOD}))"
+    )
+
+
+def setsim_pairs(
+    documents: DataFrame, token_mode: str = "shingle"
+) -> DataFrame:
+    """Lossless prefix-filtered exact Jaccard >= t self-join over any
+    ``(doc_id, text)`` frame (module doc).
+
+    Sets are HASHED tokens (62-bit composite, engine-exact): every
+    downstream shuffle, sort key, and array_intersect runs on longs.
+    ``token_mode="shingle"`` (the oracle-gated registry form) compares
+    5-char shingle sets; ``token_mode="word"`` compares whitespace-
+    token sets.  TOKEN CHOICE IS THE SCALE CHOICE: a k-char shingle
+    vocabulary is capped at alphabet^k (26^5 ~ 12M; 16^5 ~ 1M on hex
+    content), so as the corpus grows every shingle's df rises
+    LINEARLY and prefix filtering loses its bite — measured as a
+    ~400M-row candidate explosion on a 50k-doc md5-hex corpus.  Word
+    vocabularies grow with the corpus (Zipf), keeping rare-first
+    prefixes rare; that is the form AllPairs/PPJoin systems run at
+    scale, and the one the 50k scale smoke exercises.  Hash collisions
+    merge tokens deterministically in BOTH engines, so parity is by
+    construction."""
+    from gtfs_realtime_etl_spark.functions.hashing import (
+        shingle_hash64_set_kernel,
+        token_hash64_set_kernel,
+    )
+
+    spark = documents.sparkSession
+    n_tasks = spark.sparkContext.defaultParallelism
+    # Spread BEFORE shingling (the dedup_ngram_jaccard discipline),
+    # then hash via the Arrow kernel — the Column twin
+    # (_shingle_hashes_prefolded) walks the document with per-window
+    # substring calls, which are O(position) scans on UTF-8 strings:
+    # O(n^2) per doc, minutes at the 50k x 1,280-char smoke scale; the
+    # numpy kernel is one vectorized window matmul.
+    folded = documents.select("doc_id", "text").repartition(
+        n_tasks, "doc_id"
+    )
+    if token_mode == "word":
+        sh_col = token_hash64_set_kernel()(tokens(F.col("text")))
+    else:
+        sh_col = shingle_hash64_set_kernel(SETSIM_K)(F.col("text"))
+    sets = (
+        folded.select("doc_id", sh_col.alias("sh"))
         .select("doc_id", "sh", F.size("sh").cast("long").alias("n"))
         # Pin the hashed-set projection ONCE: without a barrier,
-        # CollapseProject inlines the interpreted HOF hash chain into
-        # every consumer (df build, prefix probe, both verify sides) —
-        # measured 30-45 s per consumer at sf0.1 vs 1.3 s for the
-        # projection itself.  The checkpoint also preserves the doc_id
-        # hash partitioning, so the prefix-rank window below reuses
-        # this exchange instead of adding one.
+        # CollapseProject inlines the hash computation into every
+        # consumer (df build, prefix probe, both verify sides) —
+        # measured 30-45 s per consumer at sf0.1 for the HOF form vs
+        # one projection's cost.  The checkpoint also preserves the
+        # doc_id hash partitioning, so the prefix-rank window below
+        # reuses this exchange instead of adding one.
         .localCheckpoint(eager=False)
     )
     tok = sets.select("doc_id", "n", F.explode("sh").alias("tok"))
-    # Corpus-vocabulary document frequencies: vocab-bounded, so it
-    # rides a broadcast here (at web scale this becomes a shuffle join
-    # — the plan is otherwise unchanged).
+    # Corpus-vocabulary document frequencies.  NOT broadcast-hinted:
+    # the vocabulary GROWS with the corpus (a fresh-content 100k-doc
+    # smoke already has ~50M distinct shingle hashes — a forced
+    # broadcast would OOM the driver); AQE auto-broadcasts when the
+    # table is actually small, as it is at the bench scales.
     df_tok = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # Global token order (df asc, tok asc) realized as a PER-DOC rank
     # window — it reuses the doc_id exchange already pinned above, and
@@ -231,7 +293,7 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # own).  Prefix p = n - ceil(t*n) + 1, ceil in exact integers.
     w_doc = Window.partitionBy("doc_id").orderBy("df", "tok")
     pref = (
-        tok.join(F.broadcast(df_tok), "tok")
+        tok.join(df_tok, "tok")
         .withColumn("rnk", F.row_number().over(w_doc).cast("long"))
         .filter(
             F.col("rnk")
@@ -311,10 +373,14 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _setsim_sql() -> str:
-    from gtfs_realtime_etl_spark.functions.hashing import sql_shingle_hashes
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: setsim_pairs over the documents table."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return setsim_pairs(documents.select("doc_id", "text"))
 
-    sh = sql_shingle_hashes("text", SETSIM_K)
+
+def _setsim_sql() -> str:
+    sh = _sql_shingle_hashes64("text", SETSIM_K)
     return f"""
 WITH docs AS (
   SELECT doc_id, list_distinct({sh}) AS sh FROM documents

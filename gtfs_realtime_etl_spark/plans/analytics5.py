@@ -636,7 +636,15 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_ann_lsh_topk,
     )
 
-    exact = q_ann_cosine_topk(spark, sf_dir).select("vec_id")
+    # Pin the exact top-k ONCE (a TOP_K-row frame): it feeds all three
+    # recall joins, and without the pin each join replays the full
+    # brute-force cosine scan.  The composite's wall time remains
+    # ~the sum of the three approximate rankers it audits.
+    exact = (
+        q_ann_cosine_topk(spark, sf_dir)
+        .select("vec_id")
+        .localCheckpoint(eager=False)
+    )
 
     def row(method: str, approx: DataFrame) -> DataFrame:
         return (

@@ -56,17 +56,25 @@ def _shingle_list(text: str) -> list[str]:
 
 
 def _shingle_hash_set(text: str) -> set[int]:
-    """Replica of analytics12._shingle_hashes_prefolded (31-bit window
-    polynomial, zero padding past the end)."""
-    from gtfs_realtime_etl_spark.functions.hashing import BASE_A, MOD
+    """Replica of analytics12._shingle_hashes_prefolded (62-bit
+    composite window polynomial, zero padding past the end)."""
+    from gtfs_realtime_etl_spark.functions.hashing import (
+        BASE_A,
+        BASE_B,
+        H64_SHIFT,
+        MOD,
+    )
 
     codes = [ord(c) for c in text.translate(_FOLD)]
     k = SETSIM_K
     m = max(len(codes) - (k - 1), 1)
-    pw = [pow(BASE_A, k - 1 - j, MOD) for j in range(k)]
+    pwa = [pow(BASE_A, k - 1 - j, MOD) for j in range(k)]
+    pwb = [pow(BASE_B, k - 1 - j, MOD) for j in range(k)]
     padded = codes + [0] * k
     return {
-        sum(padded[i + j] * pw[j] for j in range(k)) % MOD for i in range(m)
+        (sum(padded[i + j] * pwa[j] for j in range(k)) % MOD) * H64_SHIFT
+        + (sum(padded[i + j] * pwb[j] for j in range(k)) % MOD)
+        for i in range(m)
     }
 
 
@@ -90,6 +98,40 @@ def _plog2(n: int) -> float:
 
 def _plog2m(n: int) -> int:
     return math.floor(1_000_000.0 * _plog2(n) + 0.5)
+
+
+def test_shingle_hash64_kernel_matches_column_twin(spark):
+    """The Arrow kernel setsim_join runs on and its interpreted Column
+    twin must produce the same hash SETS on the real corpus."""
+    from pyspark.sql import functions as F
+
+    from gtfs_realtime_etl_spark.functions.hashing import (
+        shingle_hash64_set_kernel,
+    )
+    from gtfs_realtime_etl_spark.plans.analytics12 import (
+        _shingle_hashes_prefolded,
+    )
+
+    docs = load_testdata(spark, SF_CORRECTNESS, tables=("documents",))[
+        "documents"
+    ]
+    rows = (
+        docs.select(
+            shingle_hash64_set_kernel(SETSIM_K)(F.col("text")).alias("k"),
+            F.sort_array(
+                _shingle_hashes_prefolded(
+                    F.translate(
+                        "text",
+                        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                        "abcdefghijklmnopqrstuvwxyz",
+                    )
+                )
+            ).alias("c"),
+        )
+        .select((F.col("k") == F.col("c")).alias("same"))
+        .collect()
+    )
+    assert rows and all(r.same for r in rows)
 
 
 def test_setsim_join_matches_bruteforce(spark):
