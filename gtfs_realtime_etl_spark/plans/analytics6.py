@@ -465,22 +465,45 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = q_simhash_pairs(spark, sf_dir).select(
         F.lit("simhash").alias("m"), F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )
-    allp = ng.unionByName(mh).unionByName(sh)
-    counts = allp.groupBy("m").agg(F.count(F.lit(1)).alias("n"))
-    x, y = allp.alias("x"), allp.alias("y")
+    # ONE PASS over the unioned pair frame: group to per-pair method
+    # SETS, then generate method combinations IN-ROW (<= 3-element
+    # sets) — no self-join, and every generator pipeline is evaluated
+    # exactly once.  The pin keeps the two tiny consumers (counts and
+    # combos) from replaying the generators.
+    allp = (
+        ng.unionByName(mh).unionByName(sh).localCheckpoint(eager=False)
+    )
+    pairsets = allp.groupBy("a", "b").agg(
+        F.sort_array(F.collect_set("m")).alias("ms")
+    )
+    counts = pairsets.select(F.explode("ms").alias("m")).groupBy("m").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    combos = F.expr(
+        "flatten(transform(ms, (x, i) ->"
+        " transform(slice(ms, i + 2, size(ms)), y ->"
+        " struct(x AS method_a, y AS method_b))))"
+    )
     common = (
-        x.join(
-            y,
-            (F.col("x.a") == F.col("y.a"))
-            & (F.col("x.b") == F.col("y.b"))
-            & (F.col("x.m") < F.col("y.m")),
-        )
-        .groupBy(F.col("x.m").alias("method_a"), F.col("y.m").alias("method_b"))
+        pairsets.select(F.explode(combos).alias("c"))
+        .groupBy(F.col("c.method_a").alias("method_a"),
+                 F.col("c.method_b").alias("method_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    seed = spark.createDataFrame(
-        list(_DEDUP_METHOD_PAIRS), "method_a string, method_b string"
-    )
+    # JVM-literal seed (a createDataFrame seed is a Python-RDD scan —
+    # seconds per tiny job deep into a long session, NOTES_r7 lesson).
+    seed = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("method_a"), F.lit(b).alias("method_b")
+                    )
+                    for a, b in _DEDUP_METHOD_PAIRS
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
     ca = counts.select(F.col("m").alias("method_a"), F.col("n").alias("n_a"))
     cb = counts.select(F.col("m").alias("method_b"), F.col("n").alias("n_b"))
     j = (

@@ -3140,6 +3140,16 @@ from gtfs_realtime_etl_spark.plans.analytics12 import (  # noqa: E402
 QUERIES.update(EXT15_QUERIES)
 ORACLE_SQL.update(_ext15_oracle_sql())
 
+# Seventeenth bank: first/last-touch funnel attribution, grid quantile
+# normalization, RFM quintile segmentation, two-proportion A/B z-test.
+from gtfs_realtime_etl_spark.plans.analytics13 import (  # noqa: E402
+    EXT16_ORACLE_SQL,
+    EXT16_QUERIES,
+)
+
+QUERIES.update(EXT16_QUERIES)
+ORACLE_SQL.update(EXT16_ORACLE_SQL)
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #

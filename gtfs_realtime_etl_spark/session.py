@@ -61,6 +61,15 @@ def get_spark(
         # with 10x run-to-run variance.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
+        # The ContextCleaner reclaims shuffle files, broadcast blocks,
+        # and accumulators only when the DRIVER GC collects their
+        # references — and a 48g heap almost never full-GCs on its own,
+        # so a long session (the 170-query x 4-run bench is ~850 query
+        # executions in one JVM) accumulates state until every query
+        # slows several-fold (measured: 0.9 s queries at 15 s, 7 s at
+        # 70+ s deep into a session).  The stock fix is the periodic-GC
+        # floor; default is 30min — far longer than the whole bench.
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

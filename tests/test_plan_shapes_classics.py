@@ -153,6 +153,7 @@ def test_no_cartesian_anywhere_in_registry(spark):
         "basket_rules",      # n_orders 1-row scalar broadcast (plans/analytics7.py)
         "ndcg_report",       # DCG×IDCG 1-row scalar combine + probe vector broadcasts (plans/analytics11.py)
         "naive_bayes_lang",  # 5-row language-dim broadcast + vocab/doc-total 1-row scalars (plans/analytics12.py)
+        "quantile_normalization",  # 101-point percentile-grid 1-row scalar broadcast (plans/analytics13.py)
     }
     for name, fn in QUERIES.items():
         buf = io.StringIO()
