@@ -3151,144 +3151,81 @@ QUERIES.update(EXT16_QUERIES)
 ORACLE_SQL.update(EXT16_ORACLE_SQL)
 
 # ---------------------------------------------------------------------------
-# Driver-gate ordering.
+# Driver-gate ordering — STRUCTURAL, derived from the CORRECTNESS artifacts.
 #
-# The round-5 driver correctness snapshot (CORRECTNESS_r05.json) covered
-# exactly the first 50 registry entries in dict order — a prefix cap / budget
-# on the external gate, not a code failure (all 101 entries are hash-green
-# under the local oracle gate, tests/test_oracle_parity.py).  Driver coverage
-# is cumulative across rounds, so entries that do NOT yet have a driver-green
-# CORRECTNESS row are moved to the FRONT of the registry; the 50 entries the
-# round-5 driver already verified follow in their original relative order.
-# This is purely a dict-ordering change — every (name, callable, oracle)
-# triple is unchanged.
+# The external driver checks only the first ~50 registry entries per round
+# (a budget, not a code failure — all entries are hash-green under the local
+# oracle gate, tests/test_oracle_parity.py).  Driver coverage is cumulative
+# across rounds, so entries that do NOT yet have a driver-green CORRECTNESS
+# row must lead the dict order.  Rounds 6 and 7 both hit the same staleness
+# trap by maintaining hardcoded ``_DRIVER_GREEN_R{N}`` tuples by hand; this
+# loader reads the committed ``CORRECTNESS_r*.json`` files instead, so the
+# rotation can never go stale again: never-driver-verified entries first,
+# then verified entries ordered stalest-first (oldest last-green round), so
+# any leftover budget re-verifies the most at-risk greens.
+#
+# Purely a dict-ordering change — every (name, callable, oracle) triple is
+# unchanged, and no entry is ever excluded.
 # ---------------------------------------------------------------------------
-_DRIVER_GREEN_R05: tuple[str, ...] = (
-    "filter_scan",
-    "agg_pricing",
-    "join_regional_revenue",
-    "window_dedup",
-    "theta_band_join",
-    "filter_predicates",
-    "time_of_day",
-    "reliability",
-    "flagship_punctuality",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "ann_cosine_topk",
-    "text_quality",
-    "quality_filter",
-    "lang_id",
-    "doc_fingerprint",
-    "embedding_centroids",
-    "topk_orders",
-    "set_ops",
-    "semi_anti_join",
-    "rollup_revenue",
-    "cube_revenue",
-    "sessionization",
-    "json_extract",
-    "token_stats",
-    "embedding_neardup",
-    "media_stats",
-    "asof_clicks",
-    "asof_next_click",
-    "window_analytics",
-    "rank_orders",
-    "distinct_pivot",
-    "percentiles",
-    "array_agg_users",
-    "string_funcs",
-    "monthly_revenue",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "minhash_lsh_pairs",
-    "simhash_pairs",
-    "dedup_clusters",
-    "dedup_survivors",
-    "train_split",
-    "stratified_sample",
-    "pii_redaction",
-    "top_bigrams",
-    "context_pack",
-    "multimodal_features",
-    "decontamination",
-    "repetition_stats",
-)
+import json as _json  # noqa: E402
+import os as _os  # noqa: E402
+import re as _re  # noqa: E402
 
 
-#: Entries the round-6 driver pass verified hash-green (CORRECTNESS_r06.json;
-#: ``approx_distinct_profile`` is excluded — its r06 row was ``no_oracle``
-#: rows-only, and it was reworked in round 7 to carry exact COUNT(DISTINCT)
-#: columns the oracle can hash, so it must be re-checked).
-_DRIVER_GREEN_R06: tuple[str, ...] = (
-    "winnow_dedup",
-    "kmeans_centroids",
-    "ngram_novelty",
-    "bigram_lm_score",
-    "embedding_silhouette",
-    "embedding_quantization",
-    "mixture_sample",
-    "tfidf_top_terms",
-    "ngram_dup_spans",
-    "shard_assignment",
-    "edit_distance_pairs",
-    "funnel_conversion",
-    "retention_cohorts",
-    "rolling_event_value",
-    "event_rate_anomaly",
-    "cdc_upsert",
-    "value_hour_corr",
-    "incremental_revenue",
-    "domain_cap",
-    "interval_overlap_join",
-    "gap_fill_resample",
-    "table_profile",
-    "boilerplate_prefixes",
-    "lexical_diversity",
-    "semantic_dedup",
-    "doc_chunks",
-    "quality_resample",
-    "event_transitions",
-    "vocab_coverage",
-    "semantic_decontam",
-    "group_split",
-    "shipping_priority",
-    "returned_items",
-    "epoch_shuffle",
-    "min_cost_supplier",
-    "order_count_distribution",
-    "small_qty_revenue",
-    "large_orders",
-    "waiting_supplier",
-    "top_supplier",
-    "supplier_part_counts",
-    "important_parts",
-    "fk_integrity",
-    "scd2_intervals",
-    "period_reconciliation",
-    "point_in_time_state",
-    "grouping_sets_revenue",
-    "activity_islands",
-    "pagerank_knn",
-)
+def _load_driver_green() -> dict[str, int]:
+    """Map query name -> most recent round with a green driver row.
+
+    A row is green when the driver recorded no error, matching row counts,
+    and neither a schema nor a value-hash mismatch (rows-only entries have
+    ``hash_match: null`` and still count — they received their driver row).
+    If an entry's LATEST driver check was red, it is treated as never-green
+    so it rotates back to the front of the queue.
+    """
+    root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    latest: dict[str, tuple[int, bool]] = {}
+    try:
+        names = sorted(_os.listdir(root))
+    except OSError:
+        return {}
+    for fname in names:
+        m = _re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(_os.path.join(root, fname)) as fh:
+                data = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            ok = (
+                row.get("err") is None
+                and bool(row.get("rows_match"))
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            prev = latest.get(name)
+            if prev is None or rnd >= prev[0]:
+                latest[name] = (rnd, ok)
+    return {name: rnd for name, (rnd, ok) in latest.items() if ok}
 
 
 def _driver_gate_order(d: dict) -> dict:
-    """Order the registry so the external driver's 50-entry correctness
-    budget lands on entries that do NOT yet have a driver-green
-    CORRECTNESS row.  Never-verified entries (anything outside the
-    cumulative r05+r06 green sets — including every new round-7 query
-    and the reworked ``approx_distinct_profile``) lead the queue; the
-    r06-green block follows, then the r05-green block.  Purely a
-    dict-ordering change — every (name, callable, oracle) triple is
-    unchanged, and no entry is ever excluded."""
-    green = set(_DRIVER_GREEN_R05) | set(_DRIVER_GREEN_R06)
+    """Order the registry so the driver's per-round correctness budget lands
+    on entries that do NOT yet have a driver-green CORRECTNESS row.  Behind
+    the never-verified front block, green entries are ordered stalest-first
+    (ascending last-green round, original relative order as tie-break)."""
+    green = _load_driver_green()
+    idx = {k: i for i, k in enumerate(d)}
     front = {k: v for k, v in d.items() if k not in green}
-    mid = {k: d[k] for k in _DRIVER_GREEN_R06 if k in d}
-    back = {k: d[k] for k in _DRIVER_GREEN_R05 if k in d}
-    return {**front, **mid, **back}
-
+    back_keys = sorted((k for k in d if k in green), key=lambda k: (green[k], idx[k]))
+    return {**front, **{k: d[k] for k in back_keys}}
 
 QUERIES = _driver_gate_order(QUERIES)
 ORACLE_SQL = _driver_gate_order(ORACLE_SQL)

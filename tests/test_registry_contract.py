@@ -18,6 +18,37 @@ from gtfs_realtime_etl_spark.plans.queries import ORACLE_SQL, QUERIES
 ROWS_ONLY_BY_DESIGN: set[str] = set()
 
 
+def test_driver_gate_rotation_is_structural():
+    """The external driver verifies only a ~50-entry prefix of the registry
+    per round, so never-driver-verified entries MUST lead the dict order and
+    verified entries must follow stalest-first.  Rounds 6 and 7 both lost
+    budget to hand-maintained green lists going stale; the order is now
+    derived from the committed CORRECTNESS_r*.json artifacts, and this test
+    fails if any driver-green entry ever precedes a never-green one."""
+    from gtfs_realtime_etl_spark.plans.queries import _load_driver_green
+
+    green = _load_driver_green()
+    if not green:
+        pytest.skip("no CORRECTNESS_r*.json artifacts visible (round 1?)")
+    keys = list(QUERIES)
+    seen_green = False
+    for k in keys:
+        if k in green:
+            seen_green = True
+        else:
+            assert not seen_green, (
+                f"never-driver-verified entry {k!r} sits BEHIND a driver-green "
+                "entry — the rotation went stale and the driver budget will be "
+                "re-burned on already-verified queries"
+            )
+    rounds = [green[k] for k in keys if k in green]
+    assert rounds == sorted(rounds), (
+        "driver-green entries are not stalest-first; leftover budget should "
+        "re-verify the oldest greens"
+    )
+    assert list(ORACLE_SQL) == keys, "ORACLE_SQL order diverged from QUERIES"
+
+
 def test_every_query_has_an_oracle():
     missing = set(QUERIES) - set(ORACLE_SQL)
     assert missing == ROWS_ONLY_BY_DESIGN, (
