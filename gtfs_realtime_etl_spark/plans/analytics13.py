@@ -13,7 +13,10 @@ normalization, RFM segmentation, and the two-proportion A/B z-test.
 - ``quantile_normalization`` — map each source's value distribution
   onto the pooled distribution by rank (the bioinformatics /
   feature-prep classic).  The pooled reference is a 101-point exact
-  percentile GRID (one aggregate; broadcast-class), NOT a global
+  percentile GRID computed by a TWO-LEVEL exact rank (distributed
+  distinct-value histogram -> bucketed cumulative ranks -> <=202-row
+  broadcast range join; see ``_qn_pooled_grid``) — no single-buffer
+  ``percentile()`` aggregate and NOT a global
   row-level sort — rank-to-quantile happens per source via
   ``percent_rank`` inside the per-source window, so the only row-level
   sort is per-source (the partitioned-window shape that survives
@@ -136,14 +139,122 @@ FROM conv GROUP BY 2
 # ---------------------------------------------------------------------------
 
 QN_GRID = 100  # grid of 101 exact percentiles (0..100)
+QN_BUCKETS = 256  # value-range buckets for the two-level exact rank
+
+
+def _qn_pooled_grid(events: DataFrame) -> DataFrame:
+    """Exact 101-point pooled percentile grid as a 1-row DataFrame —
+    WITHOUT Spark's single-buffer ``percentile()`` aggregate (which
+    holds every pooled value in ONE final aggregation buffer: an
+    O(distinct values) single-task memory hazard at scale).  Two-level
+    exact grid instead:
+
+    1. distinct-value histogram (distributed ``groupBy(value)``);
+    2. global 0-based cumulative rank ranges per distinct value via
+       value-range buckets — local window cumsum within each bucket
+       plus broadcast per-bucket prefix offsets (the key_skew_report /
+       epoch_shuffle two-level rank, re-keyed by value range);
+    3. the <=202 bracketing ranks for the 101 interpolation targets
+       broadcast-join the histogram on a rank-range predicate;
+    4. linear interpolation ``lower + (higher - lower) * frac`` at
+       ``pos = q * (n - 1)`` — DuckDB ``quantile_cont``'s formula, so
+       cross-engine parity holds by construction.
+
+    Every stage is bounded: the widest intermediate is the distinct
+    histogram (distributed), the only single-task window is over the
+    <=QN_BUCKETS bucket-offset rows.
+    """
+    stats = events.agg(
+        F.min("value").alias("vlo"),
+        F.max("value").alias("vhi"),
+        F.count("value").alias("n"),
+    )  # 1 row, broadcast-class
+    dv = (
+        events.where(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    span = F.col("vhi") - F.col("vlo")
+    bucketed = dv.crossJoin(F.broadcast(stats)).withColumn(
+        "bkt",
+        F.when(
+            span > 0,
+            F.least(
+                F.lit(QN_BUCKETS - 1),
+                F.floor(
+                    (F.col("value") - F.col("vlo")) / span * QN_BUCKETS
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    local = bucketed.withColumn(
+        "cum_local",
+        F.sum("cnt").over(
+            Window.partitionBy("bkt")
+            .orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    offsets = (
+        bucketed.groupBy("bkt")
+        .agg(F.sum("cnt").alias("bn"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("bn").over(
+                    Window.orderBy("bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "off")
+    )
+    ranked = local.join(F.broadcast(offsets), "bkt").select(
+        "value",
+        (F.col("off") + F.col("cum_local") - F.col("cnt")).alias("lo_rank"),
+        (F.col("off") + F.col("cum_local") - 1).alias("hi_rank"),
+    )
+    qs = F.array(*[F.lit(i / QN_GRID) for i in range(QN_GRID + 1)])
+    targets = (
+        stats.select("n", F.posexplode(qs).alias("gidx", "q"))
+        .withColumn(
+            "pos", F.col("q") * (F.col("n") - 1).cast("double")
+        )
+        .withColumn("k", F.floor("pos").cast("long"))
+        .select(
+            "gidx",
+            "pos",
+            "k",
+            F.explode(
+                F.array(F.col("k"), F.least(F.col("k") + 1, F.col("n") - 1))
+            ).alias("r"),
+        )
+    )  # <= 202 rows, broadcast-class
+    vals = ranked.join(
+        F.broadcast(targets),
+        (F.col("r") >= F.col("lo_rank")) & (F.col("r") <= F.col("hi_rank")),
+    )
+    interp = vals.groupBy("gidx", "pos", "k").agg(
+        F.max(F.when(F.col("r") == F.col("k"), F.col("value"))).alias("v_lo"),
+        F.max(F.when(F.col("r") != F.col("k"), F.col("value"))).alias("v_hi"),
+    )
+    pv = F.col("v_lo") + (
+        F.coalesce(F.col("v_hi"), F.col("v_lo")) - F.col("v_lo")
+    ) * (F.col("pos") - F.col("k").cast("double"))
+    return (
+        interp.select("gidx", pv.alias("pv"))
+        .agg(F.array_sort(F.collect_list(F.struct("gidx", "pv"))).alias("s"))
+        .select(F.transform("s", lambda x: x["pv"]).alias("grid"))
+    )
 
 
 def q_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
-    ps = ", ".join(str(i / QN_GRID) for i in range(QN_GRID + 1))
-    grid = events.agg(
-        F.expr(f"percentile(value, array({ps}))").alias("grid")
-    )  # 1-row, broadcast-class
+    grid = _qn_pooled_grid(events)  # 1 row, broadcast-class
     w = Window.partitionBy("source").orderBy("value", "event_id")
     ranked = (
         events.select(
@@ -287,13 +398,18 @@ def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x2"),
     )
     # Identical expression order in both engines: p1, p2, pooled p,
-    # se, z — every input an exact integer.
+    # se, z — every input an exact integer.  The z expression is
+    # guarded so degenerate groups (an empty parity half, or pooled p
+    # in {0, 1}, where se = 0) yield an explicit NULL in BOTH engines
+    # instead of Spark's NULL-on-divide vs DuckDB's IEEE inf/NaN.
     z = F.expr(
-        "(cast(x1 as double) / cast(n1 as double)"
+        "CASE WHEN n1 > 0 AND n2 > 0"
+        " AND x1 + x2 > 0 AND x1 + x2 < n1 + n2 THEN"
+        " (cast(x1 as double) / cast(n1 as double)"
         " - cast(x2 as double) / cast(n2 as double))"
         " / sqrt((cast(x1 + x2 as double) / cast(n1 + n2 as double))"
         " * (1.0 - cast(x1 + x2 as double) / cast(n1 + n2 as double))"
-        " * (1.0 / cast(n1 as double) + 1.0 / cast(n2 as double)))"
+        " * (1.0 / cast(n1 as double) + 1.0 / cast(n2 as double))) END"
     )
     return g.select(
         "event_type",
@@ -319,12 +435,14 @@ WITH g AS (
 ),
 z AS (
   SELECT *,
-         (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-          - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
-         / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
-                * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
-                * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
-           AS zv
+         CASE WHEN n1 > 0 AND n2 > 0
+                   AND x1 + x2 > 0 AND x1 + x2 < n1 + n2 THEN
+           (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                  * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                  * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+         END AS zv
   FROM g
 )
 SELECT event_type, n1, x1, n2, x2,
