@@ -577,6 +577,7 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "qvec",
+    use_kernel: bool = True,
 ) -> DataFrame:
     """PQ/ADC approximate top-k: rank by the asymmetric distance
     ``sum_m l2sq(q_m, codebook[m][code(v, m)])`` — the query stays
@@ -585,14 +586,30 @@ def pq_adc_topk(
     Plan shape: the per-query distance tables (M×K doubles — the whole
     point of ADC) are computed DRIVER-SIDE from the collected query
     rows (queries are few by contract, same posture as the IVF centroid
-    collect) and ride the plan as literal lookup arrays; the corpus
-    side is scan → encode projection → M ``element_at`` lookups → one
-    seeded fold → salted two-phase top-k.  No join, no Python, one
-    shuffle (the top-k aggregate).
+    collect); the corpus side is one scan → per-row code assignment +
+    M table lookups → salted two-phase top-k.  One shuffle (the top-k
+    aggregate), no join.
 
-    Fold-order contract (oracle-matchable): per-subspace l2sq folds
-    left-to-right seeded 0.0 (:func:`_l2sq` — driver-side tables use
-    the identical IEEE op order), and the M ADC terms fold in subspace
+    Two bit-identical scoring paths (pinned equal by
+    ``tests/test_analytics5_bank.py``):
+
+    - ``use_kernel=True`` (default): a vectorized numpy ``mapInPandas``
+      kernel — the corpus's M·K codeword distances are M·K fused
+      array ops per Arrow batch instead of M·K interpreted
+      higher-order-function folds per ROW.  The Column path plans the
+      code assignment as ~M·K·d_sub interpreted expression nodes that
+      Catalyst cannot codegen (measured 42× slower than DuckDB on the
+      same shape — round-7 verdict); the kernel is the same medicine as
+      ``operators/linalg.gram_matrix``.
+    - ``use_kernel=False``: the pure-Column twin (whole plan stays
+      JVM-side; keeps the expression semantics inspectable and is the
+      parity anchor for the oracle).
+
+    Fold-order contract (oracle-matchable, identical in BOTH paths):
+    per-subspace l2sq accumulates left-to-right seeded 0.0
+    (:func:`_l2sq`; the kernel accumulates per-dimension into a zeroed
+    array — the same IEEE op order), ties in the code argmin break to
+    the lowest codeword index, and the M ADC terms fold in subspace
     order seeded 0.0.
     """
     n_sub = len(codebook)
@@ -607,40 +624,116 @@ def pq_adc_topk(
             acc = acc + (x - y) * (x - y)
         return acc
 
-    vec = F.col(vec_col).cast("array<double>")
     passthrough = [c for c in embeddings.columns if c != vec_col]
-    per_query = []
+    # ADC lookup tables: qdist[m][c] = l2sq(q_m, codebook[m][c]).
+    qtables = []
     for qr in qrows:
         qv = [float(v) for v in qr["_q"]]
-        # ADC lookup tables: qdist[m][c] = l2sq(q_m, codebook[m][c]).
-        qdist = [
-            [l2sq_py(qv[m * d_sub : (m + 1) * d_sub], cw) for cw in subbook]
-            for m, subbook in enumerate(codebook)
-        ]
-        terms = F.array(
-            *[
-                F.element_at(
-                    F.array(*[F.lit(d) for d in qdist[m]]),
-                    _pq_code(vec, codebook[m], m, d_sub) + F.lit(1),
-                )
-                for m in range(n_sub)
-            ]
-        )
-        adc = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
-        per_query.append(
-            embeddings.select(
-                F.lit(qr[query_id_col]).alias(query_id_col),
-                *passthrough,
-                (-adc).alias("_negd"),
+        qtables.append(
+            (
+                qr[query_id_col],
+                [
+                    [l2sq_py(qv[m * d_sub : (m + 1) * d_sub], cw) for cw in subbook]
+                    for m, subbook in enumerate(codebook)
+                ],
             )
         )
-    scored = per_query[0]
-    for df in per_query[1:]:
-        scored = scored.unionByName(df)
+
+    if use_kernel:
+        scored = _pq_adc_scores_kernel(
+            embeddings, qtables, codebook, query, query_id_col, vec_col, passthrough
+        )
+    else:
+        vec = F.col(vec_col).cast("array<double>")
+        per_query = []
+        for qid, qdist in qtables:
+            terms = F.array(
+                *[
+                    F.element_at(
+                        F.array(*[F.lit(d) for d in qdist[m]]),
+                        _pq_code(vec, codebook[m], m, d_sub) + F.lit(1),
+                    )
+                    for m in range(n_sub)
+                ]
+            )
+            adc = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+            per_query.append(
+                embeddings.select(
+                    F.lit(qid).alias(query_id_col),
+                    *passthrough,
+                    (-adc).alias("_negd"),
+                )
+            )
+        scored = per_query[0]
+        for df in per_query[1:]:
+            scored = scored.unionByName(df)
     topk = _two_phase_topk(scored, k, query_id_col, id_col, score_col="_negd")
     return topk.select(
         query_id_col,
         *passthrough,
         (-F.col("_negd")).alias("adc_dist"),
         "rank",
+    )
+
+
+def _pq_adc_scores_kernel(
+    embeddings: DataFrame,
+    qtables: "list[tuple[object, list[list[float]]]]",
+    codebook: "list[list[list[float]]]",
+    query: DataFrame,
+    query_id_col: str,
+    vec_col: str,
+    passthrough: "list[str]",
+) -> DataFrame:
+    """Corpus-side PQ scoring as a vectorized Arrow kernel: one numpy
+    pass per batch computes every row's codeword assignment (argmin of
+    per-dimension-accumulated squared distances — first-occurrence
+    argmin == lowest-index tie-break) and each query's ADC distance
+    (per-subspace accumulation into a zeroed array == the Column
+    path's seeded left fold).  Output is (query_id, *passthrough,
+    _negd), bit-identical to the Column twin."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    books = np.asarray(codebook, dtype=np.float64)  # M × K × d_sub
+    n_sub, n_code, d_sub = books.shape
+    tables = [(qid, np.asarray(qd, dtype=np.float64)) for qid, qd in qtables]
+    emb_fields = {f.name: f for f in embeddings.schema.fields}
+    qid_field = next(f for f in query.schema.fields if f.name == query_id_col)
+    out_schema = StructType(
+        [StructField(query_id_col, qid_field.dataType, True)]
+        + [emb_fields[c] for c in passthrough]
+        + [StructField("_negd", DoubleType(), True)]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n = mat.shape[0]
+            codes = np.empty((n_sub, n), dtype=np.int64)
+            for m in range(n_sub):
+                sub = mat[:, m * d_sub : (m + 1) * d_sub]
+                dk = np.zeros((n, n_code), dtype=np.float64)
+                for t in range(d_sub):
+                    diff = sub[:, t, None] - books[m, None, :, t]
+                    dk += diff * diff
+                codes[m] = np.argmin(dk, axis=1)
+            base = pdf[list(passthrough)]
+            blocks = []
+            for qid, qd in tables:
+                dist = np.zeros(n, dtype=np.float64)
+                for m in range(n_sub):
+                    dist = dist + qd[m][codes[m]]
+                blk = base.copy()
+                blk.insert(0, query_id_col, qid)
+                blk["_negd"] = -dist
+                blocks.append(blk)
+            yield pd.concat(blocks, ignore_index=True) if len(blocks) > 1 else blocks[0]
+
+    return embeddings.select(*passthrough, vec_col).mapInPandas(
+        score, schema=out_schema
     )

@@ -636,19 +636,36 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_ann_lsh_topk,
     )
 
-    # Pin the exact top-k ONCE (a TOP_K-row frame): it feeds all three
-    # recall joins, and without the pin each join replays the full
-    # brute-force cosine scan.  The composite's wall time remains
-    # ~the sum of the three approximate rankers it audits.
-    exact = (
-        q_ann_cosine_topk(spark, sf_dir)
-        .select("vec_id")
-        .localCheckpoint(eager=False)
-    )
+    # Pin ALL FOUR rankings as eager TOP_K-row checkpoints,
+    # materialized CONCURRENTLY (Spark schedules jobs submitted from
+    # separate driver threads in parallel; the four rankers share no
+    # state, only the corpus scan).  Round-7 measured the serial form
+    # at ~the SUM of the legs (each leg's ranker — including its
+    # driver-side codebook/centroid collects — ran back-to-back inside
+    # one action); the composite's wall time is now ~the MAX of the
+    # legs, and the returned plan is three broadcast-class joins over
+    # pinned TOP_K-row frames.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def pin(fn) -> DataFrame:
+        return fn(spark, sf_dir).select("vec_id").localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = {
+            name: pool.submit(pin, fn)
+            for name, fn in (
+                ("exact", q_ann_cosine_topk),
+                ("ivf", q_ann_ivf_topk),
+                ("lsh", q_ann_lsh_topk),
+                ("pq", q_ann_pq_topk),
+            )
+        }
+        pinned = {name: f.result() for name, f in futs.items()}
+    exact = pinned["exact"]
 
     def row(method: str, approx: DataFrame) -> DataFrame:
         return (
-            exact.join(approx.select("vec_id"), "vec_id")
+            exact.join(approx, "vec_id")
             .agg(F.count(F.lit(1)).alias("n_overlap"))
             .select(
                 F.lit(method).alias("method"),
@@ -661,9 +678,9 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        row("ivf", q_ann_ivf_topk(spark, sf_dir))
-        .unionByName(row("lsh", q_ann_lsh_topk(spark, sf_dir)))
-        .unionByName(row("pq", q_ann_pq_topk(spark, sf_dir)))
+        row("ivf", pinned["ivf"])
+        .unionByName(row("lsh", pinned["lsh"]))
+        .unionByName(row("pq", pinned["pq"]))
         .orderBy("method")
     )
 
