@@ -567,44 +567,65 @@ GC_K = 3
 def q_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy max-coverage document selection (module doc).
 
-    The per-round collect is ONE (doc_id, gain) row — broadcast-class
-    by any measure; the covered-term set never leaves the engine (it
-    is re-derived from the selected ids and broadcast into the
-    anti-join)."""
+    Round-7 verdict fix, taken to its logical end: the covered-term
+    set is broadcast-class BY CONTRACT (≤ GC_ROUNDS docs' distinct
+    k-grams), so it lives on the DRIVER as a plain set and rides each
+    round's plan as a literal array.  Per round the engine does ONE
+    narrow pass over the persisted per-doc terms table —
+    ``gain(doc) = size(terms) - size(array_intersect(terms,
+    covered_literal))`` — plus a TakeOrdered argmax (per-partition
+    top-1, driver merge; no shuffle, no join, no explode, no
+    checkpoint chain).  The old shape re-aggregated the exploded
+    (doc, term) world behind an anti-join every round: 28 s bench /
+    75 s cold at sf0.1.  Collects per round: the 1-row argmax and the
+    picked doc's term array (the covered-set update)."""
     (documents,) = _t(spark, sf_dir, "documents")
-    toks = (
-        documents.select(
-            "doc_id", F.explode(char_shingles(F.col("text"), GC_K)).alias("term")
-        )
-        .distinct()
-        .persist()
-    )
+    # Per-doc dedup happens ROW-SIDE (array_distinct, no explode): the
+    # persisted table is doc-grain — one row per doc with its distinct
+    # k-gram array — a pure narrow map over the scan, never shuffled.
+    docterms = documents.select(
+        "doc_id",
+        F.array_distinct(char_shingles(F.col("text"), GC_K)).alias("terms"),
+    ).persist()
+    # Eager materialization: every round reuses the persisted rows; a
+    # lazy persist would bill the whole shingle pass to round 1's
+    # argmax (the 75 s cold-start round 7 measured).
+    docterms.count()
     try:
         selected: list[tuple[int, int, int]] = []  # (doc_id, gain, covered)
         covered_total = 0
+        covered: set = set()
         for _ in range(GC_ROUNDS):
             sel_ids = [d for d, _, _ in selected]
-            remaining = toks.filter(~F.col("doc_id").isin(sel_ids)) if sel_ids else toks
-            if sel_ids:
-                covered = (
-                    toks.filter(F.col("doc_id").isin(sel_ids))
-                    .select("term")
-                    .distinct()
+            base = (
+                docterms.filter(~F.col("doc_id").isin(sel_ids))
+                if sel_ids
+                else docterms
+            )
+            if covered:
+                cov_lit = F.array(*[F.lit(t) for t in sorted(covered)])
+                gain = F.size("terms") - F.size(
+                    F.array_intersect("terms", cov_lit)
                 )
-                remaining = remaining.join(
-                    F.broadcast(covered), "term", "left_anti"
-                )
+            else:
+                gain = F.size("terms")
             best = (
-                remaining.groupBy("doc_id")
-                .agg(F.count(F.lit(1)).alias("gain"))
+                base.select("doc_id", gain.cast("long").alias("gain"))
                 .orderBy(F.desc("gain"), F.asc("doc_id"))
                 .limit(1)
                 .collect()
             )
-            if not best:
+            # A zero gain means every remaining doc is fully covered —
+            # the legacy full re-aggregation saw no remaining rows and
+            # stopped; preserve that contract exactly.
+            if not best or best[0]["gain"] <= 0:
                 break
-            covered_total += best[0]["gain"]
-            selected.append((best[0]["doc_id"], best[0]["gain"], covered_total))
+            d, g = best[0]["doc_id"], int(best[0]["gain"])
+            covered_total += g
+            selected.append((d, g, covered_total))
+            covered.update(
+                docterms.filter(F.col("doc_id") == d).head()["terms"]
+            )
         rows = F.array(
             *[
                 F.struct(
@@ -622,7 +643,7 @@ def q_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("s.round", "s.doc_id", "s.gain", "s.covered_total")
         )
     finally:
-        toks.unpersist()
+        docterms.unpersist()
 
 
 def _greedy_coverage_sql() -> str:
