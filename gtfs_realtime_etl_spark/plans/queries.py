@@ -3150,6 +3150,14 @@ from gtfs_realtime_etl_spark.plans.analytics13 import (  # noqa: E402
 QUERIES.update(EXT16_QUERIES)
 ORACLE_SQL.update(EXT16_ORACLE_SQL)
 
+from gtfs_realtime_etl_spark.plans.analytics14 import (  # noqa: E402
+    EXT17_ORACLE_SQL,
+    EXT17_QUERIES,
+)
+
+QUERIES.update(EXT17_QUERIES)
+ORACLE_SQL.update(EXT17_ORACLE_SQL)
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering — STRUCTURAL, derived from the CORRECTNESS artifacts.
 #

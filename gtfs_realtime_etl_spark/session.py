@@ -61,6 +61,17 @@ def get_spark(
         # with 10x run-to-run variance.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
+        # Even with the UI off, AppStatusListener/SQLAppStatusListener
+        # retain per-execution state (full physical-plan description
+        # strings, per-task metrics) for the REST status store — the
+        # defaults keep 1000 SQL executions and 100k tasks LIVE on the
+        # heap.  A few hundred registry executions in one session hold
+        # hundreds of MB that stretch every full GC and never help
+        # anything (no UI to serve).  Cap the store to a small window.
+        .config("spark.sql.ui.retainedExecutions", "8")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "10000")
         # The ContextCleaner reclaims shuffle files, broadcast blocks,
         # and accumulators only when the DRIVER GC collects their
         # references — and a 48g heap almost never full-GCs on its own,
