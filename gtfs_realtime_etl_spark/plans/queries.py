@@ -3158,6 +3158,14 @@ from gtfs_realtime_etl_spark.plans.analytics14 import (  # noqa: E402
 QUERIES.update(EXT17_QUERIES)
 ORACLE_SQL.update(EXT17_ORACLE_SQL)
 
+from gtfs_realtime_etl_spark.plans.analytics15 import (  # noqa: E402
+    EXT18_ORACLE_SQL,
+    EXT18_QUERIES,
+)
+
+QUERIES.update(EXT18_QUERIES)
+ORACLE_SQL.update(EXT18_ORACLE_SQL)
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering — STRUCTURAL, derived from the CORRECTNESS artifacts.
 #

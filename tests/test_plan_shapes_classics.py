@@ -154,6 +154,9 @@ def test_no_cartesian_anywhere_in_registry(spark):
         "ndcg_report",       # DCG×IDCG 1-row scalar combine + probe vector broadcasts (plans/analytics11.py)
         "naive_bayes_lang",  # 5-row language-dim broadcast + vocab/doc-total 1-row scalars (plans/analytics12.py)
         "quantile_normalization",  # 101-point percentile-grid 1-row scalar broadcast (plans/analytics13.py)
+        "cuped_adjustment",   # cut-timestamp + moments 1-row scalar broadcasts (plans/analytics14.py)
+        "conformal_intervals",  # fit/qhat/offset 1-row scalar broadcasts + <=202-row rank probe (plans/analytics14.py)
+        "decayed_topk",       # corpus-max-timestamp 1-row scalar broadcast (plans/analytics14.py)
     }
     for name, fn in QUERIES.items():
         buf = io.StringIO()
