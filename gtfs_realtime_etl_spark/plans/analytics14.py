@@ -517,27 +517,39 @@ CONT_NUM = 9  # containment threshold t = NUM/DEN, exact rational
 CONT_DEN = 10
 
 
-def containment_pairs(documents: DataFrame) -> DataFrame:
+def containment_pairs(
+    documents: DataFrame, token_mode: str = "shingle"
+) -> DataFrame:
     """Lossless prefix-filtered exact set-containment self-join over
     any ``(doc_id, text)`` frame (module doc).  Directional: a row
     (doc_a, doc_b) asserts |A∩B|/|A| >= t — mutual near-dups emit both
     directions.  Reuses setsim_join's hashed-shingle machinery
     (62-bit Arrow kernel, pinned projection, rare-first rank window);
     differs in the A-side-only prefix, the one-sided length filter,
-    and the containment-form positional filter."""
+    and the containment-form positional filter.
+
+    ``token_mode`` mirrors :func:`setsim_pairs`: ``"shingle"`` (the
+    oracle-gated registry form) compares 5-char shingle sets;
+    ``"word"`` compares whitespace-token sets — the scale choice, for
+    the same reason documented there (shingle vocabularies cap at
+    alphabet^k so df grows linearly with the corpus and prefix
+    filtering loses its bite; word vocabularies grow with the corpus)."""
     from gtfs_realtime_etl_spark.functions.hashing import (
         shingle_hash64_set_kernel,
+        token_hash64_set_kernel,
     )
+    from gtfs_realtime_etl_spark.functions.text import tokens
     from gtfs_realtime_etl_spark.plans.analytics12 import SETSIM_K
 
     spark = documents.sparkSession
     n_tasks = spark.sparkContext.defaultParallelism
     folded = documents.select("doc_id", "text").repartition(n_tasks, "doc_id")
+    if token_mode == "word":
+        sh_col = token_hash64_set_kernel()(tokens(F.col("text")))
+    else:
+        sh_col = shingle_hash64_set_kernel(SETSIM_K)(F.col("text"))
     sets = (
-        folded.select(
-            "doc_id",
-            shingle_hash64_set_kernel(SETSIM_K)(F.col("text")).alias("sh"),
-        )
+        folded.select("doc_id", sh_col.alias("sh"))
         .select("doc_id", "sh", F.size("sh").cast("long").alias("n"))
         .localCheckpoint(eager=False)
     )

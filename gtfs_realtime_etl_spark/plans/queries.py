@@ -3166,6 +3166,14 @@ from gtfs_realtime_etl_spark.plans.analytics15 import (  # noqa: E402
 QUERIES.update(EXT18_QUERIES)
 ORACLE_SQL.update(EXT18_ORACLE_SQL)
 
+from gtfs_realtime_etl_spark.plans.analytics16 import (  # noqa: E402
+    EXT19_ORACLE_SQL,
+    EXT19_QUERIES,
+)
+
+QUERIES.update(EXT19_QUERIES)
+ORACLE_SQL.update(EXT19_ORACLE_SQL)
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering — STRUCTURAL, derived from the CORRECTNESS artifacts.
 #
