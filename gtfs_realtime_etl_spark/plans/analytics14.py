@@ -467,12 +467,23 @@ def q_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "user_id",
-            F.col("score_fp").cast("decimal(38,0)").alias("score_fp"),
+            # score_fp fits BIGINT by construction: a (type, user) cell
+            # needs > 2^23 (~8.4M) max-weight events to push the 2^40
+            # fixed-point sum past int64 — orders of magnitude above any
+            # per-user event count the pipeline sees.  The r08 driver
+            # gate hash-rejected the DECIMAL(38,0) / ROUND(double, 9)
+            # form of this output (cross-engine canonicalization); both
+            # columns are now exact int64 computed identically in both
+            # engines: decayed_nano = floor(score * 1e9) with all
+            # arithmetic in exact 128-bit integers (Spark DECIMAL(38,0)
+            # `div`, DuckDB HUGEINT `//` — both truncate, all values
+            # positive so truncation == floor).
+            F.expr("CAST(score_fp AS BIGINT)").alias("score_fp"),
             F.expr(
-                f"ROUND(CAST(score_fp AS DOUBLE)"
-                f" / CAST(shiftleft(CAST(1 AS BIGINT), {DECAY_SHIFT})"
-                " AS DOUBLE), 9)"
-            ).alias("decayed_count"),
+                f"CAST((CAST(score_fp AS DECIMAL(38,0)) * 1000000000)"
+                f" div CAST(shiftleft(CAST(1 AS BIGINT), {DECAY_SHIFT})"
+                " AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("decayed_nano"),
             F.col("rank").cast("int").alias("rank"),
         )
     )
@@ -500,10 +511,10 @@ ranked AS (
             ORDER BY score_fp DESC, user_id ASC) AS rank
   FROM scores
 )
-SELECT event_type, user_id, score_fp,
-       ROUND(CAST(score_fp AS DOUBLE)
-             / CAST((CAST(1 AS BIGINT) << {DECAY_SHIFT}) AS DOUBLE), 9)
-         AS decayed_count,
+SELECT event_type, user_id, CAST(score_fp AS BIGINT) AS score_fp,
+       CAST((CAST(score_fp AS HUGEINT) * 1000000000)
+            // CAST((CAST(1 AS BIGINT) << {DECAY_SHIFT}) AS HUGEINT)
+         AS BIGINT) AS decayed_nano,
        CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {DECAY_TOPN}
 """

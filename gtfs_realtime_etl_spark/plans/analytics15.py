@@ -8,7 +8,8 @@ market concentration.
   moved).  Exactness: with integer-cents values and exact counts,
   |F_a(x) - F_b(x)| = |cum_a*n_b - cum_b*n_a| / (n_a*n_b), so
   W1 = Σ |cum_a*n_b - cum_b*n_a| * gap(x) summed as exact
-  DECIMAL(38,0) with ONE final double division — engine-exact.  The
+  DECIMAL(38,0) and reported as floor(W1 * 1e6) integer micro-cents
+  via exact 128-bit integer division — engine-exact end to end.  The
   step grid is each type's own distinct cents (both halves change
   only there), so the plan is one groupBy + one per-type ordered
   window — no union grid, no cross join.
@@ -20,9 +21,9 @@ market concentration.
   integers + Jaccard in ppm.
 - ``hhi_concentration`` — Herfindahl–Hirschman supplier-revenue
   concentration per nation: exact integer cents per (nation,
-  supplier), HHI = Σ share_i² reported from exact decimal sums with
-  one final double division (scaled ×10⁶, the antitrust convention
-  rescaled to ppm).  Plan: lineitem⋈supplier (broadcast dim),
+  supplier), HHI = Σ share_i² reported as floor(sq·10¹²/t²) fixed
+  point via exact 128-bit integer division (the antitrust convention
+  rescaled to ppm ×10⁶).  Plan: lineitem⋈supplier (broadcast dim),
   supplier-grain aggregate, nation-grain aggregate — two shuffles,
   both on keys that shrink the data.
 
@@ -82,23 +83,44 @@ def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("CASE WHEN half = 1 THEN 1 ELSE 0 END")).alias("n1"),
         )
     )
+    # Every multiplication is widened to DECIMAL(38,0) BEFORE it runs:
+    # cum*n is ~rows-per-type squared and times a cents gap can exceed
+    # int64 at larger scale factors — Spark (non-ANSI) would wrap
+    # silently while DuckDB raises.  The DuckDB oracle widens the same
+    # products to HUGEINT.
     sums = (
         stepped.join(F.broadcast(per_type), "event_type")
         .groupBy("event_type", "n0", "n1")
         .agg(
             F.sum(
-                F.expr("CAST(abs(cum0 * n1 - cum1 * n0) * gap AS DECIMAL(38,0))")
+                F.expr(
+                    "CAST(abs(CAST(cum0 AS DECIMAL(38,0))"
+                    " * CAST(n1 AS DECIMAL(38,0))"
+                    " - CAST(cum1 AS DECIMAL(38,0))"
+                    " * CAST(n0 AS DECIMAL(38,0)))"
+                    " * CAST(gap AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+                )
             ).alias("num")
         )
     )
+    # w1_micro = floor(W1 * 1e6) in integer micro-cents — exact 128-bit
+    # integer arithmetic in both engines (Spark DECIMAL(38,0) `div`,
+    # DuckDB HUGEINT `//`; all values non-negative so truncation ==
+    # floor), replacing the r8 ROUND(double, 6) output whose op class
+    # the r8 driver gate hash-rejected on two sibling queries.  The 0/0
+    # degenerate (an event type whose users all land in one parity
+    # half) is guarded to NULL in both engines — unguarded, Spark
+    # returns NULL while DuckDB returns NaN.
     return sums.select(
         "event_type",
         F.col("n0").cast("long").alias("n0"),
         F.col("n1").cast("long").alias("n1"),
         F.expr(
-            "ROUND(CAST(num AS DOUBLE)"
-            " / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)), 6)"
-        ).alias("w1_cents"),
+            "CASE WHEN n0 > 0 AND n1 > 0 THEN"
+            " CAST((num * 1000000) div CAST(CAST(n0 AS DECIMAL(38,0))"
+            " * CAST(n1 AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS BIGINT)"
+            " END"
+        ).alias("w1_micro"),
     )
 
 
@@ -125,13 +147,21 @@ per_type AS (
          CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
   FROM ev GROUP BY 1
 )
-SELECT s.event_type, n0, n1,
-       ROUND(CAST(SUM(CAST(abs(cum0 * n1 - cum1 * n0) * gap
-                           AS DECIMAL(38,0))) AS DOUBLE)
-             / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)), 6) AS w1_cents
-FROM stepped s JOIN per_type p ON s.event_type = p.event_type
-WHERE gap IS NOT NULL
-GROUP BY 1, 2, 3
+SELECT event_type, n0, n1,
+       CASE WHEN n0 > 0 AND n1 > 0 THEN
+         CAST((num * 1000000)
+              // (CAST(n0 AS HUGEINT) * CAST(n1 AS HUGEINT))
+           AS BIGINT)
+       END AS w1_micro
+FROM (
+  SELECT s.event_type, n0, n1,
+         SUM(abs(CAST(cum0 AS HUGEINT) * CAST(n1 AS HUGEINT)
+                 - CAST(cum1 AS HUGEINT) * CAST(n0 AS HUGEINT))
+             * CAST(gap AS HUGEINT)) AS num
+  FROM stepped s JOIN per_type p ON s.event_type = p.event_type
+  WHERE gap IS NOT NULL
+  GROUP BY 1, 2, 3
+)
 """
 
 
@@ -255,11 +285,27 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_name",
             "n_suppliers",
-            F.col("t").cast("decimal(38,0)").alias("revenue_cents"),
+            # The r08 driver gate hash-rejected the DECIMAL(38,0) /
+            # ROUND(double, 6) form of these outputs (cross-engine
+            # canonicalization); both are now exact int64 computed
+            # identically in both engines.  revenue_cents fits BIGINT
+            # while a nation's revenue stays under ~9.2e16 dollars.
+            # hhi_ppm_q6 = floor(sq * 1e12 / t^2): HHI scaled to ppm
+            # with 6 implied decimal digits, all arithmetic in exact
+            # 128-bit integers (Spark DECIMAL(38,0) `div`, DuckDB
+            # HUGEINT `//`; all values positive so truncation ==
+            # floor).  Width guard: sq <= t^2, so sq*1e12 <= t^2*1e12
+            # stays inside 38 digits while t < 1e13 cents (1e11
+            # dollars per nation) — orders of magnitude above bench
+            # scale; the quotient itself is <= 1e12 so the BIGINT cast
+            # never wraps.
+            F.expr("CAST(t AS BIGINT)").alias("revenue_cents"),
             F.expr(
-                "ROUND(CAST(sq AS DOUBLE) * 1000000.0"
-                " / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6)"
-            ).alias("hhi_ppm"),
+                "CAST((CAST(sq AS DECIMAL(38,0)) * 1000000000000)"
+                " div CAST(CAST(t AS DECIMAL(38,0))"
+                " * CAST(t AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+                " AS BIGINT)"
+            ).alias("hhi_ppm_q6"),
         )
     )
 
@@ -280,9 +326,10 @@ per_nation AS (
   FROM per_supp GROUP BY 1
 )
 SELECT n_name, n_suppliers,
-       CAST(t AS DECIMAL(38,0)) AS revenue_cents,
-       ROUND(CAST(sq AS DOUBLE) * 1000000.0
-             / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS hhi_ppm
+       CAST(t AS BIGINT) AS revenue_cents,
+       CAST((CAST(sq AS HUGEINT) * 1000000000000)
+            // (CAST(t AS HUGEINT) * CAST(t AS HUGEINT))
+         AS BIGINT) AS hhi_ppm_q6
 FROM per_nation JOIN nation ON s_nationkey = n_nationkey
 """
 

@@ -188,13 +188,18 @@ def test_decayed_topk_matches_python_replica(spark):
         lst.sort()
         for rank, (neg_s, u) in enumerate(lst[:DECAY_TOPN], start=1):
             expected[(et, u)] = (-neg_s, rank)
+    rows = q_decayed_topk(spark, SF_CORRECTNESS).collect()
     got = {
-        (r.event_type, r.user_id): (int(r.score_fp), r.rank)
-        for r in q_decayed_topk(spark, SF_CORRECTNESS).collect()
+        (r.event_type, r.user_id): (int(r.score_fp), r.rank) for r in rows
     }
     assert got == expected and len(got) > 0
     # Recency dominates: every top entry must carry non-zero weight.
     assert all(s > 0 for s, _ in got.values())
+    # decayed_nano is the exact fixed-point projection of score_fp.
+    assert all(
+        r.decayed_nano == int(r.score_fp) * 10**9 // (1 << DECAY_SHIFT)
+        for r in rows
+    )
 
 
 def test_containment_join_matches_bruteforce(spark):
