@@ -90,7 +90,7 @@ def norm_cdf_sql(x_expr: str) -> str:
 # Portable log2 for positive integers.
 #
 # Engine-native log/log2 differ between Spark (JVM libm) and other
-# engines in the last ulp, which flips ROUND(x, k) at a boundary and
+# engines in the last ulp, which flips round-to-k-digits at a boundary and
 # breaks cross-engine hash parity when thousands of values are in
 # play.  This computes log2(n) for INTEGER n >= 1 from correctly-
 # rounded IEEE-754 operations only (+, -, *, / and an EXACT 2^e via an

@@ -45,10 +45,22 @@ def _update_centroids(
     rows = (
         exploded.groupBy("cell_id", "dim")
         .agg(
-            F.round(
-                F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                scale,
+            # Engine-exact ROUND: round(x*10^s)/10^s is DuckDB's own
+            # round(x, s) evaluation order, and Spark's ROUND(y, 0)
+            # (BigDecimal HALF_UP) == C round(y) bit-for-bit — fuzz-
+            # pinned in tests/test_engine_round.py.
+            (
+                F.round(
+                    (
+                        F.sum(F.col("val").cast("decimal(20,10)")).cast(
+                            "double"
+                        )
+                        / F.count(F.lit(1)).cast("double")
+                    )
+                    * F.lit(float(10**scale)),
+                    0,
+                )
+                / F.lit(float(10**scale))
             ).alias("cval")
         )
         .collect()

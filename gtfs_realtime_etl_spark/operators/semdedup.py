@@ -18,7 +18,7 @@ Data-efficient learning at web-scale through semantic deduplication"):
    survivor rule — the paper keeps a random/centroid-far member;
    min-id is the engine-replayable equivalent).
 
-Thresholding happens on the ROUND(cosine, 6) value so the keep/drop
+Thresholding happens on the round-to-6-digits cosine so the keep/drop
 decision is identical on any engine that reproduces the documented
 left-fold dot product (see plans/queries.py::_FOLD_SUM).
 
@@ -48,7 +48,7 @@ def _cell_pairs(
     vec_col: str,
     pair_partitions: int,
 ) -> DataFrame:
-    """Within-cell (a_id < b_id) pairs with ROUND(cosine, 6)."""
+    """Within-cell (a_id < b_id) pairs with round-to-6-digits cosine."""
     emb = (
         assigned.select(
             F.col(id_col).alias("vid"),
@@ -60,11 +60,16 @@ def _cell_pairs(
     )
     a, b = emb.alias("a"), emb.alias("b")
     denom = F.col("a.norm") * F.col("b.norm")
-    cos = F.round(
-        F.when(denom > 0, dot(F.col("a.vec"), F.col("b.vec")) / denom).otherwise(
-            F.lit(0.0)
-        ),
-        6,
+    # Engine-exact round-to-6 (mult-form; tests/test_engine_round.py).
+    cos = (
+        F.round(
+            F.when(
+                denom > 0, dot(F.col("a.vec"), F.col("b.vec")) / denom
+            ).otherwise(F.lit(0.0))
+            * F.lit(1e6),
+            0,
+        )
+        / F.lit(1e6)
     )
     return a.join(
         b,

@@ -152,10 +152,17 @@ def centroids_from_labels(
         F.posexplode(F.col(vec_col).cast("array<double>")),
     ).select("cell_id", (F.col("pos") + 1).alias("dim"), F.col("col").alias("val"))
     per_dim = exploded.groupBy("cell_id", "dim").agg(
-        F.round(
-            F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            scale,
+        # Engine-exact ROUND (mult-form; see tests/test_engine_round.py).
+        (
+            F.round(
+                (
+                    F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                )
+                * F.lit(float(10**scale)),
+                0,
+            )
+            / F.lit(float(10**scale))
         ).alias("cval")
     )
     return per_dim.groupBy("cell_id").agg(
@@ -590,8 +597,8 @@ def pq_adc_topk(
     M table lookups → salted two-phase top-k.  One shuffle (the top-k
     aggregate), no join.
 
-    Two bit-identical scoring paths (pinned equal by
-    ``tests/test_analytics5_bank.py``):
+    Two bit-identical scoring paths (pinned equal bit-for-bit on the
+    registry shape by ``tests/test_pq_kernel_parity.py``):
 
     - ``use_kernel=True`` (default): a vectorized numpy ``mapInPandas``
       kernel — the corpus's M·K codeword distances are M·K fused

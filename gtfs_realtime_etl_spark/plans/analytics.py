@@ -11,7 +11,7 @@ cohorts, time-range rolling windows, rate-anomaly detection).
 
 Cross-engine determinism follows the same rules as ``plans.queries``:
 integer arithmetic everywhere ranking happens, DECIMAL-stabilized sums
-for means, fixed ``ROUND(x, 6)`` on float outputs, and explicit
+for means, fixed round-to-6-digits on float outputs, and explicit
 tie-breaks on every top-k.  ``events.ts`` is the loader-normalized
 nanoseconds bigint on the Spark side and ``epoch_ns(ts)`` on the DuckDB
 side (see sources/testdata.py).
@@ -44,7 +44,7 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 # TF-IDF vocabulary profile: per-language top-k terms by document
 # frequency, with the IDF each would contribute.  Ranking is pure
 # integer (doc_freq desc, term asc) so it is engine-exact; ln() appears
-# only in ROUND(·, 6) output columns.
+# only in round-to-6-digit output columns.
 #
 # Scale shape: term space grows with vocabulary (100M+ tokens on web
 # corpora), so the final per-language rank uses the same salted
@@ -101,13 +101,10 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         "doc_freq",
         "rk",
-        F.round(
-            F.log(
+        (F.round((F.log(
                 (F.col("n_docs") + F.lit(1)).cast("double")
                 / (F.col("doc_freq") + F.lit(1)).cast("double")
-            ),
-            6,
-        ).alias("idf"),
+            )) * F.lit(1e6), 0) / F.lit(1e6)).alias("idf"),
     )
 
 
@@ -125,8 +122,7 @@ ranked AS (
   FROM df
 )
 SELECT r.lang, r.term, r.doc_freq, r.rk,
-       ROUND(ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(r.doc_freq + 1 AS DOUBLE)),
-             6) AS idf
+       ROUND((ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(r.doc_freq + 1 AS DOUBLE))) * 1e6, 0) / 1e6 AS idf
 FROM ranked r JOIN nd n USING (lang)
 WHERE r.rk <= {TFIDF_K}
 """
@@ -202,12 +198,9 @@ def q_ngram_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(
-            F.sum(F.col("frac").cast("decimal(18,12)")).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("avg_dup_frac"),
-        F.round(F.max("frac"), 6).alias("max_dup_frac"),
+        (F.round((F.sum(F.col("frac").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")) * F.lit(1e6), 0) / F.lit(1e6)).alias("avg_dup_frac"),
+        (F.round((F.max("frac")) * F.lit(1e6), 0) / F.lit(1e6)).alias("max_dup_frac"),
         F.sum(
             F.when(F.col("frac") >= NGRAM_FLAG, F.lit(1)).otherwise(F.lit(0))
         ).cast("long").alias("n_flagged"),
@@ -238,9 +231,9 @@ per AS (
 )
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       ROUND(CAST(SUM(CAST(frac AS DECIMAL(18,12))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_dup_frac,
-       ROUND(MAX(frac), 6) AS max_dup_frac,
+       ROUND((CAST(SUM(CAST(frac AS DECIMAL(18,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)) * 1e6, 0) / 1e6 AS avg_dup_frac,
+       ROUND((MAX(frac)) * 1e6, 0) / 1e6 AS max_dup_frac,
        CAST(SUM(CASE WHEN frac >= {NGRAM_FLAG} THEN 1 ELSE 0 END) AS BIGINT)
          AS n_flagged
 FROM per GROUP BY source
@@ -304,11 +297,8 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
-            F.round(
-                F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                2,
-            ).alias("avg_chars"),
+            (F.round((F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)).cast("double")) * F.lit(1e2), 0) / F.lit(1e2)).alias("avg_chars"),
         )
     )
 
@@ -318,8 +308,8 @@ SELECT LEAST(n_chars // {HIST_WIDTH}, {HIST_MAX_BUCKET}) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        MIN(n_chars) AS min_chars,
        MAX(n_chars) AS max_chars,
-       ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 2) AS avg_chars
+       ROUND((CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)) * 1e2, 0) / 1e2 AS avg_chars
 FROM documents GROUP BY 1
 """
 
@@ -421,9 +411,7 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(F.broadcast(entry)).select(
         "stage",
         "n_users",
-        F.round(
-            F.col("n_users").cast("double") / F.col("n_entry").cast("double"), 6
-        ).alias("conversion"),
+        (F.round((F.col("n_users").cast("double") / F.col("n_entry").cast("double")) * F.lit(1e6), 0) / F.lit(1e6)).alias("conversion"),
     )
 
 
@@ -443,8 +431,8 @@ counts AS (
   SELECT '{FUNNEL[2]}', CAST(COUNT(*) AS BIGINT) FROM s3
 )
 SELECT stage, n_users,
-       ROUND(CAST(n_users AS DOUBLE)
-             / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE), 6) AS conversion
+       ROUND((CAST(n_users AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE)) * 1e6, 0) / 1e6 AS conversion
 FROM counts
 """
 
@@ -523,7 +511,7 @@ def q_rolling_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.max("roll"), 6).alias("peak_10m_avg"),
+            (F.round((F.max("roll")) * F.lit(1e6), 0) / F.lit(1e6)).alias("peak_10m_avg"),
         )
     )
 
@@ -539,7 +527,7 @@ r AS (
                RANGE BETWEEN {ROLL_NS} PRECEDING AND CURRENT ROW)
 )
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(MAX(roll), 6) AS peak_10m_avg
+       ROUND((MAX(roll)) * 1e6, 0) / 1e6 AS peak_10m_avg
 FROM r GROUP BY user_id
 """
 
@@ -579,7 +567,7 @@ def q_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.withColumn("z", z)
         .filter(F.abs(F.col("z")) >= ANOMALY_Z)
-        .select("hour", "n", F.round("z", 6).alias("z"))
+        .select("hour", "n", (F.round((F.col("z")) * F.lit(1e6), 0) / F.lit(1e6)).alias("z"))
     )
 
 
@@ -604,7 +592,7 @@ scored AS (
                 / CAST(n_hours - 1 AS DOUBLE)) AS z
   FROM hours, stats
 )
-SELECT hour, n, ROUND(z, 6) AS z
+SELECT hour, n, ROUND((z) * 1e6, 0) / 1e6 AS z
 FROM scored WHERE abs(z) >= {ANOMALY_Z}
 """
 
@@ -692,9 +680,7 @@ def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dow", "hour")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(
-                _dsum(F.col("value"), 6) / F.count(F.lit(1)).cast("double"), 6
-            ).alias("avg_value"),
+            (F.round((_dsum(F.col("value"), 6) / F.count(F.lit(1)).cast("double")) * F.lit(1e6), 0) / F.lit(1e6)).alias("avg_value"),
         )
     )
 
@@ -707,7 +693,7 @@ WITH e AS (
   FROM events
 )
 SELECT dow, hour, CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND({_dsum_sql("value", 6)} / CAST(COUNT(*) AS DOUBLE), 6) AS avg_value
+       ROUND(({_dsum_sql("value", 6)} / CAST(COUNT(*) AS DOUBLE)) * 1e6, 0) / 1e6 AS avg_value
 FROM e GROUP BY dow, hour
 """
 
@@ -744,7 +730,7 @@ def q_value_hour_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "event_type",
         F.col("n").alias("n_events"),
-        F.round(cov / F.sqrt(vx * vy), 6).alias("corr_value_hour"),
+        (F.round((cov / F.sqrt(vx * vy)) * F.lit(1e6), 0) / F.lit(1e6)).alias("corr_value_hour"),
     )
 
 
@@ -765,12 +751,12 @@ m AS (
   FROM e GROUP BY event_type
 )
 SELECT event_type, n AS n_events,
-       ROUND((CAST(sxy AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+       ROUND(((CAST(sxy AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)
                 / CAST(n AS DOUBLE))
              / sqrt((CAST(sxx AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
                        / CAST(n AS DOUBLE))
                     * (CAST(syy AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
-                         / CAST(n AS DOUBLE))), 6) AS corr_value_hour
+                         / CAST(n AS DOUBLE)))) * 1e6, 0) / 1e6 AS corr_value_hour
 FROM m
 """
 
@@ -865,7 +851,7 @@ def q_incremental_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum").alias("revenue"),
         F.col("min").alias("min_price"),
         F.col("max").alias("max_price"),
-        F.round("avg", 6).alias("avg_price"),
+        (F.round((F.col("avg")) * F.lit(1e6), 0) / F.lit(1e6)).alias("avg_price"),
     )
 
 
@@ -875,7 +861,7 @@ SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
        {_dsum_sql("o_totalprice")} AS revenue,
        MIN(o_totalprice) AS min_price,
        MAX(o_totalprice) AS max_price,
-       ROUND({_dsum_sql("o_totalprice")} / CAST(COUNT(*) AS DOUBLE), 6)
+       ROUND(({_dsum_sql("o_totalprice")} / CAST(COUNT(*) AS DOUBLE)) * 1e6, 0) / 1e6
          AS avg_price
 FROM orders GROUP BY order_month
 """

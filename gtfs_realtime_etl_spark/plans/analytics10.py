@@ -422,11 +422,8 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.when(
             (d1 > 0) & (d2 > 0),
-            F.round(
-                num.cast("double")
-                / F.sqrt(d1.cast("double") * d2.cast("double")),
-                6,
-            ),
+            (F.round((num.cast("double")
+                / F.sqrt(d1.cast("double") * d2.cast("double"))) * F.lit(1e6), 0) / F.lit(1e6)),
         ).alias("r_auto"),
     )
 
@@ -463,9 +460,9 @@ agg AS (
 SELECT event_type, CAST(lag AS INT) AS lag, n_pairs,
        CASE WHEN n_pairs * sxx - sx * sx > 0
              AND n_pairs * syy - sy * sy > 0
-            THEN ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+            THEN ROUND((CAST(n_pairs * sxy - sx * sy AS DOUBLE)
                        / SQRT(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
-                              * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+                              * CAST(n_pairs * syy - sy * sy AS DOUBLE))) * 1e6, 0) / 1e6
        END AS r_auto
 FROM agg
 """

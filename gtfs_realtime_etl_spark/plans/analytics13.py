@@ -417,7 +417,7 @@ def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x1",
         "n2",
         "x2",
-        F.round(z, 6).alias("z_stat"),
+        (F.round((z) * F.lit(1e6), 0) / F.lit(1e6)).alias("z_stat"),
         (F.abs(z) > AB_Z_CRIT).alias("significant"),
     )
 
@@ -446,7 +446,7 @@ z AS (
   FROM g
 )
 SELECT event_type, n1, x1, n2, x2,
-       ROUND(zv, 6) AS z_stat, ABS(zv) > {AB_Z_CRIT!r} AS significant
+       ROUND((zv) * 1e6, 0) / 1e6 AS z_stat, ABS(zv) > {AB_Z_CRIT!r} AS significant
 FROM z
 """
 

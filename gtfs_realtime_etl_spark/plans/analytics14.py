@@ -126,15 +126,15 @@ def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("arm").cast("long").alias("arm"),
         "n_users",
         F.expr(
-            "ROUND(CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE), 6)"
+            "ROUND((CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE)) * 1e6, 0) / 1e6"
         ).alias("mean_y_cents"),
         F.expr(
-            f"ROUND((CAST(ay AS DOUBLE) - ({theta})"
+            f"ROUND(((CAST(ay AS DOUBLE) - ({theta})"
             " * (CAST(ax AS DOUBLE) - CAST(n_users AS DOUBLE)"
             " * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))"
-            " / CAST(n_users AS DOUBLE), 6)"
+            " / CAST(n_users AS DOUBLE)) * 1e6, 0) / 1e6"
         ).alias("mean_y_adj_cents"),
-        F.expr(f"ROUND({theta}, 9)").alias("theta"),
+        F.expr(f"ROUND(({theta}) * 1e9, 0) / 1e9").alias("theta"),
     )
 
 
@@ -166,9 +166,9 @@ arms AS (
   FROM pu GROUP BY 1
 )
 SELECT CAST(arm AS BIGINT) AS arm, n_users,
-       ROUND(CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+       ROUND((CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE)) * 1e6, 0) / 1e6
          AS mean_y_cents,
-       ROUND((CAST(ay AS DOUBLE) - (CASE WHEN CAST(n AS DOUBLE)
+       ROUND(((CAST(ay AS DOUBLE) - (CASE WHEN CAST(n AS DOUBLE)
               * CAST(sxx AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
@@ -177,13 +177,13 @@ SELECT CAST(arm AS BIGINT) AS arm, n_users,
                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END)
               * (CAST(ax AS DOUBLE) - CAST(n_users AS DOUBLE)
                  * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
-             / CAST(n_users AS DOUBLE), 6) AS mean_y_adj_cents,
-       ROUND(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             / CAST(n_users AS DOUBLE)) * 1e6, 0) / 1e6 AS mean_y_adj_cents,
+       ROUND((CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
              (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END, 9) AS theta
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END) * 1e9, 0) / 1e9 AS theta
 FROM arms, moments
 """
 
@@ -293,9 +293,9 @@ def q_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return test.select(
-        F.expr("ROUND(a, 9)").alias("a_hat"),
-        F.expr("ROUND(b, 9)").alias("b_hat"),
-        F.expr("ROUND(q, 6)").alias("qhat_cents"),
+        F.expr("ROUND((a) * 1e9, 0) / 1e9").alias("a_hat"),
+        F.expr("ROUND((b) * 1e9, 0) / 1e9").alias("b_hat"),
+        F.expr("ROUND((q) * 1e6, 0) / 1e6").alias("qhat_cents"),
         F.col("n_cal").cast("long").alias("n_cal"),
         F.col("n_test").cast("long").alias("n_test"),
         F.col("n_covered").cast("long").alias("n_covered"),
@@ -344,8 +344,8 @@ q AS (
   WHERE rn = LEAST(n_cal, ({CONF_LEVEL_NUM} * (n_cal + 1)
                    + {CONF_LEVEL_DEN - 1}) // {CONF_LEVEL_DEN})
 )
-SELECT ROUND(a, 9) AS a_hat, ROUND(b, 9) AS b_hat,
-       ROUND(qhat, 6) AS qhat_cents,
+SELECT ROUND((a) * 1e9, 0) / 1e9 AS a_hat, ROUND((b) * 1e9, 0) / 1e9 AS b_hat,
+       ROUND((qhat) * 1e6, 0) / 1e6 AS qhat_cents,
        n_cal, CAST(COUNT(*) AS BIGINT) AS n_test,
        CAST(SUM(CASE WHEN
            abs(CAST(cents AS DOUBLE) - (a + b * CAST(hr AS DOUBLE))) <= qhat
@@ -471,7 +471,7 @@ def q_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             # needs > 2^23 (~8.4M) max-weight events to push the 2^40
             # fixed-point sum past int64 — orders of magnitude above any
             # per-user event count the pipeline sees.  The r08 driver
-            # gate hash-rejected the DECIMAL(38,0) / ROUND(double, 9)
+            # gate hash-rejected the DECIMAL(38,0) / ROUND((double) * 1e9, 0) / 1e9
             # form of this output (cross-engine canonicalization); both
             # columns are now exact int64 computed identically in both
             # engines: decayed_nano = floor(score * 1e9) with all

@@ -106,7 +106,7 @@ def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # w1_micro = floor(W1 * 1e6) in integer micro-cents — exact 128-bit
     # integer arithmetic in both engines (Spark DECIMAL(38,0) `div`,
     # DuckDB HUGEINT `//`; all values non-negative so truncation ==
-    # floor), replacing the r8 ROUND(double, 6) output whose op class
+    # floor), replacing the r8 round-to-6-digits double output whose class
     # the r8 driver gate hash-rejected on two sibling queries.  The 0/0
     # degenerate (an event type whose users all land in one parity
     # half) is guarded to NULL in both engines — unguarded, Spark
@@ -286,7 +286,7 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             "n_suppliers",
             # The r08 driver gate hash-rejected the DECIMAL(38,0) /
-            # ROUND(double, 6) form of these outputs (cross-engine
+            # rounded-double form of these outputs (cross-engine
             # canonicalization); both are now exact int64 computed
             # identically in both engines.  revenue_cents fits BIGINT
             # while a nation's revenue stays under ~9.2e16 dollars.

@@ -104,10 +104,10 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("n").cast("long").alias("n"),
             F.expr(
-                "ROUND(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE), 6)"
+                "ROUND((CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6, 0) / 1e6"
             ).alias("mean_cents"),
-            F.expr("ROUND(element_at(ms, 2), 6)").alias("ci_lo_cents"),
-            F.expr("ROUND(element_at(ms, size(ms) - 1), 6)").alias(
+            F.expr("ROUND((element_at(ms, 2)) * 1e6, 0) / 1e6").alias("ci_lo_cents"),
+            F.expr("ROUND((element_at(ms, size(ms) - 1)) * 1e6, 0) / 1e6").alias(
                 "ci_hi_cents"
             ),
             F.size("ms").cast("int").alias("n_resamples"),
@@ -148,9 +148,9 @@ boot AS (
   FROM per_resample GROUP BY 1
 )
 SELECT e.event_type, n,
-       ROUND(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_cents,
-       ROUND(ms[2], 6) AS ci_lo_cents,
-       ROUND(ms[len(ms) - 1], 6) AS ci_hi_cents,
+       ROUND((CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6, 0) / 1e6 AS mean_cents,
+       ROUND((ms[2]) * 1e6, 0) / 1e6 AS ci_lo_cents,
+       ROUND((ms[len(ms) - 1]) * 1e6, 0) / 1e6 AS ci_hi_cents,
        CAST(len(ms) AS INTEGER) AS n_resamples
 FROM exact e JOIN boot USING (event_type)
 """

@@ -1,0 +1,433 @@
+"""Twenty-first query bank: association rules, sequence transitions,
+robust means, and difference-in-differences.
+
+- ``itemset_pairs`` — market-basket association rules over the
+  natural basket table (``lineitem``: order -> parts): per-order
+  sorted DISTINCT item sets built in one order-grain aggregate,
+  ordered pairs generated IN-ROW from each basket (the
+  audience_overlap combination idiom — never a basket self-join; a
+  TPC-H order holds <= 7 items, and a hard ``BASKET_CAP`` slice keeps
+  the in-row expansion bounded on arbitrary data), support-pruned,
+  then confidence and lift reported in exact integer ppm
+  (``x * 10^6 div y`` — Spark DECIMAL(38,0) ``div`` / DuckDB HUGEINT
+  ``//``, both truncate-toward-zero, all values non-negative).  Plan:
+  one shuffle to order grain, one to pair grain, one broadcast join
+  of per-part order counts — support pruning keeps the pair tail
+  from dominating at scale (Agrawal & Srikant's Apriori support
+  monotonicity, applied at the pair level).
+- ``markov_transitions`` — first-order event-type transition matrix:
+  per-user event sequences ordered by (ts, event_id), LAG to form
+  (prev -> next) pairs, exact transition counts, and row-stochastic
+  probabilities in integer ppm.  One user-partitioned window (users
+  are the natural parallel grain), one pair-grain aggregate.
+- ``trimmed_mean`` — EXACT 10%-trimmed mean of integer cents per
+  event type WITHOUT any per-row rank: build the per-(type, cents)
+  histogram, cumulate it over each type's sorted distinct cents (the
+  wasserstein_drift stepped idiom), and take each histogram cell's
+  overlap with the kept rank window (k_lo, n - k_lo] arithmetically:
+  kept_i = max(0, min(cum_i, n - k_lo) - max(cum_i - c_i, k_lo)).
+  The trimmed sum is then an exact integer and the mean is reported
+  in micro-cents fixed point.  At 100 TB the histogram grain is
+  |distinct cents per type| — the same reduction every exact-order-
+  statistic query in this repo rides; no global sort, no rank window
+  over raw rows.
+- ``did_estimator`` — difference-in-differences over the synthetic
+  experiment (arm = user parity, period = corpus-midpoint timestamp
+  split): four exact (n, sum-of-cents) cells, per-cell means in
+  micro-cents fixed point, and DiD = (treat_post - treat_pre) -
+  (ctrl_post - ctrl_pre) computed FROM the four fixed-point means so
+  both engines share the identical truncation points.  One scan, one
+  4-row aggregate.
+
+Reference scope note: the reference (smohiudd/gtfs-realtime-etl) has
+no analytics surface of this kind; these are driver-mandated
+LLM-pipeline / warehouse extensions (SURVEY.md §7 step 7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gtfs_realtime_etl_spark.sources.testdata import load_testdata
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tabs = load_testdata(spark, sf_dir, tables=tuple(names))
+    return [tabs[n] for n in names]
+
+
+_CENTS = "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+
+# ---------------------------------------------------------------------------
+# itemset_pairs
+# ---------------------------------------------------------------------------
+
+MINSUP = 3  # minimum co-occurrence count for a reported pair
+BASKET_CAP = 64  # hard bound on in-row pair expansion (cap^2 pairs)
+
+
+def q_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_orders_df = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    baskets = items.groupBy("l_orderkey").agg(
+        F.expr(
+            f"slice(array_sort(collect_set(l_partkey)), 1, {BASKET_CAP})"
+        ).alias("parts")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (a, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)), b ->"
+                    " struct(a AS part_a, b AS part_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.part_a", "p.part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= MINSUP)
+    )
+    part_counts = items.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n_orders_part")
+    )
+    j = (
+        pairs.join(
+            F.broadcast(part_counts.withColumnRenamed("pk", "part_a_k")),
+            F.col("part_a") == F.col("part_a_k"),
+        )
+        .withColumnRenamed("n_orders_part", "n_a")
+        .join(
+            F.broadcast(part_counts.withColumnRenamed("pk", "part_b_k")),
+            F.col("part_b") == F.col("part_b_k"),
+        )
+        .withColumnRenamed("n_orders_part", "n_b")
+        .crossJoin(F.broadcast(n_orders_df))
+    )
+    return j.select(
+        F.col("part_a").cast("long").alias("part_a"),
+        F.col("part_b").cast("long").alias("part_b"),
+        F.col("n_ab").cast("long").alias("n_ab"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        # confidence(a -> b) = n_ab / n_a; lift = n_ab * N / (n_a*n_b);
+        # exact integer ppm via 128-bit div (both engines truncate
+        # toward zero; everything non-negative).
+        F.expr(
+            "CAST((CAST(n_ab AS DECIMAL(38,0)) * 1000000)"
+            " div CAST(n_a AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("conf_ppm"),
+        F.expr(
+            "CAST((CAST(n_ab AS DECIMAL(38,0)) * CAST(n_orders AS"
+            " DECIMAL(38,0)) * 1000000) div CAST(CAST(n_a AS"
+            " DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)) AS"
+            " DECIMAL(38,0)) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )
+
+
+Q_ITEMSET_PAIRS_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_ord AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM items),
+ranked AS (
+  SELECT l_orderkey, l_partkey,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_partkey) AS rn
+  FROM items
+),
+capped AS (SELECT * FROM ranked WHERE rn <= {BASKET_CAP}),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM capped a JOIN capped b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MINSUP}
+),
+pc AS (
+  SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS n_part FROM items
+  GROUP BY 1
+)
+SELECT part_a, part_b, n_ab,
+       pa.n_part AS n_a, pb.n_part AS n_b, n_orders,
+       CAST((CAST(n_ab AS HUGEINT) * 1000000)
+            // CAST(pa.n_part AS HUGEINT) AS BIGINT) AS conf_ppm,
+       CAST((CAST(n_ab AS HUGEINT) * CAST(n_orders AS HUGEINT) * 1000000)
+            // (CAST(pa.n_part AS HUGEINT) * CAST(pb.n_part AS HUGEINT))
+         AS BIGINT) AS lift_ppm
+FROM pairs
+JOIN pc pa ON pairs.part_a = pa.pk
+JOIN pc pb ON pairs.part_b = pb.pk
+CROSS JOIN n_ord
+"""
+
+
+# ---------------------------------------------------------------------------
+# markov_transitions
+# ---------------------------------------------------------------------------
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    row_tot = trans.groupBy("prev_type").agg(
+        F.sum("n_trans").alias("n_from")
+    )
+    return (
+        trans.join(F.broadcast(row_tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n_trans").cast("long").alias("n_trans"),
+            F.col("n_from").cast("long").alias("n_from"),
+            F.expr(
+                "CAST((CAST(n_trans AS DECIMAL(38,0)) * 1000000)"
+                " div CAST(n_from AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("p_ppm"),
+        )
+    )
+
+
+Q_MARKOV_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (
+  SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS n_from FROM trans
+  GROUP BY 1
+)
+SELECT t.prev_type, next_type, n_trans, n_from,
+       CAST((CAST(n_trans AS HUGEINT) * 1000000)
+            // CAST(n_from AS HUGEINT) AS BIGINT) AS p_ppm
+FROM trans t JOIN tot ON t.prev_type = tot.prev_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# trimmed_mean
+# ---------------------------------------------------------------------------
+
+TRIM_NUM = 1  # trim fraction k_lo = floor(n * NUM / DEN) off each end
+TRIM_DEN = 10
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    hist = (
+        events.select("event_type", F.expr(_CENTS).alias("cents"))
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    cum = hist.select(
+        "event_type",
+        "cents",
+        "c",
+        F.sum("c").over(w).alias("cum"),
+    )
+    per_type = cum.groupBy("event_type").agg(F.max("cum").alias("n"))
+    # Each histogram cell [cum-c+1, cum] keeps
+    # max(0, min(cum, n-k) - max(cum-c, k)) copies inside the rank
+    # window (k, n-k]; summing cents * kept is the exact trimmed sum
+    # with no per-row rank anywhere.  The kept-overlap needs n (the
+    # type's total count) per histogram row, so join the
+    # 1-row-per-type totals back (broadcast class: |event types| rows)
+    # and aggregate.
+    joined = cum.join(F.broadcast(per_type), "event_type").select(
+        "event_type",
+        "cents",
+        "c",
+        "cum",
+        "n",
+        F.expr(f"n * {TRIM_NUM} div {TRIM_DEN}").alias("k"),
+    )
+    trimmed = joined.select(
+        "event_type",
+        "n",
+        "k",
+        F.expr(
+            "GREATEST(CAST(0 AS BIGINT), LEAST(cum, n - k)"
+            " - GREATEST(cum - c, k))"
+        ).alias("kept"),
+        "cents",
+    ).groupBy("event_type", "n", "k").agg(
+        F.sum(F.expr("CAST(kept AS DECIMAL(38,0))"
+                     " * CAST(cents AS DECIMAL(38,0))")).alias("s"),
+        F.sum("kept").alias("n_kept"),
+    )
+    return trimmed.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.expr("CAST(s AS BIGINT)").alias("trimmed_sum_cents"),
+        F.expr(
+            "CASE WHEN n_kept > 0 THEN CAST((s * 1000000)"
+            " div CAST(n_kept AS DECIMAL(38,0)) AS BIGINT) END"
+        ).alias("trimmed_mean_micro"),
+    )
+
+
+Q_TRIMMED_MEAN_SQL = f"""
+WITH hist AS (
+  SELECT event_type, {_CENTS} AS cents, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, cents, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum
+  FROM hist
+),
+tot AS (
+  SELECT event_type, CAST(MAX(cum) AS BIGINT) AS n,
+         CAST(MAX(cum) * {TRIM_NUM} // {TRIM_DEN} AS BIGINT) AS k
+  FROM cum GROUP BY 1
+)
+SELECT c.event_type, n,
+       CAST(SUM(GREATEST(CAST(0 AS BIGINT),
+                LEAST(cum, n - k) - GREATEST(cum - c.c, k)))
+         AS BIGINT) AS n_kept,
+       CAST(SUM(CAST(GREATEST(CAST(0 AS BIGINT),
+                LEAST(cum, n - k) - GREATEST(cum - c.c, k)) AS HUGEINT)
+                * CAST(cents AS HUGEINT)) AS BIGINT) AS trimmed_sum_cents,
+       CASE WHEN SUM(GREATEST(CAST(0 AS BIGINT),
+                LEAST(cum, n - k) - GREATEST(cum - c.c, k))) > 0 THEN
+         CAST((SUM(CAST(GREATEST(CAST(0 AS BIGINT),
+                  LEAST(cum, n - k) - GREATEST(cum - c.c, k)) AS HUGEINT)
+                  * CAST(cents AS HUGEINT)) * 1000000)
+              // SUM(GREATEST(CAST(0 AS BIGINT),
+                     LEAST(cum, n - k) - GREATEST(cum - c.c, k)))
+           AS BIGINT)
+       END AS trimmed_mean_micro
+FROM cum c JOIN tot t ON c.event_type = t.event_type
+GROUP BY 1, 2, k
+"""
+
+
+# ---------------------------------------------------------------------------
+# did_estimator
+# ---------------------------------------------------------------------------
+
+
+def q_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    cut = events.agg(F.expr("(min(ts) + max(ts)) div 2").alias("cut"))
+    cells = (
+        events.crossJoin(F.broadcast(cut))
+        .select(
+            (F.col("user_id") % 2).alias("arm"),
+            F.expr("CASE WHEN ts >= cut THEN 1 ELSE 0 END").alias("post"),
+            F.expr(_CENTS).alias("cents"),
+        )
+        .groupBy("arm", "post")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s"),
+        )
+        .select(
+            "arm",
+            "post",
+            "n",
+            "s",
+            F.expr(
+                "CAST((CAST(s AS DECIMAL(38,0)) * 1000000)"
+                " div CAST(n AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("mean_micro"),
+        )
+    )
+    # Pivot the four cells in a 1-row aggregate; DiD is computed FROM
+    # the four fixed-point means so both engines share the identical
+    # truncation points (a definition choice, documented).
+    wide = cells.agg(
+        *[
+            F.sum(
+                F.expr(
+                    f"CASE WHEN arm = {a} AND post = {p}"
+                    " THEN mean_micro END"
+                )
+            ).alias(f"m{a}{p}")
+            for a in (0, 1)
+            for p in (0, 1)
+        ],
+        F.sum("n").alias("n_total"),
+    )
+    return wide.select(
+        F.col("m00").cast("long").alias("ctrl_pre_micro"),
+        F.col("m01").cast("long").alias("ctrl_post_micro"),
+        F.col("m10").cast("long").alias("treat_pre_micro"),
+        F.col("m11").cast("long").alias("treat_post_micro"),
+        F.expr("(m11 - m10) - (m01 - m00)").cast("long").alias("did_micro"),
+        F.col("n_total").cast("long").alias("n_total"),
+    )
+
+
+Q_DID_ESTIMATOR_SQL = f"""
+WITH cut AS (SELECT (MIN(epoch_ns(ts)) + MAX(epoch_ns(ts))) // 2 AS cut
+             FROM events),
+cells AS (
+  SELECT user_id % 2 AS arm,
+         CASE WHEN epoch_ns(ts) >= cut THEN 1 ELSE 0 END AS post,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM({_CENTS}) AS BIGINT) AS s
+  FROM events, cut GROUP BY 1, 2
+),
+means AS (
+  SELECT arm, post, n,
+         CAST((CAST(s AS HUGEINT) * 1000000) // CAST(n AS HUGEINT)
+           AS BIGINT) AS mean_micro
+  FROM cells
+)
+SELECT
+  CAST(SUM(CASE WHEN arm = 0 AND post = 0 THEN mean_micro END) AS BIGINT)
+    AS ctrl_pre_micro,
+  CAST(SUM(CASE WHEN arm = 0 AND post = 1 THEN mean_micro END) AS BIGINT)
+    AS ctrl_post_micro,
+  CAST(SUM(CASE WHEN arm = 1 AND post = 0 THEN mean_micro END) AS BIGINT)
+    AS treat_pre_micro,
+  CAST(SUM(CASE WHEN arm = 1 AND post = 1 THEN mean_micro END) AS BIGINT)
+    AS treat_post_micro,
+  CAST((SUM(CASE WHEN arm = 1 AND post = 1 THEN mean_micro END)
+        - SUM(CASE WHEN arm = 1 AND post = 0 THEN mean_micro END))
+       - (SUM(CASE WHEN arm = 0 AND post = 1 THEN mean_micro END)
+          - SUM(CASE WHEN arm = 0 AND post = 0 THEN mean_micro END))
+    AS BIGINT) AS did_micro,
+  CAST(SUM(n) AS BIGINT) AS n_total
+FROM means
+"""
+
+
+EXT20_QUERIES = {
+    "itemset_pairs": q_itemset_pairs,
+    "markov_transitions": q_markov_transitions,
+    "trimmed_mean": q_trimmed_mean,
+    "did_estimator": q_did_estimator,
+}
+
+EXT20_ORACLE_SQL = {
+    "itemset_pairs": Q_ITEMSET_PAIRS_SQL,
+    "markov_transitions": Q_MARKOV_TRANSITIONS_SQL,
+    "trimmed_mean": Q_TRIMMED_MEAN_SQL,
+    "did_estimator": Q_DID_ESTIMATOR_SQL,
+}

@@ -5,8 +5,8 @@ signals.
 
 Cross-engine determinism rules are the same as ``plans.queries`` /
 ``plans.analytics``: integer arithmetic wherever a join key, rank, or
-filter boundary lives; DECIMAL-stabilized sums for means; ``ROUND(x,
-6)`` only on output columns; explicit tie-breaks.  ``events.ts`` is the
+filter boundary lives; DECIMAL-stabilized sums for means;
+round-to-6-digits only on output columns; explicit tie-breaks.  ``events.ts`` is the
 loader-normalized epoch-ns bigint on the Spark side and
 ``epoch_ns(ts)`` on the DuckDB side (sources/testdata.py).
 
@@ -383,7 +383,7 @@ HAVING COUNT(*) >= {PREFIX_MIN_DOCS}
 # diversity (1 - sum(c_i^2)/n^2), aggregated per language — a
 # repetitiveness / quality signal next to repetition_stats.  Every
 # per-doc value is an exact rational of integer counts (identical
-# doubles on both engines); per-language means go through ROUND(.,6) ->
+# doubles on both engines); per-language means go round-to-6-digits ->
 # DECIMAL so the sums are associative and engine-exact.
 # ---------------------------------------------------------------------------
 
@@ -409,22 +409,16 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ttr = F.col("n_types").cast("double") / F.col("n").cast("double")
     scored = per_doc.select(
         "lang",
-        F.round(gini, 6).alias("gini_r"),
-        F.round(ttr, 6).alias("ttr_r"),
+        (F.round((gini) * F.lit(1e6), 0) / F.lit(1e6)).alias("gini_r"),
+        (F.round((ttr) * F.lit(1e6), 0) / F.lit(1e6)).alias("ttr_r"),
         (gini < F.lit(LOW_DIVERSITY)).cast("bigint").alias("is_low"),
     )
     return scored.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(
-            F.sum(F.col("gini_r").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("avg_gini"),
-        F.round(
-            F.sum(F.col("ttr_r").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("avg_ttr"),
+        (F.round((F.sum(F.col("gini_r").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")) * F.lit(1e6), 0) / F.lit(1e6)).alias("avg_gini"),
+        (F.round((F.sum(F.col("ttr_r").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")) * F.lit(1e6), 0) / F.lit(1e6)).alias("avg_ttr"),
         F.sum("is_low").alias("n_low_diversity"),
     )
 
@@ -444,18 +438,18 @@ per_doc AS (
 ),
 scored AS (
   SELECT lang,
-         ROUND(1.0 - CAST(sum_sq AS DOUBLE) / CAST(n * n AS DOUBLE), 6)
+         ROUND((1.0 - CAST(sum_sq AS DOUBLE) / CAST(n * n AS DOUBLE)) * 1e6, 0) / 1e6
            AS gini_r,
-         ROUND(CAST(n_types AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ttr_r,
+         ROUND((CAST(n_types AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6, 0) / 1e6 AS ttr_r,
          CASE WHEN 1.0 - CAST(sum_sq AS DOUBLE) / CAST(n * n AS DOUBLE)
                    < {LOW_DIVERSITY} THEN 1 ELSE 0 END AS is_low
   FROM per_doc
 )
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       ROUND(CAST(SUM(CAST(gini_r AS DECIMAL(18,6))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_gini,
-       ROUND(CAST(SUM(CAST(ttr_r AS DECIMAL(18,6))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_ttr,
+       ROUND((CAST(SUM(CAST(gini_r AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)) * 1e6, 0) / 1e6 AS avg_gini,
+       ROUND((CAST(SUM(CAST(ttr_r AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)) * 1e6, 0) / 1e6 AS avg_ttr,
        CAST(SUM(is_low) AS BIGINT) AS n_low_diversity
 FROM scored GROUP BY lang
 """
@@ -507,8 +501,8 @@ def _semantic_dedup_sql() -> str:
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
 cdim AS (
   SELECT label AS cell_id, dim,
-         ROUND(CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE)
-               / CAST(COUNT(*) AS DOUBLE), 8) AS cval
+         ROUND((CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)) * 1e8, 0) / 1e8 AS cval
   FROM (
     SELECT label, pos AS dim, vec[pos] AS val
     FROM (SELECT label, embedding::DOUBLE[] AS vec,
@@ -534,8 +528,8 @@ v AS (
 ),
 pairs AS (
   SELECT a.cell_id, b.vec_id AS b_id,
-         ROUND(CASE WHEN a.nrm * b.nrm > 0
-                    THEN {dot} / (a.nrm * b.nrm) ELSE 0.0 END, 6) AS cosine
+         ROUND((CASE WHEN a.nrm * b.nrm > 0
+                    THEN {dot} / (a.nrm * b.nrm) ELSE 0.0 END) * 1e6, 0) / 1e6 AS cosine
   FROM v a JOIN v b
     ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
 ),
@@ -653,22 +647,16 @@ def q_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("kept").alias("n_kept"),
-        F.round(
-            F.sum(F.col("p").cast("decimal(18,12)")).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("expected_rate"),
+        (F.round((F.sum(F.col("p").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")) * F.lit(1e6), 0) / F.lit(1e6)).alias("expected_rate"),
         F.when(
             F.sum("kept") > 0,
-            F.round(
-                F.sum(
+            (F.round((F.sum(
                     F.when(
                         F.col("kept") == 1, F.col("score").cast("decimal(18,12)")
                     ).otherwise(F.lit(0).cast("decimal(18,12)"))
                 ).cast("double")
-                / F.sum("kept").cast("double"),
-                6,
-            ),
+                / F.sum("kept").cast("double")) * F.lit(1e6), 0) / F.lit(1e6)),
         ).alias("avg_kept_score"),
     )
 
@@ -693,13 +681,13 @@ flagged AS (
 )
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(kept) AS BIGINT) AS n_kept,
-       ROUND(CAST(SUM(CAST(p AS DECIMAL(18,12))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS expected_rate,
+       ROUND((CAST(SUM(CAST(p AS DECIMAL(18,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)) * 1e6, 0) / 1e6 AS expected_rate,
        CASE WHEN SUM(kept) > 0 THEN
-         ROUND(CAST(SUM(CASE WHEN kept = 1
+         ROUND((CAST(SUM(CASE WHEN kept = 1
                              THEN CAST(score AS DECIMAL(18,12))
                              ELSE CAST(0 AS DECIMAL(18,12)) END) AS DOUBLE)
-               / CAST(SUM(kept) AS DOUBLE), 6)
+               / CAST(SUM(kept) AS DOUBLE)) * 1e6, 0) / 1e6
        END AS avg_kept_score
 FROM flagged GROUP BY source
 """
@@ -743,10 +731,7 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type",
         "event_type",
         "n",
-        F.round(
-            F.col("n").cast("double") / F.sum("n").over(total_w).cast("double"),
-            6,
-        ).alias("p"),
+        (F.round((F.col("n").cast("double") / F.sum("n").over(total_w).cast("double")) * F.lit(1e6), 0) / F.lit(1e6)).alias("p"),
     )
 
 
@@ -767,8 +752,8 @@ counts AS (
   FROM pairs GROUP BY prev_type, event_type
 )
 SELECT prev_type, event_type, n,
-       ROUND(CAST(n AS DOUBLE)
-             / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+       ROUND((CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE)) * 1e6, 0) / 1e6 AS p
 FROM counts
 """
 
@@ -882,11 +867,8 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
-        F.round(
-            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("oov_rate"),
+        (F.round((F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")) * F.lit(1e6), 0) / F.lit(1e6)).alias("oov_rate"),
     )
 
 
@@ -906,8 +888,8 @@ vocab AS (
 SELECT t.lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_oov,
-       ROUND(CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+       ROUND((CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)) * 1e6, 0) / 1e6 AS oov_rate
 FROM toks t LEFT JOIN vocab v ON t.term = v.term
 GROUP BY t.lang
 """
@@ -959,9 +941,9 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum(
-            F.when(F.round(F.col("sim"), 6) >= SEMDECON_TAU, 1).otherwise(0)
+            F.when((F.round((F.col("sim")) * F.lit(1e6), 0) / F.lit(1e6)) >= SEMDECON_TAU, 1).otherwise(0)
         ).alias("n_contaminated"),
-        F.round(F.max("sim"), 6).alias("max_sim"),
+        (F.round((F.max("sim")) * F.lit(1e6), 0) / F.lit(1e6)).alias("max_sim"),
     )
 
 
@@ -986,9 +968,9 @@ sims AS (
   GROUP BY c.vec_id, c.label
 )
 SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       CAST(SUM(CASE WHEN ROUND(sim, 6) >= {SEMDECON_TAU}
+       CAST(SUM(CASE WHEN ROUND((sim) * 1e6, 0) / 1e6 >= {SEMDECON_TAU}
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
-       ROUND(MAX(sim), 6) AS max_sim
+       ROUND((MAX(sim)) * 1e6, 0) / 1e6 AS max_sim
 FROM sims GROUP BY label
 """
 

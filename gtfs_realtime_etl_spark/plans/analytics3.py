@@ -79,9 +79,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_grams",
         "n_novel",
-        F.round(
-            F.col("n_novel").cast("double") / F.col("n_grams").cast("double"), 6
-        ).alias("novelty"),
+        (F.round((F.col("n_novel").cast("double") / F.col("n_grams").cast("double")) * F.lit(1e6), 0) / F.lit(1e6)).alias("novelty"),
     )
 
 
@@ -100,8 +98,8 @@ SELECT g.doc_id,
        COUNT(*) AS n_grams,
        CAST(SUM(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
          AS n_novel,
-       ROUND(CAST(SUM(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+       ROUND((CAST(SUM(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)) * 1e6, 0) / 1e6 AS novelty
 FROM grams g JOIN owners o USING (gram)
 GROUP BY g.doc_id
 """
@@ -138,7 +136,7 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-distinct-bigram log-prob (add-one smoothing):
     # log2((cb+1)/(cu+V)) = log2(cb+1) - log2(cu+V) via the PORTABLE
     # integer log2 (functions/stats.py) — engine-native log2 differs in
-    # the last ulp between Spark and DuckDB, which flipped ROUND(x, 12)
+    # the last ulp between Spark and DuckDB, which flipped round-to-12
     # on ~0.1% of 30k bigrams and broke hash parity.  Rounded to 12 dp
     # so the weighted decimal sum below is engine-exact.
     from gtfs_realtime_etl_spark.functions.stats import portable_int_log2
@@ -148,11 +146,8 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(vocab))
         .select(
             "bigram",
-            F.round(
-                portable_int_log2(F.col("cb") + 1)
-                - portable_int_log2(F.col("cu") + F.col("v")),
-                12,
-            ).alias("logp"),
+            (F.round((portable_int_log2(F.col("cb") + 1)
+                - portable_int_log2(F.col("cu") + F.col("v"))) * F.lit(1e12), 0) / F.lit(1e12)).alias("logp"),
         )
     )
     # Narrow declared widths: logp fits DECIMAL(18,12) (|logp| < 64)
@@ -210,7 +205,7 @@ scored AS (
   SELECT bigram,
          {portable_int_log2_sql("m.cb + 1", "pa")},
          {portable_int_log2_sql("u.cu + vocab.v", "pb")},
-         ROUND(pa_lg - pb_lg, 12) AS logp
+         ROUND((pa_lg - pb_lg) * 1e12, 0) / 1e12 AS logp
   FROM model m JOIN uni u USING (w1), vocab
 )
 SELECT d.doc_id,
@@ -242,11 +237,8 @@ def _collect_centroids(embeddings: DataFrame) -> dict[int, list[float]]:
     rows = (
         exploded.groupBy("label", "dim")
         .agg(
-            F.round(
-                F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                SIL_DECIMALS,
-            ).alias("cval")
+            (F.round((F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
+                / F.count(F.lit(1)).cast("double")) * F.lit(float(10 ** SIL_DECIMALS)), 0) / F.lit(float(10 ** SIL_DECIMALS))).alias("cval")
         )
         .collect()
     )
@@ -302,9 +294,7 @@ def q_embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sil = dists.select(
         "label",
-        F.round(
-            (other - own) / F.greatest(own, other), 12
-        ).alias("s"),
+        (F.round(((other - own) / F.greatest(own, other)) * F.lit(1e12), 0) / F.lit(1e12)).alias("s"),
     )
     # Decimal-exact SUM (consumers divide by n_vecs): a quantized sum
     # divided by a small count can land exactly on a rounding half
@@ -328,8 +318,8 @@ Q_EMBEDDING_SILHOUETTE_SQL = f"""
 WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
 cells AS (
   SELECT label, pos AS dim,
-         ROUND(CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE)
-               / CAST(COUNT(*) AS DOUBLE), {SIL_DECIMALS}) AS cval
+         ROUND((CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)) * 1e{SIL_DECIMALS}, 0) / 1e{SIL_DECIMALS} AS cval
   FROM (SELECT label, unnest(range(1, len(vec) + 1)) AS pos,
                unnest(vec) AS val FROM emb)
   GROUP BY label, pos
@@ -349,7 +339,7 @@ per_vec AS (
   FROM dists GROUP BY vec_id, label
 ),
 sil AS (
-  SELECT label, ROUND((b - a) / GREATEST(a, b), 12) AS s FROM per_vec
+  SELECT label, ROUND(((b - a) / GREATEST(a, b)) * 1e12, 0) / 1e12 AS s FROM per_vec
 )
 SELECT label, COUNT(*) AS n_vecs,
        CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS sum_silhouette
@@ -420,8 +410,8 @@ u{t} AS (
   SELECT cell_id, list(cval ORDER BY dim) AS centroid
   FROM (
     SELECT cell_id, dim,
-           ROUND(CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE), {KM_SCALE}) AS cval
+           ROUND((CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE)) * 1e{KM_SCALE}, 0) / 1e{KM_SCALE} AS cval
     FROM (SELECT cell_id, unnest(range(1, len(vec) + 1)) AS dim,
                  unnest(vec) AS val FROM a{t})
     GROUP BY cell_id, dim

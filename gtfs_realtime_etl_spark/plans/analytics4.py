@@ -116,7 +116,7 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(dims.select(F.col("d").alias("j"), F.col("s").alias("sj"))),
             "j",
         )
-        .select("i", "j", "n", F.round(cov, COV_ROUND).alias("cov"))
+        .select("i", "j", "n", (F.round((cov) * F.lit(float(10 ** COV_ROUND)), 0) / F.lit(float(10 ** COV_ROUND))).alias("cov"))
     )
 
 
@@ -140,10 +140,9 @@ dims AS (
   FROM x GROUP BY i
 )
 SELECT i, j, n,
-       ROUND(CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+       ROUND((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
              - (CAST(a.s AS DOUBLE) / CAST(n AS DOUBLE))
-               * (CAST(b.s AS DOUBLE) / CAST(n AS DOUBLE)),
-             {COV_ROUND}) AS cov
+               * (CAST(b.s AS DOUBLE) / CAST(n AS DOUBLE))) * 1e{COV_ROUND}, 0) / 1e{COV_ROUND} AS cov
 FROM tri
 JOIN dims a ON a.d = tri.i
 JOIN dims b ON b.d = tri.j
@@ -190,7 +189,7 @@ def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "dim",
-            F.round((F.col("x") - F.col("mu")) / F.col("sigma"), STD_ROUND).alias(
+            (F.round(((F.col("x") - F.col("mu")) / F.col("sigma")) * F.lit(float(10 ** STD_ROUND)), 0) / F.lit(float(10 ** STD_ROUND))).alias(
                 "z"
             ),
         )
@@ -215,7 +214,7 @@ ms AS (
   SELECT dim, s / n AS mu, sqrt((s2 - s * s / n) / (n - 1.0)) AS sigma
   FROM stats
 )
-SELECT vec_id, x.dim, ROUND((x - mu) / sigma, {STD_ROUND}) AS z
+SELECT vec_id, x.dim, ROUND(((x - mu) / sigma) * 1e{STD_ROUND}, 0) / 1e{STD_ROUND} AS z
 FROM x JOIN ms ON x.dim = ms.dim
 WHERE sigma > 0
 """
@@ -290,12 +289,12 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: acc + v,
     )
     est = matches.cast("double") / F.lit(float(MJE_NUM_HASHES))
-    abs_err = F.round(F.abs(est - jac), 6)
+    abs_err = (F.round((F.abs(est - jac)) * F.lit(1e6), 0) / F.lit(1e6))
     return pairs.select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
-        F.round(jac, 6).alias("jaccard"),
-        F.round(est, 6).alias("est"),
+        (F.round((jac) * F.lit(1e6), 0) / F.lit(1e6)).alias("jaccard"),
+        (F.round((est) * F.lit(1e6), 0) / F.lit(1e6)).alias("est"),
         abs_err.alias("abs_err"),
         (abs_err <= F.lit(MJE_TOL)).alias("within_tol"),
     )
@@ -317,18 +316,18 @@ WITH docs AS (
 SELECT doc_a, doc_b, jaccard, est, abs_err, abs_err <= {MJE_TOL} AS within_tol
 FROM (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         ROUND(CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         ROUND((CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                / CAST(length(list_distinct(list_concat(a.shingles, b.shingles)))
-                      AS DOUBLE), 6) AS jaccard,
-         ROUND(CAST(length(list_filter(range(1, {MJE_NUM_HASHES} + 1),
+                      AS DOUBLE)) * 1e6, 0) / 1e6 AS jaccard,
+         ROUND((CAST(length(list_filter(range(1, {MJE_NUM_HASHES} + 1),
                                        idx -> a.sig[idx] = b.sig[idx]))
-                    AS DOUBLE) / {float(MJE_NUM_HASHES)}, 6) AS est,
-         ROUND(ABS(CAST(length(list_filter(range(1, {MJE_NUM_HASHES} + 1),
+                    AS DOUBLE) / {float(MJE_NUM_HASHES)}) * 1e6, 0) / 1e6 AS est,
+         ROUND((ABS(CAST(length(list_filter(range(1, {MJE_NUM_HASHES} + 1),
                                            idx -> a.sig[idx] = b.sig[idx]))
                         AS DOUBLE) / {float(MJE_NUM_HASHES)}
                    - CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                      / CAST(length(list_distinct(list_concat(a.shingles, b.shingles)))
-                            AS DOUBLE)), 6) AS abs_err
+                            AS DOUBLE))) * 1e6, 0) / 1e6 AS abs_err
   FROM docs a JOIN docs b
     ON a.source = b.source AND a.len_bucket = b.len_bucket
    AND a.doc_id < b.doc_id AND ABS(a.n_chars - b.n_chars) <= 20
@@ -376,7 +375,7 @@ def q_approx_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = [F.col("event_type"), F.col("n")]
     for idx, p in enumerate(QPROF_PS):
         tag = str(int(p * 100))
-        cols.append(F.round(F.element_at("_ex", idx + 1), 6).alias(f"p{tag}"))
+        cols.append((F.round((F.element_at("_ex", idx + 1)) * F.lit(1e6), 0) / F.lit(1e6)).alias(f"p{tag}"))
         cols.append(
             (
                 (F.element_at("_ap", idx + 1) >= F.element_at("_lo", idx + 1))
@@ -390,7 +389,7 @@ def _qprof_sql() -> str:
     sel = ["event_type", "CAST(COUNT(value) AS BIGINT) AS n"]
     for p in QPROF_PS:
         tag = str(int(p * 100))
-        sel.append(f"ROUND(quantile_cont(value, {p}), 6) AS p{tag}")
+        sel.append(f"ROUND((quantile_cont(value, {p})) * 1e6, 0) / 1e6 AS p{tag}")
         sel.append(f"TRUE AS ok{tag}")
     return (
         "SELECT " + ",\n       ".join(sel) + "\nFROM events GROUP BY event_type"
@@ -485,7 +484,7 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(uy, "y")
         .crossJoin(F.broadcast(scalars))
         .select(
-            "pair", "cxy", "cx", "cy", F.round(pmi, 6).alias("pmi")
+            "pair", "cxy", "cx", "cy", (F.round((pmi) * F.lit(1e6), 0) / F.lit(1e6)).alias("pmi")
         )
         .orderBy(F.desc("pmi"), F.asc("pair"))
         .limit(PMI_TOPK)
@@ -530,7 +529,7 @@ logs AS (
   CROSS JOIN scalars
 )
 SELECT pair, cxy, cx, cy,
-       ROUND(lxy_lg - lnp_lg - lcx_lg - lcy_lg + 2.0 * lnt_lg, 6) AS pmi
+       ROUND((lxy_lg - lnp_lg - lcx_lg - lcy_lg + 2.0 * lnt_lg) * 1e6, 0) / 1e6 AS pmi
 FROM logs
 ORDER BY pmi DESC, pair ASC
 LIMIT {PMI_TOPK}
@@ -575,7 +574,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("alabel"),
         F.col("vec").alias("avec"),
     )
-    cos = F.round(cosine_similarity(F.col("vec"), F.col("avec")), 6)
+    cos = (F.round((cosine_similarity(F.col("vec"), F.col("avec"))) * F.lit(1e6), 0) / F.lit(1e6))
     scored = (
         emb.crossJoin(F.broadcast(anchors))
         .where(F.col("vec_id") != F.col("aid"))
@@ -608,7 +607,7 @@ anchors AS (
 ),
 scored AS (
   SELECT aid, alabel, e.vec_id, e.label,
-         ROUND(list_cosine_similarity(e.vec, avec), 6) AS cos
+         ROUND((list_cosine_similarity(e.vec, avec)) * 1e6, 0) / 1e6 AS cos
   FROM emb e CROSS JOIN anchors WHERE e.vec_id <> aid
 ),
 rneg AS (
@@ -727,15 +726,12 @@ def q_embedding_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
         wdf = base.select("dim", w.alias("w"))
         out = wdf.select(
             "dim",
-            F.round(
-                F.col("w")
+            (F.round((F.col("w")
                 / F.sqrt(
                     F.sum((F.col("w") * F.col("w")).cast(_PC1_DEC))
                     .over(wall)
                     .cast("double")
-                ),
-                PC1_ROUND,
-            ).alias("v"),
+                )) * F.lit(float(10 ** PC1_ROUND)), 0) / F.lit(float(10 ** PC1_ROUND))).alias("v"),
             F.sqrt(
                 F.sum((F.col("w") * F.col("w")).cast(_PC1_DEC))
                 .over(wall)
@@ -751,7 +747,7 @@ def q_embedding_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("id").cast("int").alias("dim"),
             F.element_at(vlit, F.col("id").cast("int")).alias("v"),
-            F.round(F.lit(float(eig)), 6).alias("eig"),
+            (F.round((F.lit(float(eig))) * F.lit(1e6), 0) / F.lit(1e6)).alias("eig"),
         )
     )
 
@@ -768,7 +764,7 @@ def _pc1_sql() -> str:
             f"  FROM fullm f JOIN {prev} ON {prev}.dim = f.j GROUP BY f.i\n"
             f"),\n"
             f"n{r} AS (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS nrm FROM w{r}),\n"
-            f"v{r} AS (SELECT dim, ROUND(w / nrm, {PC1_ROUND}) AS v FROM w{r} CROSS JOIN n{r})"
+            f"v{r} AS (SELECT dim, ROUND((w / nrm) * 1e{PC1_ROUND}, 0) / 1e{PC1_ROUND} AS v FROM w{r} CROSS JOIN n{r})"
         )
         prev = f"v{r}"
     body = ",\n".join(rounds)
@@ -782,7 +778,7 @@ fullm AS (
 ),
 v0 AS (SELECT DISTINCT i AS dim, 0.125 AS v FROM fullm),
 {body}
-SELECT dim, v, ROUND((SELECT nrm FROM n{PC1_ITERS}), 6) AS eig FROM v{PC1_ITERS}
+SELECT dim, v, ROUND(((SELECT nrm FROM n{PC1_ITERS})) * 1e6, 0) / 1e6 AS eig FROM v{PC1_ITERS}
 """
 
 

@@ -185,7 +185,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "doc_id",
             "n_chars",
-            F.round("samp_key", 6).alias("samp_key"),
+            (F.round((F.col("samp_key")) * F.lit(1e6), 0) / F.lit(1e6)).alias("samp_key"),
             "rn",
         )
         .orderBy("source", "rn")
@@ -208,7 +208,7 @@ ranked AS (
                             ORDER BY samp_key ASC, doc_id ASC) AS rn
   FROM keyed
 )
-SELECT source, doc_id, n_chars, ROUND(samp_key, 6) AS samp_key,
+SELECT source, doc_id, n_chars, ROUND((samp_key) * 1e6, 0) / 1e6 AS samp_key,
        CAST(rn AS BIGINT) AS rn
 FROM ranked WHERE rn <= {WS_PER_SOURCE}
 ORDER BY source, rn
@@ -270,9 +270,9 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = cov_n / var_x
     return sums.select(
         "n_terms",
-        F.round(slope, 6).alias("slope"),
-        F.round((sy - slope * sx) / n, 6).alias("intercept"),
-        F.round(cov_n * cov_n / (var_x * var_y), 6).alias("r2"),
+        (F.round((slope) * F.lit(1e6), 0) / F.lit(1e6)).alias("slope"),
+        (F.round(((sy - slope * sx) / n) * F.lit(1e6), 0) / F.lit(1e6)).alias("intercept"),
+        (F.round((cov_n * cov_n / (var_x * var_y)) * F.lit(1e6), 0) / F.lit(1e6)).alias("r2"),
     )
 
 
@@ -300,11 +300,10 @@ sums AS (
   FROM logs
 )
 SELECT n_terms,
-       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
-             6) AS intercept,
-       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
-             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+       ROUND(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1e6, 0) / 1e6 AS slope,
+       ROUND(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) * 1e6, 0) / 1e6 AS intercept,
+       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1e6, 0) / 1e6 AS r2
 FROM (SELECT *, CAST(n_terms AS DOUBLE) AS n FROM sums)
 """
 
@@ -362,13 +361,10 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n",
-            F.round("_med", 6).alias("med"),
-            F.round("_mad", 6).alias("mad"),
+            (F.round((F.col("_med")) * F.lit(1e6), 0) / F.lit(1e6)).alias("med"),
+            (F.round((F.col("_mad")) * F.lit(1e6), 0) / F.lit(1e6)).alias("mad"),
             "n_outliers",
-            F.round(
-                F.col("n_outliers").cast("double") / F.col("n").cast("double"),
-                6,
-            ).alias("outlier_share"),
+            (F.round((F.col("n_outliers").cast("double") / F.col("n").cast("double")) * F.lit(1e6), 0) / F.lit(1e6)).alias("outlier_share"),
         )
         .orderBy("event_type")
     )
@@ -389,13 +385,13 @@ mad AS (
 )
 SELECT d.event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(MIN(d.med), 6) AS med,
-       ROUND(MIN(m.mad), 6) AS mad,
+       ROUND((MIN(d.med)) * 1e6, 0) / 1e6 AS med,
+       ROUND((MIN(m.mad)) * 1e6, 0) / 1e6 AS mad,
        CAST(SUM(CASE WHEN d.adev > {MAD_K * MAD_CONSISTENCY!r} * m.mad
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-       ROUND(CAST(SUM(CASE WHEN d.adev > {MAD_K * MAD_CONSISTENCY!r} * m.mad
+       ROUND((CAST(SUM(CASE WHEN d.adev > {MAD_K * MAD_CONSISTENCY!r} * m.mad
                            THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_share
+             / CAST(COUNT(*) AS DOUBLE)) * 1e6, 0) / 1e6 AS outlier_share
 FROM dev d JOIN mad m USING (event_type)
 GROUP BY d.event_type
 ORDER BY d.event_type
@@ -435,15 +431,12 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qvec))
         .select(
             "vec_id",
-            F.round(cosine_similarity(F.col("vec"), F.col("qvec")), 6).alias(
+            (F.round((cosine_similarity(F.col("vec"), F.col("qvec"))) * F.lit(1e6), 0) / F.lit(1e6)).alias(
                 "s_full"
             ),
-            F.round(
-                cosine_similarity(
+            (F.round((cosine_similarity(
                     F.slice(F.col("vec"), 1, 16), F.slice(F.col("qvec"), 1, 16)
-                ),
-                6,
-            ).alias("s_head"),
+                )) * F.lit(1e6), 0) / F.lit(1e6)).alias("s_head"),
         )
     )
 
@@ -471,7 +464,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.col("rank_s_full").alias("rank_full"),
             F.col("rank_s_head").alias("rank_head"),
-            F.round(contrib_a + contrib_b, 9).alias("rrf"),
+            (F.round((contrib_a + contrib_b) * F.lit(1e9), 0) / F.lit(1e9)).alias("rrf"),
         )
         .orderBy(F.desc("rrf"), F.asc("vec_id"))
         .limit(RRF_TOPK)
@@ -483,8 +476,8 @@ WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
 q AS (SELECT vec AS qvec FROM emb WHERE vec_id = 0),
 scored AS (
   SELECT e.vec_id,
-         ROUND(list_cosine_similarity(e.vec, q.qvec), 6) AS s_full,
-         ROUND(list_cosine_similarity(e.vec[1:16], q.qvec[1:16]), 6) AS s_head
+         ROUND((list_cosine_similarity(e.vec, q.qvec)) * 1e6, 0) / 1e6 AS s_full,
+         ROUND((list_cosine_similarity(e.vec[1:16], q.qvec[1:16])) * 1e6, 0) / 1e6 AS s_head
   FROM emb e CROSS JOIN q WHERE e.vec_id <> 0
 ),
 ra AS (
@@ -504,9 +497,8 @@ rb AS (
 SELECT COALESCE(ra.vec_id, rb.vec_id) AS vec_id,
        CAST(rank_full AS INT) AS rank_full,
        CAST(rank_head AS INT) AS rank_head,
-       ROUND(COALESCE(1.0 / ({RRF_K} + CAST(rank_full AS DOUBLE)), 0.0)
-             + COALESCE(1.0 / ({RRF_K} + CAST(rank_head AS DOUBLE)), 0.0),
-             9) AS rrf
+       ROUND((COALESCE(1.0 / ({RRF_K} + CAST(rank_full AS DOUBLE)), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + CAST(rank_head AS DOUBLE)), 0.0)) * 1e9, 0) / 1e9 AS rrf
 FROM ra FULL OUTER JOIN rb ON ra.vec_id = rb.vec_id
 ORDER BY rrf DESC, vec_id ASC
 LIMIT {RRF_TOPK}
@@ -548,7 +540,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "vec_id",
         "label",
-        F.round("adc_dist", 6).alias("adc_dist"),
+        (F.round((F.col("adc_dist")) * F.lit(1e6), 0) / F.lit(1e6)).alias("adc_dist"),
         "rank",
     )
 
@@ -607,7 +599,7 @@ ranked AS (
          ROW_NUMBER() OVER (ORDER BY a.adc_dist ASC, a.vec_id ASC) AS rank
   FROM adc a JOIN emb e ON a.vec_id = e.vec_id
 )
-SELECT query_id, vec_id, label, ROUND(adc_dist, 6) AS adc_dist, rank
+SELECT query_id, vec_id, label, ROUND((adc_dist) * 1e6, 0) / 1e6 AS adc_dist, rank
 FROM ranked WHERE rank <= {TOP_K}
 """
 
@@ -671,9 +663,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(method).alias("method"),
                 F.lit(TOP_K).alias("k"),
                 "n_overlap",
-                F.round(
-                    F.col("n_overlap").cast("double") / F.lit(float(TOP_K)), 6
-                ).alias("recall"),
+                (F.round((F.col("n_overlap").cast("double") / F.lit(float(TOP_K))) * F.lit(1e6), 0) / F.lit(1e6)).alias("recall"),
             )
         )
 
@@ -700,7 +690,7 @@ def _ann_recall_sql() -> str:
         return f"""
 SELECT '{method}' AS method, {TOP_K} AS k,
        CAST(COUNT(*) AS BIGINT) AS n_overlap,
-       ROUND(CAST(COUNT(*) AS DOUBLE) / {float(TOP_K)!r}, 6) AS recall
+       ROUND((CAST(COUNT(*) AS DOUBLE) / {float(TOP_K)!r}) * 1e6, 0) / 1e6 AS recall
 FROM ({Q_ANN_COSINE_TOPK_SQL.strip()}) ex
 JOIN ({sql.strip()}) ap ON ex.vec_id = ap.vec_id
 """

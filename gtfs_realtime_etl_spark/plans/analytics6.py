@@ -186,9 +186,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k_size",
             "n_classes",
             "n_rows",
-            F.round(
-                F.col("n_rows").cast("double") / F.col("n_total"), 12
-            ).alias("row_share"),
+            (F.round((F.col("n_rows").cast("double") / F.col("n_total")) * F.lit(1e12), 0) / F.lit(1e12)).alias("row_share"),
             (F.col("k_size") < F.lit(K_ANON_K)).alias("at_risk"),
         )
         .orderBy("k_size")
@@ -206,7 +204,7 @@ total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM customer)
 SELECT k_size,
        CAST(COUNT(*) AS BIGINT) AS n_classes,
        CAST(SUM(k_size) AS BIGINT) AS n_rows,
-       ROUND(CAST(SUM(k_size) AS DOUBLE) / n_total, 12) AS row_share,
+       ROUND((CAST(SUM(k_size) AS DOUBLE) / n_total) * 1e12, 0) / 1e12 AS row_share,
        k_size < {K_ANON_K} AS at_risk
 FROM classes CROSS JOIN total
 GROUP BY k_size, n_total
@@ -374,7 +372,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("doc_id", term_score.cast(_BM_DEC).alias("ts"))
         .groupBy("doc_id")
         .agg(
-            F.round(F.sum("ts").cast("double"), 6).alias("bm25"),
+            (F.round((F.sum("ts").cast("double")) * F.lit(1e6), 0) / F.lit(1e6)).alias("bm25"),
             F.count(F.lit(1)).alias("n_terms_hit"),
         )
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
@@ -419,7 +417,7 @@ scored AS (
   FROM logs
 )
 SELECT doc_id,
-       ROUND(CAST(SUM(ts) AS DOUBLE), 6) AS bm25,
+       ROUND((CAST(SUM(ts) AS DOUBLE)) * 1e6, 0) / 1e6 AS bm25,
        CAST(COUNT(*) AS BIGINT) AS n_terms_hit
 FROM scored GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id ASC
@@ -520,7 +518,7 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     union_n = F.col("n_a") + F.col("n_b") - F.col("n_common")
     agreement = F.when(union_n == 0, F.lit(0.0)).otherwise(
-        F.round(F.col("n_common").cast("double") / union_n, 6)
+        (F.round((F.col("n_common").cast("double") / union_n) * F.lit(1e6), 0) / F.lit(1e6))
     )
     return j.select(
         "method_a", "method_b", "n_a", "n_b", "n_common",
@@ -558,9 +556,9 @@ SELECT method_a, method_b,
        COALESCE(common.n_common, 0) AS n_common,
        CASE WHEN COALESCE(ca.n, 0) + COALESCE(cb.n, 0)
                  - COALESCE(common.n_common, 0) = 0 THEN 0.0
-            ELSE ROUND(CAST(COALESCE(common.n_common, 0) AS DOUBLE)
+            ELSE ROUND((CAST(COALESCE(common.n_common, 0) AS DOUBLE)
                        / (COALESCE(ca.n, 0) + COALESCE(cb.n, 0)
-                          - COALESCE(common.n_common, 0)), 6)
+                          - COALESCE(common.n_common, 0))) * 1e6, 0) / 1e6
        END AS agreement
 FROM seed
 LEFT JOIN counts ca ON ca.m = method_a
@@ -735,13 +733,11 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "n_keys",
         F.col("sc").cast("long").alias("n_rows"),
-        F.round(F.col("max_c").cast("double") / sc, 12).alias("top1_share"),
-        F.round(F.col("top10_rows").cast("double") / sc, 12).alias(
+        (F.round((F.col("max_c").cast("double") / sc) * F.lit(1e12), 0) / F.lit(1e12)).alias("top1_share"),
+        (F.round((F.col("top10_rows").cast("double") / sc) * F.lit(1e12), 0) / F.lit(1e12)).alias(
             "top10_share"
         ),
-        F.round(
-            (F.lit(2.0) * src) / (nk * sc) - (nk + F.lit(1.0)) / nk, 12
-        ).alias("gini"),
+        (F.round(((F.lit(2.0) * src) / (nk * sc) - (nk + F.lit(1.0)) / nk) * F.lit(1e12), 0) / F.lit(1e12)).alias("gini"),
     )
 
 
@@ -766,10 +762,10 @@ top10 AS (
 )
 SELECT n_keys,
        CAST(sc AS BIGINT) AS n_rows,
-       ROUND(CAST(max_c AS DOUBLE) / CAST(sc AS DOUBLE), 12) AS top1_share,
-       ROUND(CAST(top10_rows AS DOUBLE) / CAST(sc AS DOUBLE), 12) AS top10_share,
-       ROUND((2.0 * CAST(src AS DOUBLE)) / (CAST(n_keys AS DOUBLE) * CAST(sc AS DOUBLE))
-             - (CAST(n_keys AS DOUBLE) + 1.0) / CAST(n_keys AS DOUBLE), 12) AS gini
+       ROUND((CAST(max_c AS DOUBLE) / CAST(sc AS DOUBLE)) * 1e12, 0) / 1e12 AS top1_share,
+       ROUND((CAST(top10_rows AS DOUBLE) / CAST(sc AS DOUBLE)) * 1e12, 0) / 1e12 AS top10_share,
+       ROUND(((2.0 * CAST(src AS DOUBLE)) / (CAST(n_keys AS DOUBLE) * CAST(sc AS DOUBLE))
+             - (CAST(n_keys AS DOUBLE) + 1.0) / CAST(n_keys AS DOUBLE)) * 1e12, 0) / 1e12 AS gini
 FROM sums CROSS JOIN top10
 """
 
@@ -948,17 +944,11 @@ def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_card",
         "est_card",
         (F.col("est_card") >= F.col("exact_card")).alias("overestimate_ok"),
-        F.round(
-            (F.col("est_card") - F.col("exact_card")).cast("double")
-            / F.col("exact_card").cast("double"),
-            12,
-        ).alias("rel_error"),
-        F.round(
-            (F.col("est_card") - F.col("exact_card")).cast("double")
+        (F.round(((F.col("est_card") - F.col("exact_card")).cast("double")
+            / F.col("exact_card").cast("double")) * F.lit(1e12), 0) / F.lit(1e12)).alias("rel_error"),
+        (F.round(((F.col("est_card") - F.col("exact_card")).cast("double")
             * F.lit(float(CM_WIDTH))
-            / (F.col("n_a") * F.col("n_b")).cast("double"),
-            12,
-        ).alias("cm_epsilon"),
+            / (F.col("n_a") * F.col("n_b")).cast("double")) * F.lit(1e12), 0) / F.lit(1e12)).alias("cm_epsilon"),
     )
 
 
@@ -994,10 +984,10 @@ tot AS (
 )
 SELECT exact_card, est_card,
        est_card >= exact_card AS overestimate_ok,
-       ROUND(CAST(est_card - exact_card AS DOUBLE)
-             / CAST(exact_card AS DOUBLE), 12) AS rel_error,
-       ROUND(CAST(est_card - exact_card AS DOUBLE) * {float(CM_WIDTH)!r}
-             / CAST(n_a * n_b AS DOUBLE), 12) AS cm_epsilon
+       ROUND((CAST(est_card - exact_card AS DOUBLE)
+             / CAST(exact_card AS DOUBLE)) * 1e12, 0) / 1e12 AS rel_error,
+       ROUND((CAST(est_card - exact_card AS DOUBLE) * {float(CM_WIDTH)!r}
+             / CAST(n_a * n_b AS DOUBLE)) * 1e12, 0) / 1e12 AS cm_epsilon
 FROM exact CROSS JOIN est CROSS JOIN tot
 """
 
@@ -1094,11 +1084,8 @@ def q_bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         "fp_count",
         "fn_count",
-        F.round(
-            F.col("fp_count").cast("double")
-            / (F.col("n_probe_keys") - F.col("n_members")).cast("double"),
-            12,
-        ).alias("fp_rate"),
+        (F.round((F.col("fp_count").cast("double")
+            / (F.col("n_probe_keys") - F.col("n_members")).cast("double")) * F.lit(1e12), 0) / F.lit(1e12)).alias("fp_rate"),
     )
 
 
@@ -1136,9 +1123,8 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_keys,
        CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
        CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS fp_count,
        CAST(SUM(CASE WHEN NOT bloom_pass AND is_member THEN 1 ELSE 0 END) AS BIGINT) AS fn_count,
-       ROUND(CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS DOUBLE),
-             12) AS fp_rate
+       ROUND((CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS DOUBLE)) * 1e12, 0) / 1e12 AS fp_rate
 FROM flags
 """
 

@@ -398,9 +398,9 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "support",
         "cnt_a",
         "cnt_b",
-        F.round(s / F.col("cnt_a").cast("double"), 6).alias("conf_ab"),
-        F.round(s / F.col("cnt_b").cast("double"), 6).alias("conf_ba"),
-        F.round(lift, 6).alias("lift"),
+        (F.round((s / F.col("cnt_a").cast("double")) * F.lit(1e6), 0) / F.lit(1e6)).alias("conf_ab"),
+        (F.round((s / F.col("cnt_b").cast("double")) * F.lit(1e6), 0) / F.lit(1e6)).alias("conf_ba"),
+        (F.round((lift) * F.lit(1e6), 0) / F.lit(1e6)).alias("lift"),
     )
 
 
@@ -415,10 +415,10 @@ items AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS cnt FROM li GROUP BY part),
 n AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM li)
 SELECT part_a, part_b, support,
        ca.cnt AS cnt_a, cb.cnt AS cnt_b,
-       ROUND(CAST(support AS DOUBLE) / CAST(ca.cnt AS DOUBLE), 6) AS conf_ab,
-       ROUND(CAST(support AS DOUBLE) / CAST(cb.cnt AS DOUBLE), 6) AS conf_ba,
-       ROUND(CAST(support AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
-             / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)), 6) AS lift
+       ROUND((CAST(support AS DOUBLE) / CAST(ca.cnt AS DOUBLE)) * 1e6, 0) / 1e6 AS conf_ab,
+       ROUND((CAST(support AS DOUBLE) / CAST(cb.cnt AS DOUBLE)) * 1e6, 0) / 1e6 AS conf_ba,
+       ROUND((CAST(support AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+             / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE))) * 1e6, 0) / 1e6 AS lift
 FROM sup
 JOIN items ca ON ca.part = sup.part_a
 JOIN items cb ON cb.part = sup.part_b

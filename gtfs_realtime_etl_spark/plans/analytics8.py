@@ -444,7 +444,7 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "j",
-            F.round(F.col("s").cast("double"), RP_ROUND).alias("p"),
+            (F.round((F.col("s").cast("double")) * F.lit(float(10 ** RP_ROUND)), 0) / F.lit(float(10 ** RP_ROUND))).alias("p"),
         )
     )
 
@@ -465,8 +465,7 @@ x AS (
 ),
 js AS (SELECT unnest(range(0, {RP_DIMS})) AS j)
 SELECT vec_id, CAST(j AS INTEGER) AS j,
-       ROUND(CAST(SUM(CAST(x * m[j + 1][i] AS DECIMAL(30,12))) AS DOUBLE),
-             {RP_ROUND}) AS p
+       ROUND((CAST(SUM(CAST(x * m[j + 1][i] AS DECIMAL(30,12))) AS DOUBLE)) * 1e{RP_ROUND}, 0) / 1e{RP_ROUND} AS p
 FROM x CROSS JOIN js CROSS JOIN sj
 GROUP BY vec_id, j
 """

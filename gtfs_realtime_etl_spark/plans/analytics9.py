@@ -393,9 +393,9 @@ def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s12",
         "s1y",
         "s2y",
-        F.round(det0 / det, 6).alias("b0"),
-        F.round(det1 / det, 6).alias("b1"),
-        F.round(det2 / det, 6).alias("b2"),
+        (F.round((det0 / det) * F.lit(1e6), 0) / F.lit(1e6)).alias("b0"),
+        (F.round((det1 / det) * F.lit(1e6), 0) / F.lit(1e6)).alias("b1"),
+        (F.round((det2 / det) * F.lit(1e6), 0) / F.lit(1e6)).alias("b2"),
     )
 
 
@@ -426,24 +426,24 @@ d AS (
   FROM sums
 )
 SELECT n, s1, s2, sy, s11, s22, s12, s1y, s2y,
-       ROUND((sy * (s11 * s22 - s12 * s12)
+       ROUND(((sy * (s11 * s22 - s12 * s12)
               - s1 * (s1y * s22 - s12 * s2y)
               + s2 * (s1y * s12 - s11 * s2y))
              / (CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12)
                 - s1 * (s1 * s22 - s12 * s2)
-                + s2 * (s1 * s12 - s11 * s2)), 6) AS b0,
-       ROUND((CAST(n AS DOUBLE) * (s1y * s22 - s12 * s2y)
+                + s2 * (s1 * s12 - s11 * s2))) * 1e6, 0) / 1e6 AS b0,
+       ROUND(((CAST(n AS DOUBLE) * (s1y * s22 - s12 * s2y)
               - sy * (s1 * s22 - s12 * s2)
               + s2 * (s1 * s2y - s1y * s2))
              / (CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12)
                 - s1 * (s1 * s22 - s12 * s2)
-                + s2 * (s1 * s12 - s11 * s2)), 6) AS b1,
-       ROUND((CAST(n AS DOUBLE) * (s11 * s2y - s1y * s12)
+                + s2 * (s1 * s12 - s11 * s2))) * 1e6, 0) / 1e6 AS b1,
+       ROUND(((CAST(n AS DOUBLE) * (s11 * s2y - s1y * s12)
               - s1 * (s1 * s2y - s1y * s2)
               + sy * (s1 * s12 - s11 * s2))
              / (CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12)
                 - s1 * (s1 * s22 - s12 * s2)
-                + s2 * (s1 * s12 - s11 * s2)), 6) AS b2
+                + s2 * (s1 * s12 - s11 * s2))) * 1e6, 0) / 1e6 AS b2
 FROM d
 """
 

@@ -242,11 +242,8 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("supp_nation") == Q8_NATION, vol)).alias("nat"),
         F.sum(vol).alias("tot"),
     )
-    share = F.round(
-        F.coalesce(F.col("nat"), F.lit(0)).cast("double")
-        / F.col("tot").cast("double"),
-        6,
-    )
+    share = (F.round((F.coalesce(F.col("nat"), F.lit(0)).cast("double")
+        / F.col("tot").cast("double")) * F.lit(1e6), 0) / F.lit(1e6))
     return by_year.select("o_year", share.alias("mkt_share")).orderBy("o_year")
 
 
@@ -265,9 +262,9 @@ WITH vols AS (
   JOIN nation sn ON s_nationkey = sn.n_nationkey
 )
 SELECT o_year,
-       ROUND(CAST(COALESCE(SUM(CASE WHEN supp_nation = '{Q8_NATION}'
+       ROUND((CAST(COALESCE(SUM(CASE WHEN supp_nation = '{Q8_NATION}'
                                     THEN volume END), 0) AS DOUBLE)
-             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+             / CAST(SUM(volume) AS DOUBLE)) * 1e6, 0) / 1e6 AS mkt_share
 FROM vols
 GROUP BY o_year
 ORDER BY o_year

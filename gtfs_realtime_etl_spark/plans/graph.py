@@ -75,12 +75,9 @@ def _knn_edges(embeddings: DataFrame) -> DataFrame:
     )
     a, b = emb.alias("a"), emb.alias("b")
     denom = F.col("a.norm") * F.col("b.norm")
-    cos = F.round(
-        F.when(denom > 0, dot(F.col("a.vec"), F.col("b.vec")) / denom).otherwise(
+    cos = (F.round((F.when(denom > 0, dot(F.col("a.vec"), F.col("b.vec")) / denom).otherwise(
             F.lit(0.0)
-        ),
-        6,
-    )
+        )) * F.lit(1e6), 0) / F.lit(1e6))
     pairs = a.join(
         b,
         (F.col("a.label") == F.col("b.label"))
@@ -109,7 +106,7 @@ def q_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No global ORDER BY: the output is per-node and the driver's
     # value-hash compare is order-insensitive — a range exchange +
     # full sort would be pure waste at scale.
-    return ranks.select("node", F.round("rank", 8).alias("rank"))
+    return ranks.select("node", (F.round((F.col("rank")) * F.lit(1e8), 0) / F.lit(1e8)).alias("rank"))
 
 
 # Oracle: the same cosine left-folds as Q_EMBEDDING_NEARDUP_SQL, then
@@ -128,9 +125,9 @@ _COS_NORM_B = "sqrt(" + _FOLD_SUM.format(terms="list_transform(b.vec, v -> v * v
 _KNN_CTES = f"""emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
 pairs AS (
   SELECT a.vec_id AS s, b.vec_id AS d,
-         ROUND(CASE WHEN {_COS_NORM_A} * {_COS_NORM_B} > 0
+         ROUND((CASE WHEN {_COS_NORM_A} * {_COS_NORM_B} > 0
                     THEN {_COS_DOT} / ({_COS_NORM_A} * {_COS_NORM_B})
-                    ELSE 0.0 END, 6) AS cosine
+                    ELSE 0.0 END) * 1e6, 0) / 1e6 AS cosine
   FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id <> b.vec_id
 ),
 knn AS (
@@ -172,7 +169,7 @@ nn AS (SELECT COUNT(*) AS n FROM nodes),
 deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM knn GROUP BY s),
 r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
 {chained}
-SELECT node, ROUND(rank, 8) AS rank FROM r{PR_ITERATIONS}
+SELECT node, ROUND((rank) * 1e8, 0) / 1e8 AS rank FROM r{PR_ITERATIONS}
 """
 
 

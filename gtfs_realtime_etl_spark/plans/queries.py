@@ -192,8 +192,8 @@ def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(qty).alias("sum_qty"),
             dsum(price).alias("sum_base_price"),
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.round(davg(qty), 6).alias("avg_qty"),
-            F.round(dstddev(qty), 6).alias("stddev_qty"),
+            (F.round((davg(qty)) * F.lit(1e6), 0) / F.lit(1e6)).alias("avg_qty"),
+            (F.round((dstddev(qty)) * F.lit(1e6), 0) / F.lit(1e6)).alias("stddev_qty"),
         )
     )
 
@@ -208,8 +208,8 @@ SELECT
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
     AS sum_disc_price,
-  ROUND({davg_sql('l_quantity')}, 6) AS avg_qty,
-  ROUND({dstddev_sql('l_quantity')}, 6) AS stddev_qty
+  ROUND(({davg_sql('l_quantity')}) * 1e6, 0) / 1e6 AS avg_qty,
+  ROUND(({dstddev_sql('l_quantity')}) * 1e6, 0) / 1e6 AS stddev_qty
 FROM lineitem
 WHERE l_shipdate <= '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -439,18 +439,18 @@ def q_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.select(
         "user_id",
         "count",
-        F.round("avg_diff", 6).alias("avg_diff_r"),
-        F.round("stddev_diff", 6).alias("stddev_diff_r"),
-        F.round(norm_cdf(z_max) - norm_cdf(z_min), 6).alias("reliability"),
+        (F.round((F.col("avg_diff")) * F.lit(1e6), 0) / F.lit(1e6)).alias("avg_diff_r"),
+        (F.round((F.col("stddev_diff")) * F.lit(1e6), 0) / F.lit(1e6)).alias("stddev_diff_r"),
+        (F.round((norm_cdf(z_max) - norm_cdf(z_min)) * F.lit(1e6), 0) / F.lit(1e6)).alias("reliability"),
     )
 
 
 Q_RELIABILITY_SQL = f"""
 SELECT user_id, count,
-       ROUND(avg_diff, 6) AS avg_diff_r,
-       ROUND(stddev_diff, 6) AS stddev_diff_r,
-       ROUND({norm_cdf_sql('(300.0 - avg_diff) / stddev_diff')}
-             - {norm_cdf_sql('(-60.0 - avg_diff) / stddev_diff')}, 6) AS reliability
+       ROUND((avg_diff) * 1e6, 0) / 1e6 AS avg_diff_r,
+       ROUND((stddev_diff) * 1e6, 0) / 1e6 AS stddev_diff_r,
+       ROUND(({norm_cdf_sql('(300.0 - avg_diff) / stddev_diff')}
+             - {norm_cdf_sql('(-60.0 - avg_diff) / stddev_diff')}) * 1e6, 0) / 1e6 AS reliability
 FROM (
   SELECT user_id,
          COUNT(diff) AS count,
@@ -503,18 +503,18 @@ def q_flagship_punctuality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.select(
         "n_name",
         "count",
-        F.round("avg_diff", 6).alias("avg_diff_r"),
-        F.round("stddev_diff", 6).alias("stddev_diff_r"),
-        F.round(norm_cdf(z_max) - norm_cdf(z_min), 6).alias("reliability"),
+        (F.round((F.col("avg_diff")) * F.lit(1e6), 0) / F.lit(1e6)).alias("avg_diff_r"),
+        (F.round((F.col("stddev_diff")) * F.lit(1e6), 0) / F.lit(1e6)).alias("stddev_diff_r"),
+        (F.round((norm_cdf(z_max) - norm_cdf(z_min)) * F.lit(1e6), 0) / F.lit(1e6)).alias("reliability"),
     )
 
 
 Q_FLAGSHIP_PUNCTUALITY_SQL = f"""
 SELECT n_name, count,
-       ROUND(avg_diff, 6) AS avg_diff_r,
-       ROUND(stddev_diff, 6) AS stddev_diff_r,
-       ROUND({norm_cdf_sql('(300.0 - avg_diff) / stddev_diff')}
-             - {norm_cdf_sql('(-60.0 - avg_diff) / stddev_diff')}, 6) AS reliability
+       ROUND((avg_diff) * 1e6, 0) / 1e6 AS avg_diff_r,
+       ROUND((stddev_diff) * 1e6, 0) / 1e6 AS stddev_diff_r,
+       ROUND(({norm_cdf_sql('(300.0 - avg_diff) / stddev_diff')}
+             - {norm_cdf_sql('(-60.0 - avg_diff) / stddev_diff')}) * 1e6, 0) / 1e6 AS reliability
 FROM (
   SELECT n_name,
          COUNT(diff) AS count,
@@ -624,7 +624,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 6).alias("jaccard"),
+            (F.round((jac) * F.lit(1e6), 0) / F.lit(1e6)).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -641,9 +641,9 @@ WITH docs AS (
 SELECT doc_a, doc_b, jaccard
 FROM (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         ROUND(CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         ROUND((CAST(length(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                / CAST(length(list_distinct(list_concat(a.shingles, b.shingles)))
-                      AS DOUBLE), 6) AS jaccard
+                      AS DOUBLE)) * 1e6, 0) / 1e6 AS jaccard
   FROM docs a JOIN docs b
     ON a.source = b.source AND a.len_bucket = b.len_bucket
    AND a.doc_id < b.doc_id AND ABS(a.n_chars - b.n_chars) <= 20
@@ -673,7 +673,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qvec))
-        .select("vec_id", "label", F.round(sim, 6).alias("cosine"))
+        .select("vec_id", "label", (F.round((sim) * F.lit(1e6), 0) / F.lit(1e6)).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
     )
@@ -683,7 +683,7 @@ Q_ANN_COSINE_TOPK_SQL = f"""
 WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
 q AS (SELECT vec FROM emb WHERE vec_id = 0)
 SELECT e.vec_id, e.label,
-       ROUND(list_cosine_similarity(e.vec, q.vec), 6) AS cosine
+       ROUND((list_cosine_similarity(e.vec, q.vec)) * 1e6, 0) / 1e6 AS cosine
 FROM emb e CROSS JOIN q
 WHERE e.vec_id <> 0
 ORDER BY cosine DESC, e.vec_id ASC
@@ -715,14 +715,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(
-            F.sum("n_tokens").cast("double") / F.count(F.lit(1)).cast("double"), 6
-        ).alias("avg_tokens"),
-        F.round(
-            F.sum(F.col("punct_ratio").cast("decimal(18,12)")).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("avg_punct_ratio"),
+        (F.round((F.sum("n_tokens").cast("double") / F.count(F.lit(1)).cast("double")) * F.lit(1e6), 0) / F.lit(1e6)).alias("avg_tokens"),
+        (F.round((F.sum(F.col("punct_ratio").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")) * F.lit(1e6), 0) / F.lit(1e6)).alias("avg_punct_ratio"),
         F.min("n_chars_live").alias("min_chars"),
         F.max("n_chars_live").alias("max_chars"),
     )
@@ -737,9 +732,9 @@ Q_TEXT_QUALITY_SQL = """
 SELECT source,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_tokens,
-       ROUND(CAST(SUM(CAST(punct_ratio AS DECIMAL(18,12))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_punct_ratio,
+       ROUND((CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 1e6, 0) / 1e6 AS avg_tokens,
+       ROUND((CAST(SUM(CAST(punct_ratio AS DECIMAL(18,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)) * 1e6, 0) / 1e6 AS avg_punct_ratio,
        MIN(n_chars_live) AS min_chars,
        MAX(n_chars_live) AS max_chars
 FROM (
@@ -776,11 +771,8 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("score") >= QUALITY_KEEP, 1).otherwise(0)).alias(
             "n_kept"
         ),
-        F.round(
-            F.sum(F.col("score").cast("decimal(18,12)")).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("avg_score"),
+        (F.round((F.sum(F.col("score").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")) * F.lit(1e6), 0) / F.lit(1e6)).alias("avg_score"),
     )
 
 
@@ -811,8 +803,8 @@ Q_QUALITY_FILTER_SQL = f"""
 SELECT source,
        COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN score >= {QUALITY_KEEP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       ROUND(CAST(SUM(CAST(score AS DECIMAL(18,12))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_score
+       ROUND((CAST(SUM(CAST(score AS DECIMAL(18,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)) * 1e6, 0) / 1e6 AS avg_score
 FROM (SELECT source, {_QS_SCORE} AS score FROM documents)
 GROUP BY source
 """
@@ -931,19 +923,16 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("label", (F.col("pos") + 1).alias("dim"), F.col("col").alias("val"))
     return exploded.groupBy("label", "dim").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.round(
-            F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            8,
-        ).alias("centroid_val"),
+        (F.round((F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
+            / F.count(F.lit(1)).cast("double")) * F.lit(1e8), 0) / F.lit(1e8)).alias("centroid_val"),
     )
 
 
 Q_EMBEDDING_CENTROIDS_SQL = """
 SELECT label, dim,
        COUNT(*) AS n_vecs,
-       ROUND(CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 8) AS centroid_val
+       ROUND((CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)) * 1e8, 0) / 1e8 AS centroid_val
 FROM (
   SELECT label, pos AS dim, vec[pos] AS val
   FROM (SELECT label, embedding::DOUBLE[] AS vec,
@@ -1196,9 +1185,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_ws").alias("total_ws_tokens"),
         F.sum("n_bpe").alias("total_bpe_tokens"),
-        F.round(
-            F.sum("n_bpe").cast("double") / F.count(F.lit(1)).cast("double"), 6
-        ).alias("avg_bpe_per_doc"),
+        (F.round((F.sum("n_bpe").cast("double") / F.count(F.lit(1)).cast("double")) * F.lit(1e6), 0) / F.lit(1e6)).alias("avg_bpe_per_doc"),
     )
 
 
@@ -1207,7 +1194,7 @@ SELECT lang,
        COUNT(*) AS n_docs,
        CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
        CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
-       ROUND(CAST(SUM(n_bpe) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_bpe_per_doc
+       ROUND((CAST(SUM(n_bpe) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 1e6, 0) / 1e6 AS avg_bpe_per_doc
 FROM (
   SELECT lang,
          length(list_filter(string_split_regex(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'),
@@ -1266,12 +1253,9 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = block.alias("a"), block.alias("b")
     denom = F.col("a.norm") * F.col("b.norm")
-    cos = F.round(
-        F.when(denom > 0, dot(F.col("a.vec"), F.col("b.vec")) / denom).otherwise(
+    cos = (F.round((F.when(denom > 0, dot(F.col("a.vec"), F.col("b.vec")) / denom).otherwise(
             F.lit(0.0)
-        ),
-        6,
-    )
+        )) * F.lit(1e6), 0) / F.lit(1e6))
     pairs = a.join(
         b,
         (F.col("a.label") == F.col("b.label"))
@@ -1282,11 +1266,8 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("cosine") >= NEARDUP_COSINE, 1).otherwise(0)).alias(
             "n_near_dups"
         ),
-        F.round(
-            F.sum(F.col("cosine").cast("decimal(18,12)")).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("avg_cosine"),
+        (F.round((F.sum(F.col("cosine").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")) * F.lit(1e6), 0) / F.lit(1e6)).alias("avg_cosine"),
     )
     counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
     return agg.join(F.broadcast(counts), "label").select(
@@ -1304,7 +1285,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB-1.x list_reduce has no seed argument) so the accumulation order is
 # bit-identical to the Spark ``zip_with``/``aggregate`` expression in
 # functions/vector.py — DuckDB's builtin list_cosine_similarity makes no
-# such op-order guarantee and can flip ROUND(x, 6) at a .5e-6 boundary.
+# such op-order guarantee and can flip round-to-6-digits at a boundary.
 _FOLD_SUM = "list_reduce(list_prepend(0.0, {terms}), (acc, x) -> acc + x)"
 _COS_DOT = _FOLD_SUM.format(
     terms="list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * b.vec[i])"
@@ -1330,17 +1311,17 @@ blk AS (
 counts AS (SELECT label, COUNT(*) AS n_vecs FROM emb GROUP BY label),
 pairs AS (
   SELECT a.label AS label,
-         ROUND(CASE WHEN {_COS_NORM_A} * {_COS_NORM_B} > 0
+         ROUND((CASE WHEN {_COS_NORM_A} * {_COS_NORM_B} > 0
                     THEN {_COS_DOT} / ({_COS_NORM_A} * {_COS_NORM_B})
-                    ELSE 0.0 END, 6) AS cosine
+                    ELSE 0.0 END) * 1e6, 0) / 1e6 AS cosine
   FROM blk a JOIN blk b ON a.label = b.label AND a.vec_id < b.vec_id
 ),
 agg AS (
   SELECT label,
          COUNT(*) AS n_pairs,
          CAST(SUM(CASE WHEN cosine >= {NEARDUP_COSINE} THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
-         ROUND(CAST(SUM(CAST(cosine AS DECIMAL(18,12))) AS DOUBLE)
-               / CAST(COUNT(*) AS DOUBLE), 6) AS avg_cosine
+         ROUND((CAST(SUM(CAST(cosine AS DECIMAL(18,12))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)) * 1e6, 0) / 1e6 AS avg_cosine
   FROM pairs
   GROUP BY label
 )
@@ -1487,15 +1468,15 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
         (F.col("value") - F.lag("value").over(w)).alias("delta"),
-        F.round(mov, 6).alias("moving_avg"),
+        (F.round((mov) * F.lit(1e6), 0) / F.lit(1e6)).alias("moving_avg"),
     )
 
 
 Q_WINDOW_ANALYTICS_SQL = """
 SELECT user_id, event_id, value,
        value - lag(value) OVER w AS delta,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER f AS DOUBLE)
-             / CAST(COUNT(*) OVER f AS DOUBLE), 6) AS moving_avg
+       ROUND((CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER f AS DOUBLE)
+             / CAST(COUNT(*) OVER f AS DOUBLE)) * 1e6, 0) / 1e6 AS moving_avg
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
        f AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -1521,7 +1502,7 @@ def q_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
             F.rank().over(w).alias("price_rank"),
             F.dense_rank().over(w).alias("price_dense_rank"),
-            F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+            (F.round((F.percent_rank().over(w)) * F.lit(1e6), 0) / F.lit(1e6)).alias("price_pct_rank"),
             F.ntile(10).over(w).alias("decile"),
         )
         .filter(F.col("price_rank") <= 100)
@@ -1533,7 +1514,7 @@ SELECT * FROM (
   SELECT o_orderkey, o_orderpriority, o_totalprice,
          RANK() OVER w AS price_rank,
          DENSE_RANK() OVER w AS price_dense_rank,
-         ROUND(PERCENT_RANK() OVER w, 6) AS price_pct_rank,
+         ROUND((PERCENT_RANK() OVER w) * 1e6, 0) / 1e6 AS price_pct_rank,
          NTILE(10) OVER w AS decile
   FROM orders
   WINDOW w AS (PARTITION BY o_orderpriority
@@ -1625,18 +1606,18 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ranked.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(pick(0.5, "rq", "qty"), 6).alias("qty_p50"),
-        F.round(pick(0.9, "rq", "qty"), 6).alias("qty_p90"),
-        F.round(pick(0.25, "rp", "price"), 6).alias("price_p25"),
+        (F.round((pick(0.5, "rq", "qty")) * F.lit(1e6), 0) / F.lit(1e6)).alias("qty_p50"),
+        (F.round((pick(0.9, "rq", "qty")) * F.lit(1e6), 0) / F.lit(1e6)).alias("qty_p90"),
+        (F.round((pick(0.25, "rp", "price")) * F.lit(1e6), 0) / F.lit(1e6)).alias("price_p25"),
     )
 
 
 Q_PERCENTILES_SQL = """
 SELECT l_returnflag,
        COUNT(*) AS n,
-       ROUND(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
-       ROUND(quantile_cont(l_quantity, 0.9), 6) AS qty_p90,
-       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25
+       ROUND((quantile_cont(l_quantity, 0.5)) * 1e6, 0) / 1e6 AS qty_p50,
+       ROUND((quantile_cont(l_quantity, 0.9)) * 1e6, 0) / 1e6 AS qty_p90,
+       ROUND((quantile_cont(l_extendedprice, 0.25)) * 1e6, 0) / 1e6 AS price_p25
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -1811,7 +1792,7 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _minhash_verified_pairs(spark, sf_dir)
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return pairs.select("id_a", "id_b", (F.round((F.col("jaccard")) * F.lit(1e6), 0) / F.lit(1e6)).alias("jaccard"))
 
 
 def _minhash_rpb() -> int:
@@ -1852,7 +1833,7 @@ scored AS (
   JOIN sets sa ON sa.doc_id = cand.id_a
   JOIN sets sb ON sb.doc_id = cand.id_b
 )
-SELECT id_a, id_b, ROUND(j, 6) AS jaccard
+SELECT id_a, id_b, ROUND((j) * 1e6, 0) / 1e6 AS jaccard
 FROM scored WHERE j >= {MINHASH_THRESHOLD}
 """
 
@@ -2121,11 +2102,8 @@ def q_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("source").agg(
         F.countDistinct("window_id").alias("n_windows"),
         F.sum("n_tok").alias("total_tokens"),
-        F.round(
-            F.sum("n_tok").cast("double")
-            / (F.countDistinct("window_id").cast("double") * PACK_BUDGET),
-            6,
-        ).alias("fill_ratio"),
+        (F.round((F.sum("n_tok").cast("double")
+            / (F.countDistinct("window_id").cast("double") * PACK_BUDGET)) * F.lit(1e6), 0) / F.lit(1e6)).alias("fill_ratio"),
     )
 
 
@@ -2144,8 +2122,8 @@ packed AS (
 SELECT source,
        CAST(COUNT(DISTINCT window_id) AS BIGINT) AS n_windows,
        CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-       ROUND(CAST(SUM(n_tok) AS DOUBLE)
-             / (CAST(COUNT(DISTINCT window_id) AS DOUBLE) * {PACK_BUDGET}), 6)
+       ROUND((CAST(SUM(n_tok) AS DOUBLE)
+             / (CAST(COUNT(DISTINCT window_id) AS DOUBLE) * {PACK_BUDGET})) * 1e6, 0) / 1e6
          AS fill_ratio
 FROM packed
 GROUP BY source
@@ -2375,7 +2353,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=ANN_LSH_SEED,
     )
     return res.select(
-        "query_id", "vec_id", "label", F.round("cosine", 6).alias("cosine"), "rank"
+        "query_id", "vec_id", "label", (F.round((F.col("cosine")) * F.lit(1e6), 0) / F.lit(1e6)).alias("cosine"), "rank"
     )
 
 
@@ -2436,7 +2414,7 @@ ranked AS (
                             ORDER BY cosine DESC, vec_id ASC) AS rank
   FROM scored
 )
-SELECT query_id, vec_id, label, ROUND(cosine, 6) AS cosine, rank
+SELECT query_id, vec_id, label, ROUND((cosine) * 1e6, 0) / 1e6 AS cosine, rank
 FROM ranked WHERE rank <= {TOP_K}
 """
 
@@ -2495,7 +2473,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         embeddings.filter("vec_id != 0"), q, cents, k=TOP_K, nprobe=IVF_NPROBE
     )
     return res.select(
-        "query_id", "vec_id", "label", F.round("cosine", 6).alias("cosine"), "rank"
+        "query_id", "vec_id", "label", (F.round((F.col("cosine")) * F.lit(1e6), 0) / F.lit(1e6)).alias("cosine"), "rank"
     )
 
 
@@ -2523,8 +2501,8 @@ def _ann_ivf_sql() -> str:
 WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
 cdim AS (
   SELECT label AS cell_id, dim,
-         ROUND(CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE)
-               / CAST(COUNT(*) AS DOUBLE), 8) AS cval
+         ROUND((CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)) * 1e8, 0) / 1e8 AS cval
   FROM (
     SELECT label, pos AS dim, vec[pos] AS val
     FROM (SELECT label, embedding::DOUBLE[] AS vec,
@@ -2568,7 +2546,7 @@ ranked AS (
                             ORDER BY cosine DESC, vec_id ASC) AS rank
   FROM scored
 )
-SELECT query_id, vec_id, label, ROUND(cosine, 6) AS cosine, rank
+SELECT query_id, vec_id, label, ROUND((cosine) * 1e6, 0) / 1e6 AS cosine, rank
 FROM ranked WHERE rank <= {TOP_K}
 """
 
@@ -2584,8 +2562,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "modality",
         "n_bytes",
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
-        F.round(F.element_at("feature", 16), 6).alias("f15"),
+        (F.round((F.element_at("feature", 1)) * F.lit(1e6), 0) / F.lit(1e6)).alias("f0"),
+        (F.round((F.element_at("feature", 16)) * F.lit(1e6), 0) / F.lit(1e6)).alias("f15"),
     )
 
 
@@ -2604,10 +2582,10 @@ Q_MULTIMODAL_FEATURES_SQL = f"""
 SELECT doc_id AS media_id,
        'image' AS modality,
        CAST(strlen(text) AS BIGINT) AS n_bytes,
-       ROUND({_byte_bin_count_sql("< 16")}
-             / CAST(greatest(strlen(text), 1) AS DOUBLE), 6) AS f0,
-       ROUND({_byte_bin_count_sql(">= 240")}
-             / CAST(greatest(strlen(text), 1) AS DOUBLE), 6) AS f15
+       ROUND(({_byte_bin_count_sql("< 16")}
+             / CAST(greatest(strlen(text), 1) AS DOUBLE)) * 1e6, 0) / 1e6 AS f0,
+       ROUND(({_byte_bin_count_sql(">= 240")}
+             / CAST(greatest(strlen(text), 1) AS DOUBLE)) * 1e6, 0) / 1e6 AS f15
 FROM documents
 """
 
@@ -2641,7 +2619,7 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_doc_freq=DECONTAM_MAX_DF,
     )
     return pairs.select(
-        "train_id", "test_id", F.round("containment", 6).alias("containment")
+        "train_id", "test_id", (F.round((F.col("containment")) * F.lit(1e6), 0) / F.lit(1e6)).alias("containment")
     )
 
 
@@ -2666,7 +2644,7 @@ shared AS (
   GROUP BY train_id, test_id, n_test
 )
 SELECT train_id, test_id,
-       ROUND(CAST(n_shared AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS containment
+       ROUND((CAST(n_shared AS DOUBLE) / CAST(n_test AS DOUBLE)) * 1e6, 0) / 1e6 AS containment
 FROM shared
 WHERE CAST(n_shared AS DOUBLE) / CAST(n_test AS DOUBLE) >= {DECONTAM_TAU}
 """
@@ -2718,12 +2696,9 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_vec = q.select("label", err.alias("err"))
     return per_vec.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.round(
-            F.sum(F.col("err").cast("decimal(18,12)")).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("avg_sq_err"),
-        F.round(F.max("err"), 6).alias("max_sq_err"),
+        (F.round((F.sum(F.col("err").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")) * F.lit(1e6), 0) / F.lit(1e6)).alias("avg_sq_err"),
+        (F.round((F.max("err")) * F.lit(1e6), 0) / F.lit(1e6)).alias("max_sq_err"),
     )
 
 
@@ -2751,9 +2726,9 @@ mm AS (SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs FROM 
 per AS (SELECT label, {err} AS err FROM e, mm)
 SELECT label,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       ROUND(CAST(SUM(CAST(err AS DECIMAL(18,12))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_sq_err,
-       ROUND(MAX(err), 6) AS max_sq_err
+       ROUND((CAST(SUM(CAST(err AS DECIMAL(18,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)) * 1e6, 0) / 1e6 AS avg_sq_err,
+       ROUND((MAX(err)) * 1e6, 0) / 1e6 AS max_sq_err
 FROM per GROUP BY label
 """
 
@@ -2829,12 +2804,9 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = documents.select("source", rep.alias("rep"))
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(
-            F.sum(F.col("rep").cast("decimal(18,12)")).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("avg_rep"),
-        F.round(F.max("rep"), 6).alias("max_rep"),
+        (F.round((F.sum(F.col("rep").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")) * F.lit(1e6), 0) / F.lit(1e6)).alias("avg_rep"),
+        (F.round((F.max("rep")) * F.lit(1e6), 0) / F.lit(1e6)).alias("max_rep"),
         F.sum(
             F.when(F.col("rep") > REPETITION_FLAG, F.lit(1)).otherwise(F.lit(0))
         ).cast("long").alias("n_repetitive"),
@@ -2859,9 +2831,9 @@ per AS (
 )
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       ROUND(CAST(SUM(CAST(rep AS DECIMAL(18,12))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_rep,
-       ROUND(MAX(rep), 6) AS max_rep,
+       ROUND((CAST(SUM(CAST(rep AS DECIMAL(18,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)) * 1e6, 0) / 1e6 AS avg_rep,
+       ROUND((MAX(rep)) * 1e6, 0) / 1e6 AS max_rep,
        CAST(SUM(CASE WHEN rep > {REPETITION_FLAG} THEN 1 ELSE 0 END) AS BIGINT)
          AS n_repetitive
 FROM per GROUP BY source
@@ -3174,6 +3146,14 @@ from gtfs_realtime_etl_spark.plans.analytics16 import (  # noqa: E402
 QUERIES.update(EXT19_QUERIES)
 ORACLE_SQL.update(EXT19_ORACLE_SQL)
 
+from gtfs_realtime_etl_spark.plans.analytics17 import (  # noqa: E402
+    EXT20_ORACLE_SQL,
+    EXT20_QUERIES,
+)
+
+QUERIES.update(EXT20_QUERIES)
+ORACLE_SQL.update(EXT20_ORACLE_SQL)
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering — STRUCTURAL, derived from the CORRECTNESS artifacts.
 #
@@ -3191,26 +3171,64 @@ ORACLE_SQL.update(EXT19_ORACLE_SQL)
 # Purely a dict-ordering change — every (name, callable, oracle) triple is
 # unchanged, and no entry is ever excluded.
 # ---------------------------------------------------------------------------
+import hashlib as _hashlib  # noqa: E402
+import inspect as _inspect  # noqa: E402
 import json as _json  # noqa: E402
 import os as _os  # noqa: E402
 import re as _re  # noqa: E402
 
+_REPO_ROOT = _os.path.dirname(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+#: Committed by scripts/update_green_manifest.py at round start: the
+#: source hash of each entry AT THE TIME its latest green driver row
+#: landed.  An entry whose current hash differs was rewritten after
+#: its verification and must rotate forward like a never-green one
+#: (round-8 lesson: ann_pq_topk / ann_recall_report shipped material
+#: rewrites on top of r07 greens and the rotation never noticed).
+_GREEN_MANIFEST_PATH = _os.path.join(_REPO_ROOT, "GREEN_MANIFEST.json")
 
-def _load_driver_green() -> dict[str, int]:
-    """Map query name -> most recent round with a green driver row.
 
-    A row is green when the driver recorded no error, matching row counts,
-    and neither a schema nor a value-hash mismatch (rows-only entries have
-    ``hash_match: null`` and still count — they received their driver row).
-    If an entry's LATEST driver check was red, it is treated as never-green
-    so it rotates back to the front of the queue.
-    """
-    root = _os.path.dirname(
-        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    )
-    latest: dict[str, tuple[int, bool]] = {}
+def _entry_src_hash(fn, oracle: str | None) -> str:
+    """Hash of a registry entry's implementation surface: the query
+    function's source text plus its oracle SQL.  Helper functions the
+    query calls are NOT captured — this is a cheap staleness heuristic
+    for driver-budget ordering, not a correctness proof."""
     try:
-        names = sorted(_os.listdir(root))
+        src = _inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = repr(fn)
+    h = _hashlib.sha256()
+    h.update(src.encode())
+    h.update(b"\x00")
+    h.update((oracle or "").encode())
+    return h.hexdigest()
+
+
+def _load_green_manifest() -> dict[str, str]:
+    try:
+        with open(_GREEN_MANIFEST_PATH) as fh:
+            data = _json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    if not isinstance(data, dict):
+        return {}
+    return {
+        k: v.get("hash", "")
+        for k, v in data.items()
+        if isinstance(v, dict)
+    }
+
+
+def _driver_rows() -> dict[str, tuple[int, bool, bool]]:
+    """Latest driver row per query: name -> (round, ok, value-verified).
+
+    A row is ok when the driver recorded no error, matching row counts,
+    and neither a schema nor a value-hash mismatch; value-verified means
+    ``hash_match`` is True (rows-only rows have ``hash_match: null``)."""
+    latest: dict[str, tuple[int, bool, bool]] = {}
+    try:
+        names = sorted(_os.listdir(_REPO_ROOT))
     except OSError:
         return {}
     for fname in names:
@@ -3219,7 +3237,7 @@ def _load_driver_green() -> dict[str, int]:
             continue
         rnd = int(m.group(1))
         try:
-            with open(_os.path.join(root, fname)) as fh:
+            with open(_os.path.join(_REPO_ROOT, fname)) as fh:
                 data = _json.load(fh)
         except (OSError, ValueError):
             continue
@@ -3234,22 +3252,74 @@ def _load_driver_green() -> dict[str, int]:
                 and row.get("schema_match") is not False
                 and row.get("hash_match") is not False
             )
+            full = ok and row.get("hash_match") is True
             prev = latest.get(name)
             if prev is None or rnd >= prev[0]:
-                latest[name] = (rnd, ok)
-    return {name: rnd for name, (rnd, ok) in latest.items() if ok}
+                latest[name] = (rnd, ok, full)
+    return latest
+
+
+def _load_driver_green() -> dict[str, tuple[int, bool]]:
+    """Map query name -> (most recent green round, value-verified) for
+    entries with a TRUSTWORTHY green driver row.
+
+    ``value-verified`` is True only when ``hash_match`` is True —
+    rows-only rows (``hash_match: null``) count as green but carry a
+    weaker check, so the ordering puts them ahead of fully-verified
+    greens for re-burn (r8 advice: the old code let value-unverified
+    entries hide behind the green block forever).  If an entry's LATEST
+    driver check was red, it is treated as never-green so it rotates
+    back to the front of the queue.  Entries whose current source hash
+    differs from the committed GREEN_MANIFEST hash (i.e. the
+    implementation changed after the green row landed) are likewise
+    excluded — the r8 lesson: a green row verifies the code that
+    existed when it landed, nothing newer.
+    """
+    manifest = _load_green_manifest()
+    out: dict[str, tuple[int, bool]] = {}
+    for name, (rnd, ok, full) in _driver_rows().items():
+        if not ok:
+            continue
+        fn = QUERIES.get(name)
+        if fn is not None and manifest:
+            if manifest.get(name) != _entry_src_hash(
+                fn, ORACLE_SQL.get(name)
+            ):
+                continue  # rewritten since its green row — re-verify
+        out[name] = (rnd, full)
+    return out
 
 
 def _driver_gate_order(d: dict) -> dict:
-    """Order the registry so the driver's per-round correctness budget lands
-    on entries that do NOT yet have a driver-green CORRECTNESS row.  Behind
-    the never-verified front block, green entries are ordered stalest-first
-    (ascending last-green round, original relative order as tie-break)."""
+    """Order the registry so the driver's per-round correctness budget
+    (a ~50-entry prefix) lands on the least-trusted entries first:
+
+    1. latest-red or never-checked (original order) — known wrong or
+       wholly unverified; these must always lead;
+    2. changed-since-green (stalest green first) — code rewritten after
+       verification;
+    3. rows-only greens (value-unverified, stalest first);
+    4. fully-verified greens stalest-first (original relative order as
+       tie-break)."""
     green = _load_driver_green()
+    rows = _driver_rows()
     idx = {k: i for i, k in enumerate(d)}
-    front = {k: v for k, v in d.items() if k not in green}
-    back_keys = sorted((k for k in d if k in green), key=lambda k: (green[k], idx[k]))
-    return {**front, **{k: d[k] for k in back_keys}}
+
+    def front_key(k: str):
+        row = rows.get(k)
+        if row is None or not row[1]:
+            return (0, 0, idx[k])  # red / never-checked
+        return (1, row[0], idx[k])  # changed since its green row
+
+    front_keys = sorted((k for k in d if k not in green), key=front_key)
+    back_keys = sorted(
+        (k for k in d if k in green),
+        key=lambda k: (green[k][1], green[k][0], idx[k]),
+    )
+    return {
+        **{k: d[k] for k in front_keys},
+        **{k: d[k] for k in back_keys},
+    }
 
 QUERIES = _driver_gate_order(QUERIES)
 ORACLE_SQL = _driver_gate_order(ORACLE_SQL)

@@ -20,11 +20,15 @@ ROWS_ONLY_BY_DESIGN: set[str] = set()
 
 def test_driver_gate_rotation_is_structural():
     """The external driver verifies only a ~50-entry prefix of the registry
-    per round, so never-driver-verified entries MUST lead the dict order and
-    verified entries must follow stalest-first.  Rounds 6 and 7 both lost
-    budget to hand-maintained green lists going stale; the order is now
-    derived from the committed CORRECTNESS_r*.json artifacts, and this test
-    fails if any driver-green entry ever precedes a never-green one."""
+    per round, so entries without a trustworthy green driver row (never
+    verified, latest-red, or REWRITTEN since their green row per the
+    committed GREEN_MANIFEST hash) MUST lead the dict order; behind them,
+    rows-only greens (hash_match null — value-unverified) precede fully
+    verified greens, each block stalest-first.  Rounds 6 and 7 both lost
+    budget to hand-maintained green lists going stale; the order is
+    derived from the committed CORRECTNESS_r*.json + GREEN_MANIFEST.json
+    artifacts, and this test fails if any green entry ever precedes a
+    needs-verification one."""
     from gtfs_realtime_etl_spark.plans.queries import _load_driver_green
 
     green = _load_driver_green()
@@ -37,16 +41,44 @@ def test_driver_gate_rotation_is_structural():
             seen_green = True
         else:
             assert not seen_green, (
-                f"never-driver-verified entry {k!r} sits BEHIND a driver-green "
-                "entry — the rotation went stale and the driver budget will be "
-                "re-burned on already-verified queries"
+                f"needs-verification entry {k!r} sits BEHIND a driver-green "
+                "entry — the rotation went stale and the driver budget will "
+                "be re-burned on already-verified queries"
             )
-    rounds = [green[k] for k in keys if k in green]
-    assert rounds == sorted(rounds), (
-        "driver-green entries are not stalest-first; leftover budget should "
-        "re-verify the oldest greens"
+    # Green block order: value-unverified (rows-only) first, then fully
+    # verified; stalest-first within each.
+    order = [(green[k][1], green[k][0]) for k in keys if k in green]
+    assert order == sorted(order), (
+        "driver-green entries are not (rows-only-first, stalest-first); "
+        "leftover budget should re-verify the weakest/oldest greens"
     )
     assert list(ORACLE_SQL) == keys, "ORACLE_SQL order diverged from QUERIES"
+
+
+def test_green_manifest_current_for_green_entries():
+    """Every entry the rotation treats as green must carry a manifest
+    hash equal to its CURRENT source hash — i.e. the committed
+    GREEN_MANIFEST.json was regenerated after the last code change to
+    any green entry (scripts/update_green_manifest.py)."""
+    from gtfs_realtime_etl_spark.plans.queries import (
+        _entry_src_hash,
+        _load_driver_green,
+        _load_green_manifest,
+    )
+
+    green = _load_driver_green()
+    manifest = _load_green_manifest()
+    if not green or not manifest:
+        pytest.skip("no driver artifacts / manifest yet")
+    stale = [
+        k
+        for k in green
+        if manifest.get(k) != _entry_src_hash(QUERIES[k], ORACLE_SQL.get(k))
+    ]
+    assert stale == [], (
+        f"green entries with stale manifest hashes: {stale[:10]} — "
+        "_load_driver_green should already have excluded these"
+    )
 
 
 def test_every_query_has_an_oracle():
