@@ -1,20 +1,21 @@
 """Twenty-first query bank: association rules, sequence transitions,
 robust means, and difference-in-differences.
 
-- ``itemset_pairs`` — market-basket association rules over the
-  natural basket table (``lineitem``: order -> parts): per-order
-  sorted DISTINCT item sets built in one order-grain aggregate,
-  ordered pairs generated IN-ROW from each basket (the
-  audience_overlap combination idiom — never a basket self-join; a
-  TPC-H order holds <= 7 items, and a hard ``BASKET_CAP`` slice keeps
-  the in-row expansion bounded on arbitrary data), support-pruned,
-  then confidence and lift reported in exact integer ppm
+- ``apriori_triples`` — frequent TRIPLE itemsets over the natural
+  basket table (``lineitem``: order -> parts), one Apriori level
+  above the pairwise ``basket_rules`` bank (analytics7): items are
+  first pruned to the frequent-item set L1 (order-count >= MINSUP —
+  Agrawal & Srikant's support monotonicity: no infrequent item can
+  appear in a frequent triple) with a broadcast semi-join BEFORE the
+  in-row triple expansion, so the m-choose-3 blowup runs on the
+  pruned basket (plus a hard ``BASKET_CAP`` slice bounding arbitrary
+  data); triples are support-filtered and reported with exact
+  integer-ppm support and lift = n_abc * N^2 / (n_a*n_b*n_c)
   (``x * 10^6 div y`` — Spark DECIMAL(38,0) ``div`` / DuckDB HUGEINT
-  ``//``, both truncate-toward-zero, all values non-negative).  Plan:
-  one shuffle to order grain, one to pair grain, one broadcast join
-  of per-part order counts — support pruning keeps the pair tail
-  from dominating at scale (Agrawal & Srikant's Apriori support
-  monotonicity, applied at the pair level).
+  ``//``, both truncate-toward-zero, all values non-negative).
+  Plan: one shuffle to order grain, one to triple grain, broadcast
+  joins for the per-item counts — the L1 prune is what keeps the
+  candidate space sane at 100 TB.
 - ``markov_transitions`` — first-order event-type transition matrix:
   per-user event sequences ordered by (ts, event_id), LAG to form
   (prev -> next) pairs, exact transition counts, and row-stochastic
@@ -60,112 +61,140 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 _CENTS = "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
 
 # ---------------------------------------------------------------------------
-# itemset_pairs
+# apriori_triples
 # ---------------------------------------------------------------------------
 
-MINSUP = 3  # minimum co-occurrence count for a reported pair
-BASKET_CAP = 64  # hard bound on in-row pair expansion (cap^2 pairs)
+#: Triple support threshold — ALSO the L1 item-prune threshold: any
+#: item inside a support-s triple has support >= s (monotonicity), so
+#: pruning items below MINSUP is lossless for the triple output.
+MINSUP = 2
+BASKET_CAP = 32  # hard bound on in-row triple expansion (cap^3 worst)
 
 
-def q_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     items = lineitem.select("l_orderkey", "l_partkey").distinct()
     n_orders_df = items.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
     )
-    baskets = items.groupBy("l_orderkey").agg(
+    part_counts = items.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+    # L1 prune (Apriori): only frequent items can appear in a frequent
+    # triple, so drop infrequent items BEFORE the in-row expansion.
+    l1 = part_counts.filter(F.col("n_part") >= MINSUP)
+    pruned = items.join(
+        F.broadcast(l1.select("pk")), items.l_partkey == F.col("pk")
+    ).select("l_orderkey", "l_partkey")
+    baskets = pruned.groupBy("l_orderkey").agg(
         F.expr(
             f"slice(array_sort(collect_set(l_partkey)), 1, {BASKET_CAP})"
         ).alias("parts")
-    )
-    pairs = (
+    ).filter(F.size("parts") >= 3)
+    triples = (
         baskets.select(
             F.explode(
                 F.expr(
-                    "flatten(transform(parts, (a, i) ->"
-                    " transform(slice(parts, i + 2, size(parts)), b ->"
-                    " struct(a AS part_a, b AS part_b))))"
+                    "flatten(flatten(transform(parts, (a, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)), (b, j) ->"
+                    " transform(slice(parts, i + j + 3, size(parts)), c ->"
+                    " struct(a AS pa, b AS pb, c AS pc))))))"
                 )
-            ).alias("p")
+            ).alias("t")
         )
-        .groupBy("p.part_a", "p.part_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= MINSUP)
-    )
-    part_counts = items.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.count(F.lit(1)).alias("n_orders_part")
+        .groupBy("t.pa", "t.pb", "t.pc")
+        .agg(F.count(F.lit(1)).alias("n_abc"))
+        .filter(F.col("n_abc") >= MINSUP)
     )
     j = (
-        pairs.join(
-            F.broadcast(part_counts.withColumnRenamed("pk", "part_a_k")),
-            F.col("part_a") == F.col("part_a_k"),
+        triples.join(
+            F.broadcast(part_counts.withColumnRenamed("pk", "ka")),
+            F.col("pa") == F.col("ka"),
         )
-        .withColumnRenamed("n_orders_part", "n_a")
+        .withColumnRenamed("n_part", "n_a")
         .join(
-            F.broadcast(part_counts.withColumnRenamed("pk", "part_b_k")),
-            F.col("part_b") == F.col("part_b_k"),
+            F.broadcast(part_counts.withColumnRenamed("pk", "kb")),
+            F.col("pb") == F.col("kb"),
         )
-        .withColumnRenamed("n_orders_part", "n_b")
+        .withColumnRenamed("n_part", "n_b")
+        .join(
+            F.broadcast(part_counts.withColumnRenamed("pk", "kc")),
+            F.col("pc") == F.col("kc"),
+        )
+        .withColumnRenamed("n_part", "n_c")
         .crossJoin(F.broadcast(n_orders_df))
     )
     return j.select(
-        F.col("part_a").cast("long").alias("part_a"),
-        F.col("part_b").cast("long").alias("part_b"),
-        F.col("n_ab").cast("long").alias("n_ab"),
+        F.col("pa").cast("long").alias("part_a"),
+        F.col("pb").cast("long").alias("part_b"),
+        F.col("pc").cast("long").alias("part_c"),
+        F.col("n_abc").cast("long").alias("n_abc"),
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_c").cast("long").alias("n_c"),
         F.col("n_orders").cast("long").alias("n_orders"),
-        # confidence(a -> b) = n_ab / n_a; lift = n_ab * N / (n_a*n_b);
-        # exact integer ppm via 128-bit div (both engines truncate
-        # toward zero; everything non-negative).
+        # support ppm and lift = n_abc * N^2 / (n_a*n_b*n_c), exact
+        # integer ppm via 128-bit div (both engines truncate toward
+        # zero; everything non-negative).
         F.expr(
-            "CAST((CAST(n_ab AS DECIMAL(38,0)) * 1000000)"
-            " div CAST(n_a AS DECIMAL(38,0)) AS BIGINT)"
-        ).alias("conf_ppm"),
+            "CAST((CAST(n_abc AS DECIMAL(38,0)) * 1000000)"
+            " div CAST(n_orders AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("support_ppm"),
         F.expr(
-            "CAST((CAST(n_ab AS DECIMAL(38,0)) * CAST(n_orders AS"
-            " DECIMAL(38,0)) * 1000000) div CAST(CAST(n_a AS"
-            " DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)) AS"
-            " DECIMAL(38,0)) AS BIGINT)"
+            "CAST((CAST(n_abc AS DECIMAL(38,0)) * CAST(n_orders AS"
+            " DECIMAL(38,0)) * CAST(n_orders AS DECIMAL(38,0))"
+            " * 1000000) div CAST(CAST(n_a AS DECIMAL(38,0))"
+            " * CAST(n_b AS DECIMAL(38,0)) * CAST(n_c AS DECIMAL(38,0))"
+            " AS DECIMAL(38,0)) AS BIGINT)"
         ).alias("lift_ppm"),
     )
 
 
-Q_ITEMSET_PAIRS_SQL = f"""
+Q_APRIORI_TRIPLES_SQL = f"""
 WITH items AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ),
 n_ord AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
           FROM items),
+pc AS (
+  SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS n_part FROM items
+  GROUP BY 1
+),
+pruned AS (
+  SELECT l_orderkey, l_partkey FROM items
+  WHERE l_partkey IN (SELECT pk FROM pc WHERE n_part >= {MINSUP})
+),
 ranked AS (
   SELECT l_orderkey, l_partkey,
          ROW_NUMBER() OVER (PARTITION BY l_orderkey
                             ORDER BY l_partkey) AS rn
-  FROM items
+  FROM pruned
 ),
 capped AS (SELECT * FROM ranked WHERE rn <= {BASKET_CAP}),
-pairs AS (
-  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-         CAST(COUNT(*) AS BIGINT) AS n_ab
-  FROM capped a JOIN capped b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
+triples AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, c.l_partkey AS pc3,
+         CAST(COUNT(*) AS BIGINT) AS n_abc
+  FROM capped a
+  JOIN capped b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+  JOIN capped c ON b.l_orderkey = c.l_orderkey
+               AND b.l_partkey < c.l_partkey
+  GROUP BY 1, 2, 3
   HAVING COUNT(*) >= {MINSUP}
-),
-pc AS (
-  SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS n_part FROM items
-  GROUP BY 1
 )
-SELECT part_a, part_b, n_ab,
-       pa.n_part AS n_a, pb.n_part AS n_b, n_orders,
-       CAST((CAST(n_ab AS HUGEINT) * 1000000)
-            // CAST(pa.n_part AS HUGEINT) AS BIGINT) AS conf_ppm,
-       CAST((CAST(n_ab AS HUGEINT) * CAST(n_orders AS HUGEINT) * 1000000)
-            // (CAST(pa.n_part AS HUGEINT) * CAST(pb.n_part AS HUGEINT))
+SELECT pa AS part_a, pb AS part_b, pc3 AS part_c, n_abc,
+       ca.n_part AS n_a, cb.n_part AS n_b, cc.n_part AS n_c, n_orders,
+       CAST((CAST(n_abc AS HUGEINT) * 1000000)
+            // CAST(n_orders AS HUGEINT) AS BIGINT) AS support_ppm,
+       CAST((CAST(n_abc AS HUGEINT) * CAST(n_orders AS HUGEINT)
+             * CAST(n_orders AS HUGEINT) * 1000000)
+            // (CAST(ca.n_part AS HUGEINT) * CAST(cb.n_part AS HUGEINT)
+                * CAST(cc.n_part AS HUGEINT))
          AS BIGINT) AS lift_ppm
-FROM pairs
-JOIN pc pa ON pairs.part_a = pa.pk
-JOIN pc pb ON pairs.part_b = pb.pk
+FROM triples
+JOIN pc ca ON triples.pa = ca.pk
+JOIN pc cb ON triples.pb = cb.pk
+JOIN pc cc ON triples.pc3 = cc.pk
 CROSS JOIN n_ord
 """
 
@@ -419,14 +448,14 @@ FROM means
 
 
 EXT20_QUERIES = {
-    "itemset_pairs": q_itemset_pairs,
+    "apriori_triples": q_apriori_triples,
     "markov_transitions": q_markov_transitions,
     "trimmed_mean": q_trimmed_mean,
     "did_estimator": q_did_estimator,
 }
 
 EXT20_ORACLE_SQL = {
-    "itemset_pairs": Q_ITEMSET_PAIRS_SQL,
+    "apriori_triples": Q_APRIORI_TRIPLES_SQL,
     "markov_transitions": Q_MARKOV_TRANSITIONS_SQL,
     "trimmed_mean": Q_TRIMMED_MEAN_SQL,
     "did_estimator": Q_DID_ESTIMATOR_SQL,

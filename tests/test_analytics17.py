@@ -13,8 +13,8 @@ from gtfs_realtime_etl_spark.plans.analytics17 import (
     MINSUP,
     TRIM_DEN,
     TRIM_NUM,
+    q_apriori_triples,
     q_did_estimator,
-    q_itemset_pairs,
     q_markov_transitions,
     q_trimmed_mean,
 )
@@ -34,7 +34,7 @@ def _cents(value: float) -> int:
     return int(math.floor(value * 100 + 0.5))
 
 
-def test_itemset_pairs_matches_python_replica(spark):
+def test_apriori_triples_matches_python_replica(spark):
     li = (
         load_testdata(spark, SF_CORRECTNESS, tables=("lineitem",))[
             "lineitem"
@@ -50,39 +50,43 @@ def test_itemset_pairs_matches_python_replica(spark):
     for parts in baskets.values():
         for p in parts:
             part_n[p] += 1
-    pair_n: dict = defaultdict(int)
+    l1 = {p for p, n in part_n.items() if n >= MINSUP}
+    tri_n: dict = defaultdict(int)
     for parts in baskets.values():
-        for a, b in combinations(sorted(parts)[:BASKET_CAP], 2):
-            pair_n[(a, b)] += 1
+        kept = sorted(p for p in parts if p in l1)[:BASKET_CAP]
+        for a, b, c in combinations(kept, 3):
+            tri_n[(a, b, c)] += 1
     expected = {}
-    for (a, b), nab in pair_n.items():
-        if nab < MINSUP:
+    for (a, b, c), nabc in tri_n.items():
+        if nabc < MINSUP:
             continue
-        na, nb = part_n[a], part_n[b]
-        expected[(a, b)] = (
-            nab,
+        na, nb, nc = part_n[a], part_n[b], part_n[c]
+        expected[(a, b, c)] = (
+            nabc,
             na,
             nb,
+            nc,
             n_orders,
-            nab * 1_000_000 // na,
-            nab * n_orders * 1_000_000 // (na * nb),
+            nabc * 1_000_000 // n_orders,
+            nabc * n_orders * n_orders * 1_000_000 // (na * nb * nc),
         )
     got = {
-        (r.part_a, r.part_b): (
-            r.n_ab,
+        (r.part_a, r.part_b, r.part_c): (
+            r.n_abc,
             r.n_a,
             r.n_b,
+            r.n_c,
             r.n_orders,
-            r.conf_ppm,
+            r.support_ppm,
             r.lift_ppm,
         )
-        for r in q_itemset_pairs(spark, SF_CORRECTNESS).collect()
+        for r in q_apriori_triples(spark, SF_CORRECTNESS).collect()
     }
-    assert got == expected and len(got) > 0
-    # Support monotonicity: a pair can never co-occur more often than
-    # either member occurs.
-    for (a, b), (nab, na, nb, _, _, _) in got.items():
-        assert nab <= min(na, nb)
+    assert got == expected
+    # Support monotonicity: a triple can never co-occur more often
+    # than any member occurs.
+    for (a, b, c), (nabc, na, nb, nc, _, _, _) in got.items():
+        assert nabc <= min(na, nb, nc)
 
 
 def test_markov_transitions_matches_python_replica(spark):

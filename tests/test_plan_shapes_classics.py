@@ -157,6 +157,8 @@ def test_no_cartesian_anywhere_in_registry(spark):
         "cuped_adjustment",   # cut-timestamp + moments 1-row scalar broadcasts (plans/analytics14.py)
         "conformal_intervals",  # fit/qhat/offset 1-row scalar broadcasts + <=202-row rank probe (plans/analytics14.py)
         "decayed_topk",       # corpus-max-timestamp 1-row scalar broadcast (plans/analytics14.py)
+        "apriori_triples",    # n_orders 1-row scalar broadcast (plans/analytics17.py)
+        "did_estimator",      # corpus-midpoint cut 1-row scalar broadcast (plans/analytics17.py)
     }
     for name, fn in QUERIES.items():
         buf = io.StringIO()
