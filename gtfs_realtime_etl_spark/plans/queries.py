@@ -3154,6 +3154,22 @@ from gtfs_realtime_etl_spark.plans.analytics17 import (  # noqa: E402
 QUERIES.update(EXT20_QUERIES)
 ORACLE_SQL.update(EXT20_ORACLE_SQL)
 
+from gtfs_realtime_etl_spark.plans.analytics18 import (  # noqa: E402
+    EXT21_ORACLE_SQL,
+    EXT21_QUERIES,
+)
+
+QUERIES.update(EXT21_QUERIES)
+ORACLE_SQL.update(EXT21_ORACLE_SQL)
+
+from gtfs_realtime_etl_spark.plans.analytics19 import (  # noqa: E402
+    EXT22_ORACLE_SQL,
+    EXT22_QUERIES,
+)
+
+QUERIES.update(EXT22_QUERIES)
+ORACLE_SQL.update(EXT22_ORACLE_SQL)
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering — STRUCTURAL, derived from the CORRECTNESS artifacts.
 #

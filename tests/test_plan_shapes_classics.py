@@ -159,6 +159,8 @@ def test_no_cartesian_anywhere_in_registry(spark):
         "decayed_topk",       # corpus-max-timestamp 1-row scalar broadcast (plans/analytics14.py)
         "apriori_triples",    # n_orders 1-row scalar broadcast (plans/analytics17.py)
         "did_estimator",      # corpus-midpoint cut 1-row scalar broadcast (plans/analytics17.py)
+        "js_divergence",      # corpus-midpoint cut 1-row scalar broadcast (plans/analytics18.py)
+        "degree_assortativity",  # n_nodes 1-row scalar broadcast (plans/analytics19.py)
     }
     for name, fn in QUERIES.items():
         buf = io.StringIO()
