@@ -1,0 +1,293 @@
+"""Twenty-fourth query bank: rank correlation and gapped sequence
+support.
+
+- ``spearman_corr`` — EXACT tie-corrected Spearman rank correlation
+  between event value (cents) and hour-of-day, per event type, with
+  no per-row rank and no square root: ties take average ranks, and
+  the average rank of a distinct value with count ``c`` ending at
+  cumulative count ``cum`` is ``(2*cum - c + 1) / 2`` — so DOUBLED
+  ranks ``R = 2*cum - c + 1`` are integers, the scale factor cancels
+  in Pearson's ratio, and everything reduces to exact 128-bit moment
+  sums over the (type, cents, hour) JOINT histogram joined to the two
+  marginal rank maps.  The square root is avoided by reporting the
+  SIGNED SQUARE ``rho2_signed_ppm = sign(num) * num^2 * 1e6 /
+  (dx * dy)`` plus the exact num/dx/dy components, all truncating
+  128-bit division (portable — pinned by
+  ``tests/test_analytics18.py::test_signed_integer_division_portability``).
+- ``seq_pairs_support`` — gapped sequential-pattern support (the
+  PrefixSpan level-1→2 step): an ordered type pair (a → b) is
+  supported by a user iff SOME a-event precedes SOME b-event, i.e.
+  iff ``min_ts(a) < max_ts(b)`` — so per-user state is just the
+  (type, min_ts, max_ts) triple list (≤ n_types entries), pairs are
+  generated IN-ROW from that bounded list, and support counts one
+  shuffle at user grain plus one at pair grain.  Complements
+  ``markov_transitions`` (adjacent-only) and ``event_ngrams``
+  (contiguous): this is the anywhere-later ordering.  Support in ppm
+  of sequence-eligible users.
+
+Reference scope note: the reference (smohiudd/gtfs-realtime-etl) has
+no analytics surface of this kind; these are driver-mandated
+LLM-pipeline / warehouse extensions (SURVEY.md §7 step 7).
+
+At 100 TB: ``spearman_corr`` aggregates at joint-histogram grain
+(|distinct cents| x 24 per type after one combinable shuffle) with
+marginal-grain rank maps — no raw-row window; ``seq_pairs_support``
+is user-grain then pair-grain (n_types^2, tiny).  Doubled ranks stay
+far inside DECIMAL(38,0) through every product (R <= 2n; n*Rx*Ry at
+n = 1e12 is ~4e36 < 1e38).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gtfs_realtime_etl_spark.sources.testdata import load_testdata
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tabs = load_testdata(spark, sf_dir, tables=tuple(names))
+    return [tabs[n] for n in names]
+
+
+_CENTS = "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+_NS_PER_DAY = 86_400_000_000_000
+_NS_PER_HOUR = 3_600_000_000_000
+
+
+# ---------------------------------------------------------------------------
+# spearman_corr
+# ---------------------------------------------------------------------------
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        F.expr(_CENTS).alias("x"),
+        F.expr(f"(ts % {_NS_PER_DAY}) div {_NS_PER_HOUR}").alias("y"),
+    )
+    joint = base.groupBy("event_type", "x", "y").agg(
+        F.count(F.lit(1)).alias("n_xy")
+    )
+
+    def rank_map(col: str) -> DataFrame:
+        marg = joint.groupBy("event_type", col).agg(
+            F.sum("n_xy").alias("c")
+        )
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return marg.withColumn("cum", F.sum("c").over(w)).select(
+            "event_type",
+            col,
+            # Doubled average rank: 2*cum - c + 1 (exact integer).
+            F.expr("2 * cum - c + 1").alias(f"r_{col}"),
+        )
+
+    cells = joint.join(rank_map("x"), ["event_type", "x"]).join(
+        rank_map("y"), ["event_type", "y"]
+    )
+    mom = cells.groupBy("event_type").agg(
+        F.sum("n_xy").cast("long").alias("n"),
+        F.sum(
+            F.expr("CAST(n_xy AS DECIMAL(38,0)) * CAST(r_x AS DECIMAL(38,0))")
+        ).alias("srx"),
+        F.sum(
+            F.expr("CAST(n_xy AS DECIMAL(38,0)) * CAST(r_y AS DECIMAL(38,0))")
+        ).alias("sry"),
+        F.sum(
+            F.expr(
+                "CAST(n_xy AS DECIMAL(38,0)) * CAST(r_x AS DECIMAL(38,0))"
+                " * CAST(r_y AS DECIMAL(38,0))"
+            )
+        ).alias("sxy"),
+        F.sum(
+            F.expr(
+                "CAST(n_xy AS DECIMAL(38,0)) * CAST(r_x AS DECIMAL(38,0))"
+                " * CAST(r_x AS DECIMAL(38,0))"
+            )
+        ).alias("sxx"),
+        F.sum(
+            F.expr(
+                "CAST(n_xy AS DECIMAL(38,0)) * CAST(r_y AS DECIMAL(38,0))"
+                " * CAST(r_y AS DECIMAL(38,0))"
+            )
+        ).alias("syy"),
+    )
+    # num = n*Sxy - Srx*Sry; dx = n*Sxx - Srx^2; dy = n*Syy - Sry^2.
+    # rho = num / sqrt(dx*dy); reported as sign(num) * num^2 * 1e6 /
+    # (dx*dy) — exact, sqrt-free.  Degenerate (constant x or y, dx or
+    # dy = 0) -> NULL in both engines.
+    return mom.select(
+        "event_type",
+        "n",
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * sxy - srx * sry AS BIGINT)"
+        ).alias("num"),
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * sxx - srx * srx AS BIGINT)"
+        ).alias("dx"),
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * syy - sry * sry AS BIGINT)"
+        ).alias("dy"),
+        F.expr(
+            "CASE WHEN (CAST(n AS DECIMAL(38,0)) * sxx - srx * srx) > 0"
+            " AND (CAST(n AS DECIMAL(38,0)) * syy - sry * sry) > 0 THEN"
+            " CAST(CASE WHEN (CAST(n AS DECIMAL(38,0)) * sxy - srx * sry)"
+            " >= 0 THEN 1 ELSE -1 END"
+            " * (((CAST(n AS DECIMAL(38,0)) * sxy - srx * sry)"
+            "     * (CAST(n AS DECIMAL(38,0)) * sxy - srx * sry) * 1000000)"
+            "    div ((CAST(n AS DECIMAL(38,0)) * sxx - srx * srx)"
+            "         * (CAST(n AS DECIMAL(38,0)) * syy - sry * sry)))"
+            " AS BIGINT) END"
+        ).alias("rho2_signed_ppm"),
+    )
+
+
+Q_SPEARMAN_CORR_SQL = f"""
+WITH base AS (
+  SELECT event_type, {_CENTS} AS x,
+         (epoch_ns(ts) % {_NS_PER_DAY}) // {_NS_PER_HOUR} AS y
+  FROM events
+),
+joint AS (
+  SELECT event_type, x, y, CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM base GROUP BY 1, 2, 3
+),
+xm AS (
+  SELECT event_type, x, 2 * SUM(SUM(n_xy)) OVER (
+           PARTITION BY event_type ORDER BY x ROWS UNBOUNDED PRECEDING)
+         - SUM(n_xy) + 1 AS r_x
+  FROM joint GROUP BY event_type, x
+),
+ym AS (
+  SELECT event_type, y, 2 * SUM(SUM(n_xy)) OVER (
+           PARTITION BY event_type ORDER BY y ROWS UNBOUNDED PRECEDING)
+         - SUM(n_xy) + 1 AS r_y
+  FROM joint GROUP BY event_type, y
+),
+cells AS (
+  SELECT j.event_type, j.n_xy, xm.r_x, ym.r_y
+  FROM joint j
+  JOIN xm ON j.event_type = xm.event_type AND j.x = xm.x
+  JOIN ym ON j.event_type = ym.event_type AND j.y = ym.y
+),
+mom AS (
+  SELECT event_type,
+         CAST(SUM(n_xy) AS BIGINT) AS n,
+         SUM(CAST(n_xy AS HUGEINT) * CAST(r_x AS HUGEINT)) AS srx,
+         SUM(CAST(n_xy AS HUGEINT) * CAST(r_y AS HUGEINT)) AS sry,
+         SUM(CAST(n_xy AS HUGEINT) * CAST(r_x AS HUGEINT)
+             * CAST(r_y AS HUGEINT)) AS sxy,
+         SUM(CAST(n_xy AS HUGEINT) * CAST(r_x AS HUGEINT)
+             * CAST(r_x AS HUGEINT)) AS sxx,
+         SUM(CAST(n_xy AS HUGEINT) * CAST(r_y AS HUGEINT)
+             * CAST(r_y AS HUGEINT)) AS syy
+  FROM cells GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(CAST(n AS HUGEINT) * sxy - srx * sry AS BIGINT) AS num,
+       CAST(CAST(n AS HUGEINT) * sxx - srx * srx AS BIGINT) AS dx,
+       CAST(CAST(n AS HUGEINT) * syy - sry * sry AS BIGINT) AS dy,
+       CASE WHEN (CAST(n AS HUGEINT) * sxx - srx * srx) > 0
+             AND (CAST(n AS HUGEINT) * syy - sry * sry) > 0 THEN
+         CAST(CASE WHEN (CAST(n AS HUGEINT) * sxy - srx * sry) >= 0
+                   THEN 1 ELSE -1 END
+              * (((CAST(n AS HUGEINT) * sxy - srx * sry)
+                  * (CAST(n AS HUGEINT) * sxy - srx * sry) * 1000000)
+                 // ((CAST(n AS HUGEINT) * sxx - srx * srx)
+                     * (CAST(n AS HUGEINT) * syy - sry * sry)))
+           AS BIGINT) END AS rho2_signed_ppm
+FROM mom
+"""
+
+
+# ---------------------------------------------------------------------------
+# seq_pairs_support
+# ---------------------------------------------------------------------------
+
+
+def q_seq_pairs_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    spans = events.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")
+    )
+    per_user = spans.groupBy("user_id").agg(
+        F.expr(
+            "array_sort(collect_list(struct(event_type, min_ts, max_ts)))"
+        ).alias("types")
+    )
+    pairs = per_user.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                "flatten(transform(types, a ->"
+                " transform(filter(types, b ->"
+                " b.event_type != a.event_type AND a.min_ts < b.max_ts),"
+                " b -> struct(a.event_type AS t_first,"
+                " b.event_type AS t_then))))"
+            )
+        ).alias("p"),
+    )
+    support = pairs.groupBy("p.t_first", "p.t_then").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    # Share over users with >= 2 events of distinct types (the
+    # sequence-eligible population) via a window total-free scalar:
+    # eligible = users whose per-user type list has >= 2 entries.
+    eligible = per_user.filter(F.size("types") >= 2).agg(
+        F.count(F.lit(1)).alias("n_eligible")
+    )
+    return support.crossJoin(F.broadcast(eligible)).select(
+        "t_first",
+        "t_then",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_eligible").cast("long").alias("n_eligible"),
+        F.expr(
+            "CAST((CAST(n_users AS DECIMAL(38,0)) * 1000000)"
+            " div CAST(n_eligible AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("support_ppm"),
+    )
+
+
+Q_SEQ_PAIRS_SUPPORT_SQL = """
+WITH spans AS (
+  SELECT user_id, event_type,
+         MIN(epoch_ns(ts)) AS min_ts, MAX(epoch_ns(ts)) AS max_ts
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.user_id, a.event_type AS t_first, b.event_type AS t_then
+  FROM spans a JOIN spans b
+    ON a.user_id = b.user_id
+   AND a.event_type != b.event_type
+   AND a.min_ts < b.max_ts
+),
+support AS (
+  SELECT t_first, t_then, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM pairs GROUP BY 1, 2
+),
+eligible AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_eligible FROM (
+    SELECT user_id FROM spans GROUP BY 1 HAVING COUNT(*) >= 2
+  )
+)
+SELECT t_first, t_then, n_users, n_eligible,
+       CAST((CAST(n_users AS HUGEINT) * 1000000)
+            // CAST(n_eligible AS HUGEINT) AS BIGINT) AS support_ppm
+FROM support CROSS JOIN eligible
+"""
+
+
+EXT23_QUERIES = {
+    "spearman_corr": q_spearman_corr,
+    "seq_pairs_support": q_seq_pairs_support,
+}
+
+EXT23_ORACLE_SQL = {
+    "spearman_corr": Q_SPEARMAN_CORR_SQL,
+    "seq_pairs_support": Q_SEQ_PAIRS_SUPPORT_SQL,
+}

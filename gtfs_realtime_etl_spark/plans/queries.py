@@ -3170,6 +3170,14 @@ from gtfs_realtime_etl_spark.plans.analytics19 import (  # noqa: E402
 QUERIES.update(EXT22_QUERIES)
 ORACLE_SQL.update(EXT22_ORACLE_SQL)
 
+from gtfs_realtime_etl_spark.plans.analytics20 import (  # noqa: E402
+    EXT23_ORACLE_SQL,
+    EXT23_QUERIES,
+)
+
+QUERIES.update(EXT23_QUERIES)
+ORACLE_SQL.update(EXT23_ORACLE_SQL)
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering — STRUCTURAL, derived from the CORRECTNESS artifacts.
 #

@@ -161,6 +161,7 @@ def test_no_cartesian_anywhere_in_registry(spark):
         "did_estimator",      # corpus-midpoint cut 1-row scalar broadcast (plans/analytics17.py)
         "js_divergence",      # corpus-midpoint cut 1-row scalar broadcast (plans/analytics18.py)
         "degree_assortativity",  # n_nodes 1-row scalar broadcast (plans/analytics19.py)
+        "seq_pairs_support",  # n_eligible 1-row scalar broadcast (plans/analytics20.py)
     }
     for name, fn in QUERIES.items():
         buf = io.StringIO()
