@@ -217,7 +217,14 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per event type with its half counts and exact
     per-type micro contribution, plus a ``__TOTAL__`` row whose
     ``term_micro`` is N*JS itself (the same count form applied to the
-    half totals, minus the per-type sum — see module doc)."""
+    half totals, minus the per-type sum — see module doc).
+
+    Plan: TWO event scans total — one for the midpoint scalar, one for
+    the counts, which ROLLUP to both the per-type and the grand-total
+    grain in a single aggregate (event_type is non-null by schema, so
+    the rollup's null row is unambiguous); the total row's subtraction
+    of the per-type sum is a window over the tiny aggregate output,
+    not a second pass."""
     (events,) = _t(spark, sf_dir, "events")
     cut = events.agg(F.expr("(min(ts) + max(ts)) div 2").alias("cut"))
     counts = (
@@ -226,30 +233,34 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.expr("CASE WHEN ts >= cut THEN 1 ELSE 0 END").alias("post"),
         )
-        .groupBy("event_type")
+        .rollup("event_type")
         .agg(
             F.sum(F.expr("1 - post")).cast("long").alias("c0"),
             F.sum("post").cast("long").alias("c1"),
         )
     )
     terms = counts.withColumn(
-        "term_micro", _js_term(F.col("c0"), F.col("c1"))
+        "term_raw", _js_term(F.col("c0"), F.col("c1"))
     )
-    tot = terms.agg(
-        F.sum("c0").cast("long").alias("n0"),
-        F.sum("c1").cast("long").alias("n1"),
-        F.sum("term_micro").cast("long").alias("terms_sum"),
-    )
-    total_row = tot.select(
-        F.lit(JS_TOTAL_ROW).alias("event_type"),
-        F.col("n0").alias("c0"),
-        F.col("n1").alias("c1"),
-        (_js_term(F.col("n0"), F.col("n1")) - F.col("terms_sum"))
+    w = Window.partitionBy()
+    per_type_sum = F.sum(
+        F.when(F.col("event_type").isNotNull(), F.col("term_raw")).otherwise(
+            F.lit(0)
+        )
+    ).over(w)
+    return terms.select(
+        F.coalesce(F.col("event_type"), F.lit(JS_TOTAL_ROW)).alias(
+            "event_type"
+        ),
+        "c0",
+        "c1",
+        F.when(
+            F.col("event_type").isNull(),
+            F.col("term_raw") - per_type_sum,
+        )
+        .otherwise(F.col("term_raw"))
         .cast("long")
         .alias("term_micro"),
-    )
-    return terms.select("event_type", "c0", "c1", "term_micro").unionAll(
-        total_row
     )
 
 
