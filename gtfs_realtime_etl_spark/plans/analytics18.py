@@ -343,15 +343,15 @@ _KH_MOD2 = 2_147_483_647
 _KH_EXPR = f"((event_id % {_KH_MOD1}) * {_KH_MULT}) % {_KH_MOD2}"
 
 
-def q_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kendall_counts(events: DataFrame) -> DataFrame:
     """Kendall concordance of value vs time per event type over a
-    bounded deterministic sample (see module doc).
+    bounded deterministic sample (see module doc) — the testable
+    kernel behind ``kendall_trend``.
 
     Pair classes on the (ts, event_id)-sorted sample, i < j:
     ts tie -> tie_t; value tie -> tie_v; value up -> concordant;
     value down -> discordant.  tau_ppm = (conc - disc) * 1e6 over all
     K*(K-1)/2 pairs (tau-a; ties reported, not corrected)."""
-    (events,) = _t(spark, sf_dir, "events")
     base = events.select(
         "event_type",
         "event_id",
@@ -406,6 +406,11 @@ def q_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.withColumn(
         "tau_ppm", F.expr("(conc - disc) * 1000000 div n_pairs")
     )
+
+
+def q_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return kendall_counts(events)
 
 
 Q_KENDALL_TREND_SQL = f"""

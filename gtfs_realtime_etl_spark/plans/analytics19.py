@@ -81,8 +81,10 @@ FUNNEL_WINDOW_NS = _NS_PER_DAY // 2
 FUNNEL_CAP = 64
 
 
-def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (events,) = _t(spark, sf_dir, "events")
+def funnel_levels(events: DataFrame) -> DataFrame:
+    """Per-user funnel level over an (user_id, event_id, ts,
+    event_type) frame — the testable kernel behind ``window_funnel``
+    (scale smokes feed it synthetic corpora)."""
     w = Window.partitionBy("user_id", "event_type").orderBy(
         "ts", "event_id"
     )
@@ -133,6 +135,11 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div CAST(total AS DECIMAL(38,0)) AS BIGINT)"
         ).alias("users_ppm"),
     )
+
+
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return funnel_levels(events)
 
 
 Q_WINDOW_FUNNEL_SQL = f"""

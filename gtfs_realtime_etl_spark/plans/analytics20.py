@@ -60,13 +60,9 @@ _NS_PER_HOUR = 3_600_000_000_000
 # ---------------------------------------------------------------------------
 
 
-def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (events,) = _t(spark, sf_dir, "events")
-    base = events.select(
-        "event_type",
-        F.expr(_CENTS).alias("x"),
-        F.expr(f"(ts % {_NS_PER_DAY}) div {_NS_PER_HOUR}").alias("y"),
-    )
+def spearman_moments(base: DataFrame) -> DataFrame:
+    """Exact tie-corrected Spearman over an (event_type, x, y) integer
+    frame — the testable kernel behind ``spearman_corr``."""
     joint = base.groupBy("event_type", "x", "y").agg(
         F.count(F.lit(1)).alias("n_xy")
     )
@@ -147,6 +143,17 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return spearman_moments(
+        events.select(
+            "event_type",
+            F.expr(_CENTS).alias("x"),
+            F.expr(f"(ts % {_NS_PER_DAY}) div {_NS_PER_HOUR}").alias("y"),
+        )
+    )
+
+
 Q_SPEARMAN_CORR_SQL = f"""
 WITH base AS (
   SELECT event_type, {_CENTS} AS x,
@@ -210,8 +217,9 @@ FROM mom
 # ---------------------------------------------------------------------------
 
 
-def q_seq_pairs_support(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (events,) = _t(spark, sf_dir, "events")
+def seq_pair_support(events: DataFrame) -> DataFrame:
+    """Gapped ordered-pair support over an (user_id, ts, event_type)
+    frame — the testable kernel behind ``seq_pairs_support``."""
     spans = events.groupBy("user_id", "event_type").agg(
         F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")
     )
@@ -251,6 +259,11 @@ def q_seq_pairs_support(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div CAST(n_eligible AS DECIMAL(38,0)) AS BIGINT)"
         ).alias("support_ppm"),
     )
+
+
+def q_seq_pairs_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return seq_pair_support(events)
 
 
 Q_SEQ_PAIRS_SUPPORT_SQL = """
