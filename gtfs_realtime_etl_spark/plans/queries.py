@@ -3178,6 +3178,14 @@ from gtfs_realtime_etl_spark.plans.analytics20 import (  # noqa: E402
 QUERIES.update(EXT23_QUERIES)
 ORACLE_SQL.update(EXT23_ORACLE_SQL)
 
+from gtfs_realtime_etl_spark.plans.analytics21 import (  # noqa: E402
+    EXT24_ORACLE_SQL,
+    EXT24_QUERIES,
+)
+
+QUERIES.update(EXT24_QUERIES)
+ORACLE_SQL.update(EXT24_ORACLE_SQL)
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering — STRUCTURAL, derived from the CORRECTNESS artifacts.
 #
