@@ -178,33 +178,45 @@ def _mi_pair(df: DataFrame, x: str, y: str, pair_name: str) -> DataFrame:
         - _lg_micro(F.col("cx"))
         - _lg_micro(F.col("cy"))
     )
-    # Marginal entropies ride the SAME joint grain: sum_x cx*lg(cx) ==
-    # sum_xy cxy*lg(cx) exactly (sum_y cxy = cx distributes over the
-    # integer product), so mi/hx/hy all come out of ONE aggregate over
-    # the contingency table — no per-marginal re-aggregation branches
-    # (the pre-round-9 form recomputed the joint subtree three times
-    # and scalar-joined the pieces back; values are bit-identical).
-    return joint.agg(
+    mi = joint.agg(
         F.max("n").alias("n_rows"),
         F.countDistinct("x").alias("k_x"),
         F.countDistinct("y").alias("k_y"),
         _micro_sum(F.col("cxy"), dl_micro).alias("mi_sum_micro"),
-        _micro_sum(F.col("cxy"), _lg_micro(F.col("cx"))).alias(
-            "hx_sum_micro"
-        ),
-        _micro_sum(F.col("cxy"), _lg_micro(F.col("cy"))).alias(
-            "hy_sum_micro"
-        ),
-        F.max(_lg_micro(F.col("n"))).alias("log2n_micro"),
-    ).select(
-        F.lit(pair_name).alias("pair"),
-        "n_rows",
-        "k_x",
-        "k_y",
-        "log2n_micro",
-        "mi_sum_micro",
-        "hx_sum_micro",
-        "hy_sum_micro",
+    )
+    hx = (
+        joint.groupBy("x")
+        .agg(F.max("cx").alias("cx"))
+        .agg(
+            _micro_sum(F.col("cx"), _lg_micro(F.col("cx"))).alias(
+                "hx_sum_micro"
+            )
+        )
+    )
+    hy = (
+        joint.groupBy("y")
+        .agg(F.max("cy").alias("cy"))
+        .agg(
+            _micro_sum(F.col("cy"), _lg_micro(F.col("cy"))).alias(
+                "hy_sum_micro"
+            )
+        )
+    )
+    # 1-row × 1-row scalar combines (broadcast nested-loop on literal
+    # singletons — the SCALAR_BNLJ_OK pattern).
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.lit(pair_name).alias("pair"),
+            "n_rows",
+            "k_x",
+            "k_y",
+            _lg_micro(F.col("n_rows")).alias("log2n_micro"),
+            "mi_sum_micro",
+            "hx_sum_micro",
+            "hy_sum_micro",
+        )
     )
 
 
@@ -224,8 +236,6 @@ def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mi_pair_sql(from_clause: str, x: str, y: str, pair_name: str) -> str:
-    # Marginal entropies on the joint grain (sum_x cx*lg(cx) ==
-    # sum_xy cxy*lg(cx), exactly) — one aggregate, mirroring _mi_pair.
     return f"""
 SELECT pair, n_rows, k_x, k_y, log2n_micro, mi_sum_micro, hx_sum_micro,
        hy_sum_micro FROM (
@@ -241,29 +251,53 @@ SELECT pair, n_rows, k_x, k_y, log2n_micro, mi_sum_micro, hx_sum_micro,
     FROM joint
   ),
   terms AS (
-    SELECT x, y, cxy, n,
+    SELECT cxy, n,
            {portable_int_log2_sql("cxy", "la")},
            {portable_int_log2_sql("n", "ln")},
            {portable_int_log2_sql("cx", "lx")},
            {portable_int_log2_sql("cy", "ly")}
     FROM marg
+  ),
+  mi AS (
+    SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(cxy AS DECIMAL(18,0))
+               * CAST({_lg_micro_sql("la_lg")} + {_lg_micro_sql("ln_lg")}
+                      - {_lg_micro_sql("lx_lg")} - {_lg_micro_sql("ly_lg")}
+                      AS DECIMAL(12,0))) AS BIGINT) AS mi_sum_micro
+    FROM terms
+  ),
+  kk AS (
+    SELECT COUNT(DISTINCT x) AS k_x, COUNT(DISTINCT y) AS k_y FROM joint
+  ),
+  hx AS (
+    SELECT CAST(SUM(CAST(cx AS DECIMAL(18,0))
+               * CAST({_lg_micro_sql("lx_lg")} AS DECIMAL(12,0))) AS BIGINT)
+           AS hx_sum_micro
+    FROM (
+      SELECT cx, {portable_int_log2_sql("cx", "lx")}
+      FROM (SELECT x, MAX(cx) AS cx FROM marg GROUP BY x)
+    )
+  ),
+  hy AS (
+    SELECT CAST(SUM(CAST(cy AS DECIMAL(18,0))
+               * CAST({_lg_micro_sql("ly_lg")} AS DECIMAL(12,0))) AS BIGINT)
+           AS hy_sum_micro
+    FROM (
+      SELECT cy, {portable_int_log2_sql("cy", "ly")}
+      FROM (SELECT y, MAX(cy) AS cy FROM marg GROUP BY y)
+    )
+  ),
+  nn AS (
+    SELECT n_rows, {portable_int_log2_sql("n_rows", "lnr")} FROM mi
   )
   SELECT '{pair_name}' AS pair,
-         CAST(MAX(n) AS BIGINT) AS n_rows,
-         COUNT(DISTINCT x) AS k_x,
-         COUNT(DISTINCT y) AS k_y,
-         MAX({_lg_micro_sql("ln_lg")}) AS log2n_micro,
-         CAST(SUM(CAST(cxy AS DECIMAL(18,0))
-             * CAST({_lg_micro_sql("la_lg")} + {_lg_micro_sql("ln_lg")}
-                    - {_lg_micro_sql("lx_lg")} - {_lg_micro_sql("ly_lg")}
-                    AS DECIMAL(12,0))) AS BIGINT) AS mi_sum_micro,
-         CAST(SUM(CAST(cxy AS DECIMAL(18,0))
-             * CAST({_lg_micro_sql("lx_lg")} AS DECIMAL(12,0)))
-           AS BIGINT) AS hx_sum_micro,
-         CAST(SUM(CAST(cxy AS DECIMAL(18,0))
-             * CAST({_lg_micro_sql("ly_lg")} AS DECIMAL(12,0)))
-           AS BIGINT) AS hy_sum_micro
-  FROM terms
+         mi.n_rows,
+         kk.k_x, kk.k_y,
+         {_lg_micro_sql("nn.lnr_lg")} AS log2n_micro,
+         mi.mi_sum_micro,
+         hx.hx_sum_micro,
+         hy.hy_sum_micro
+  FROM mi, kk, hx, hy, nn
 )
 """
 

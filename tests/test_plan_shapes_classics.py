@@ -149,6 +149,7 @@ def test_no_cartesian_anywhere_in_registry(spark):
         "bm25_topk",         # corpus N/avgdl 1-row scalar broadcast (plans/analytics6.py)
         "key_skew_report",   # moment/top10 1-row scalar assembly (plans/analytics6.py)
         "join_cardinality",  # exact/estimate 1-row scalar assembly (plans/analytics6.py)
+        "feature_mi",        # MI/entropy 1-row scalar combines (plans/analytics7.py)
         "basket_rules",      # n_orders 1-row scalar broadcast (plans/analytics7.py)
         "ndcg_report",       # DCG×IDCG 1-row scalar combine + probe vector broadcasts (plans/analytics11.py)
         "naive_bayes_lang",  # 5-row language-dim broadcast + vocab/doc-total 1-row scalars (plans/analytics12.py)
