@@ -41,9 +41,21 @@ def main() -> None:
         manifest = {}
 
     rows = _driver_rows()
+    latest_round = max((rnd for rnd, _ok, _f in rows.values()), default=0)
     updated = 0
     for name, (rnd, ok, _full) in sorted(rows.items()):
         if not ok or name not in QUERIES:
+            continue
+        # Only rows from the LATEST correctness round were verified
+        # against the current tree (this script runs at round start,
+        # while the tree still equals the round-end commit).  Recording
+        # the current hash for an OLDER green row would silently erase
+        # changed-since-green debt: the driver verified that entry's
+        # old source, not whatever it looks like now (round-10 lesson:
+        # the first run of this script converted all 46 debt entries
+        # into trusted greens and the rotation would have burned
+        # never-changed round-5 entries instead).
+        if rnd < latest_round:
             continue
         h = _entry_src_hash(QUERIES[name], ORACLE_SQL.get(name))
         prev = manifest.get(name)
