@@ -377,27 +377,11 @@ Q_MARKOV_ENTROPY_RATE_SQL = _markov_entropy_rate_sql()
 ASSORT_BASKET_CAP = 32
 
 
-def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (lineitem,) = _t(spark, sf_dir, "lineitem")
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
-    baskets = items.groupBy("l_orderkey").agg(
-        F.expr(
-            f"slice(array_sort(collect_set(l_partkey)), 1, {ASSORT_BASKET_CAP})"
-        ).alias("parts")
-    ).filter(F.size("parts") >= 2)
-    edges = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, (a, i) ->"
-                    " transform(slice(parts, i + 2, size(parts)), b ->"
-                    " struct(a AS u, b AS v))))"
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .distinct()
-    )
+def assortativity_report(edges: DataFrame) -> DataFrame:
+    """Newman degree assortativity over a distinct undirected (u, v)
+    edge frame — the testable kernel behind ``degree_assortativity``
+    (the degenerate degree-regular case must emit NULL identically in
+    both engines)."""
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -449,15 +433,48 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))"
             " AS BIGINT)"
         ).alias("den"),
+        # den = 0 on a degree-regular graph (every node the same
+        # degree, e.g. all edges isolated pairs): assortativity is
+        # undefined there, and unguarded the engines diverge (Spark
+        # decimal div -> NULL vs DuckDB // -> error), so both sides
+        # emit NULL explicitly — the spearman_corr degenerate-case
+        # convention.
         F.expr(
-            "CAST((2 * CAST(n_edges AS DECIMAL(38,0)) * sxy"
+            "CASE WHEN (2 * CAST(n_edges AS DECIMAL(38,0)) * sxx"
+            " - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)))"
+            " > 0 THEN"
+            " CAST((2 * CAST(n_edges AS DECIMAL(38,0)) * sxy"
             " - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)))"
             " * 1000000"
             " div (2 * CAST(n_edges AS DECIMAL(38,0)) * sxx"
             " - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)))"
-            " AS BIGINT)"
+            " AS BIGINT) END"
         ).alias("r_ppm"),
     )
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    baskets = items.groupBy("l_orderkey").agg(
+        F.expr(
+            f"slice(array_sort(collect_set(l_partkey)), 1, {ASSORT_BASKET_CAP})"
+        ).alias("parts")
+    ).filter(F.size("parts") >= 2)
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (a, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)), b ->"
+                    " struct(a AS u, b AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+    )
+    return assortativity_report(edges)
 
 
 Q_DEGREE_ASSORTATIVITY_SQL = f"""
@@ -503,11 +520,13 @@ SELECT n_nodes, n_edges,
             - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS BIGINT) AS num,
        CAST(2 * CAST(n_edges AS HUGEINT) * sxx
             - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS BIGINT) AS den,
-       CAST((2 * CAST(n_edges AS HUGEINT) * sxy
-             - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)) * 1000000
-            // (2 * CAST(n_edges AS HUGEINT) * sxx
-                - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT))
-         AS BIGINT) AS r_ppm
+       CASE WHEN (2 * CAST(n_edges AS HUGEINT) * sxx
+                  - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)) > 0 THEN
+         CAST((2 * CAST(n_edges AS HUGEINT) * sxy
+               - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)) * 1000000
+              // (2 * CAST(n_edges AS HUGEINT) * sxx
+                  - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT))
+           AS BIGINT) END AS r_ppm
 FROM mom CROSS JOIN nn
 """
 

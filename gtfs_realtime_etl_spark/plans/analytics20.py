@@ -10,10 +10,18 @@ support.
   in Pearson's ratio, and everything reduces to exact 128-bit moment
   sums over the (type, cents, hour) JOINT histogram joined to the two
   marginal rank maps.  The square root is avoided by reporting the
-  SIGNED SQUARE ``rho2_signed_ppm = sign(num) * num^2 * 1e6 /
-  (dx * dy)`` plus the exact num/dx/dy components, all truncating
+  SIGNED SQUARE ``rho2_signed_ppm = sign(num) * (num div g)^2 * 1e6 /
+  ((dx div g) * (dy div g))`` with a SHARED decimal scale-down factor
+  ``g = 10^scale_e`` (``scale_e = max(0, digits(max(dx, dy)) - 15)``),
+  plus the g-quantized num/dx/dy components as BIGINT — all truncating
   128-bit division (portable — pinned by
   ``tests/test_analytics18.py::test_signed_integer_division_portability``).
+  Quantizing by a shared factor keeps every intermediate inside 128
+  bits: |num| <= sqrt(dx*dy) <= max(dx, dy) by Cauchy-Schwarz, so
+  |num div g| < 1e15 and (num div g)^2 * 1e6 < 1e36 < 1e38, while the
+  ratio loses at most ~1e-15 relative precision (far below the ppm
+  output grain).  At test scale (dx, dy < 1e15) ``scale_e = 0`` and
+  the quantized components equal the exact ones.
 - ``seq_pairs_support`` — gapped sequential-pattern support (the
   PrefixSpan level-1→2 step): an ordered type pair (a → b) is
   supported by a user iff SOME a-event precedes SOME b-event, i.e.
@@ -32,9 +40,19 @@ LLM-pipeline / warehouse extensions (SURVEY.md §7 step 7).
 At 100 TB: ``spearman_corr`` aggregates at joint-histogram grain
 (|distinct cents| x 24 per type after one combinable shuffle) with
 marginal-grain rank maps — no raw-row window; ``seq_pairs_support``
-is user-grain then pair-grain (n_types^2, tiny).  Doubled ranks stay
-far inside DECIMAL(38,0) through every product (R <= 2n; n*Rx*Ry at
-n = 1e12 is ~4e36 < 1e38).
+is user-grain then pair-grain (n_types^2, tiny).  Overflow contract
+(corrected in round 10 — the original note only bounded single
+moment TERMS): with doubled ranks R <= 2n the moment sums are O(n^3)
+(Sxx <= 4n^3) and the centered components num/dx/dy are O(n^4)
+(|num|, dx, dy <= 4n^4), so the EXACT 128-bit stage holds for
+n <= ~2.2e9 rows per event type (4n^4 < 1e38); beyond that the
+moment differences themselves exceed DECIMAL(38,0)/HUGEINT and the
+query must be sharded (e.g. by day) or run on rescaled ranks.  The
+emitted num/dx/dy are quantized by the shared g = 10^scale_e so they
+always fit BIGINT, and the rho2 intermediate (num div g)^2 * 1e6 is
+bounded < 1e36 by construction (see above) — the unquantized form
+num^2 * 1e6 would overflow 128 bits as soon as dx*dy > 1e32, i.e.
+already at ~3e5 strongly-correlated rows per type.
 """
 
 from __future__ import annotations
@@ -114,31 +132,62 @@ def spearman_moments(base: DataFrame) -> DataFrame:
         ).alias("syy"),
     )
     # num = n*Sxy - Srx*Sry; dx = n*Sxx - Srx^2; dy = n*Syy - Sry^2.
-    # rho = num / sqrt(dx*dy); reported as sign(num) * num^2 * 1e6 /
-    # (dx*dy) — exact, sqrt-free.  Degenerate (constant x or y, dx or
-    # dy = 0) -> NULL in both engines.
-    return mom.select(
+    # rho = num / sqrt(dx*dy); reported via the g-quantized signed
+    # square (see quantize_spearman_components).  Degenerate (constant
+    # x or y, dx or dy = 0) -> NULL in both engines.
+    raw = mom.select(
         "event_type",
         "n",
+        F.expr("CAST(n AS DECIMAL(38,0)) * sxy - srx * sry").alias("num_x"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * sxx - srx * srx").alias("dx_x"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * syy - sry * sry").alias("dy_x"),
+    )
+    return quantize_spearman_components(raw)
+
+
+#: Shared scale-down factor 10^scale_e, as a SQL fragment over the
+#: exact 128-bit components.  digits(max(dx,dy)) via the decimal's
+#: string form — exact, no float log10 near-boundary hazard.  dx_x and
+#: dy_x are >= 0, so the string has no sign character.
+_SPEARMAN_E = (
+    "GREATEST(LENGTH(CAST(GREATEST(dx_x, dy_x,"
+    " CAST(1 AS DECIMAL(38,0))) AS STRING)) - 15, 0)"
+)
+_SPEARMAN_G = f"CAST(CONCAT('1', REPEAT('0', {_SPEARMAN_E})) AS DECIMAL(38,0))"
+
+
+def quantize_spearman_components(raw: DataFrame) -> DataFrame:
+    """Quantize exact 128-bit (num_x, dx_x, dy_x) Spearman components
+    by the shared g = 10^scale_e so every output fits BIGINT and the
+    rho2 intermediate stays inside 128 bits — the testable kernel
+    behind ``spearman_moments``'s output stage.
+
+    Cauchy-Schwarz gives |num_x| <= sqrt(dx_x*dy_x) <= max(dx_x, dy_x),
+    so |num_x div g| < 1e15 and (num_x div g)^2 * 1e6 < 1e36.  Signed
+    truncating div is portable (pinned).  If dx and dy differ by more
+    than 15 orders of magnitude the smaller quantized denominator
+    underflows to 0 and rho2 is NULL — deterministic and identical in
+    both engines (documented extreme-degenerate convention)."""
+    g = _SPEARMAN_G
+    # Spark `div` yields BIGINT even on DECIMAL operands, so each
+    # quotient is re-cast to DECIMAL(38,0) before the rho2 products
+    # (BIGINT * BIGINT would long-overflow under ANSI).
+    nq = f"CAST(num_x div {g} AS DECIMAL(38,0))"
+    dxq = f"CAST(dx_x div {g} AS DECIMAL(38,0))"
+    dyq = f"CAST(dy_x div {g} AS DECIMAL(38,0))"
+    return raw.select(
+        "event_type",
+        "n",
+        F.expr(f"CAST({_SPEARMAN_E} AS BIGINT)").alias("scale_e"),
+        F.expr(f"CAST(num_x div {g} AS BIGINT)").alias("num"),
+        F.expr(f"CAST(dx_x div {g} AS BIGINT)").alias("dx"),
+        F.expr(f"CAST(dy_x div {g} AS BIGINT)").alias("dy"),
         F.expr(
-            "CAST(CAST(n AS DECIMAL(38,0)) * sxy - srx * sry AS BIGINT)"
-        ).alias("num"),
-        F.expr(
-            "CAST(CAST(n AS DECIMAL(38,0)) * sxx - srx * srx AS BIGINT)"
-        ).alias("dx"),
-        F.expr(
-            "CAST(CAST(n AS DECIMAL(38,0)) * syy - sry * sry AS BIGINT)"
-        ).alias("dy"),
-        F.expr(
-            "CASE WHEN (CAST(n AS DECIMAL(38,0)) * sxx - srx * srx) > 0"
-            " AND (CAST(n AS DECIMAL(38,0)) * syy - sry * sry) > 0 THEN"
-            " CAST(CASE WHEN (CAST(n AS DECIMAL(38,0)) * sxy - srx * sry)"
-            " >= 0 THEN 1 ELSE -1 END"
-            " * (((CAST(n AS DECIMAL(38,0)) * sxy - srx * sry)"
-            "     * (CAST(n AS DECIMAL(38,0)) * sxy - srx * sry) * 1000000)"
-            "    div ((CAST(n AS DECIMAL(38,0)) * sxx - srx * srx)"
-            "         * (CAST(n AS DECIMAL(38,0)) * syy - sry * sry)))"
-            " AS BIGINT) END"
+            f"CASE WHEN dx_x > 0 AND dy_x > 0"
+            f" AND {dxq} > 0 AND {dyq} > 0 THEN"
+            f" CAST((CASE WHEN num_x >= 0 THEN 1 ELSE -1 END)"
+            f" * ((({nq} * {nq} * 1000000)"
+            f"    div ({dxq} * {dyq}))) AS BIGINT) END"
         ).alias("rho2_signed_ppm"),
     )
 
@@ -194,21 +243,33 @@ mom AS (
          SUM(CAST(n_xy AS HUGEINT) * CAST(r_y AS HUGEINT)
              * CAST(r_y AS HUGEINT)) AS syy
   FROM cells GROUP BY 1
+),
+raw AS (
+  SELECT event_type, n,
+         CAST(n AS HUGEINT) * sxy - srx * sry AS num_x,
+         CAST(n AS HUGEINT) * sxx - srx * srx AS dx_x,
+         CAST(n AS HUGEINT) * syy - sry * sry AS dy_x
+  FROM mom
+),
+scaled AS (
+  SELECT *,
+         CAST('1' || REPEAT('0', GREATEST(LENGTH(CAST(GREATEST(dx_x, dy_x,
+              CAST(1 AS HUGEINT)) AS VARCHAR)) - 15, 0)) AS HUGEINT) AS g,
+         CAST(GREATEST(LENGTH(CAST(GREATEST(dx_x, dy_x,
+              CAST(1 AS HUGEINT)) AS VARCHAR)) - 15, 0) AS BIGINT) AS scale_e
+  FROM raw
 )
-SELECT event_type, n,
-       CAST(CAST(n AS HUGEINT) * sxy - srx * sry AS BIGINT) AS num,
-       CAST(CAST(n AS HUGEINT) * sxx - srx * srx AS BIGINT) AS dx,
-       CAST(CAST(n AS HUGEINT) * syy - sry * sry AS BIGINT) AS dy,
-       CASE WHEN (CAST(n AS HUGEINT) * sxx - srx * srx) > 0
-             AND (CAST(n AS HUGEINT) * syy - sry * sry) > 0 THEN
-         CAST(CASE WHEN (CAST(n AS HUGEINT) * sxy - srx * sry) >= 0
-                   THEN 1 ELSE -1 END
-              * (((CAST(n AS HUGEINT) * sxy - srx * sry)
-                  * (CAST(n AS HUGEINT) * sxy - srx * sry) * 1000000)
-                 // ((CAST(n AS HUGEINT) * sxx - srx * srx)
-                     * (CAST(n AS HUGEINT) * syy - sry * sry)))
-           AS BIGINT) END AS rho2_signed_ppm
-FROM mom
+SELECT event_type, n, scale_e,
+       CAST(num_x // g AS BIGINT) AS num,
+       CAST(dx_x // g AS BIGINT) AS dx,
+       CAST(dy_x // g AS BIGINT) AS dy,
+       CASE WHEN dx_x > 0 AND dy_x > 0
+             AND (dx_x // g) > 0 AND (dy_x // g) > 0 THEN
+         CAST((CASE WHEN num_x >= 0 THEN 1 ELSE -1 END)
+              * (((num_x // g) * (num_x // g) * 1000000)
+                 // ((dx_x // g) * (dy_x // g))) AS BIGINT) END
+         AS rho2_signed_ppm
+FROM scaled
 """
 
 

@@ -3,12 +3,20 @@ and DAU/MAU stickiness.
 
 - ``ewma_daily_anomaly`` — exponentially weighted moving average of
   daily revenue per event type with EXACT dyadic weights: alpha = 1/2
-  truncated at ``EWMA_LAGS`` trailing observations, so the prior-day
-  EWMA numerator is ``P_t = sum_{k=1..L} x_{t-k} * 2^(L-k)`` over the
-  (type, day) grain (explicit LAG columns — the weight depends on the
-  offset, which no plain window SUM expresses; L is a compile-time
-  constant so the lag fan is fixed) and the weight total is the exact
-  Mersenne ``2^L - 1``.  The anomaly score is the integer ratio
+  truncated at ``EWMA_LAGS`` trailing observations, so the EWMA
+  numerator is ``P_t = sum_{k=1..L} x_{t(-k)} * 2^(L-k)`` where
+  ``t(-k)`` is the k-th prior OBSERVED day for that type — lags are
+  OBSERVATION-indexed, not calendar-indexed: ``LAG(x, k)`` over the
+  (type, day) grain skips days with no events, so for a sparse type
+  the k-th weight applies across whatever calendar gap separates the
+  observations (consistent across engines; a calendar-day EWMA would
+  require densifying each type's day axis with zero-fill first, which
+  would also redefine "anomaly" for dormant types — deliberately not
+  done).  The weight fan uses explicit LAG columns — the weight
+  depends on the offset, which no plain window SUM expresses; L is a
+  compile-time constant so the lag fan is fixed — and the weight
+  total is the exact Mersenne ``2^L - 1``.  The anomaly score is the
+  integer ratio
   ``|x_t*(2^L-1) - P_t| * 1e6 / max(P_t, 1)`` — a scale-free ppm
   deviation computed identically in both engines, no floats anywhere.
   Grain: |types| x |days| after one combinable shuffle — tiny at any
@@ -54,7 +62,8 @@ _NS_PER_DAY = 86_400_000_000_000
 # ---------------------------------------------------------------------------
 
 #: Trailing observations in the truncated EWMA (alpha = 1/2): weights
-#: 2^(L-1) ... 2^0 over the L prior days, total 2^L - 1.
+#: 2^(L-1) ... 2^0 over the L prior OBSERVED days (observation-indexed
+#: lags, see module doc), total 2^L - 1.
 EWMA_LAGS = 14
 _EWMA_DEN = (1 << EWMA_LAGS) - 1
 

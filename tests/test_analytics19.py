@@ -191,3 +191,43 @@ def test_degree_assortativity_matches_python_replica(spark):
     ) == (len(deg), len(edges), m, sx, sxy, sxx, num, den, r_ppm)
     # Assortativity is a correlation: |r| <= 1.
     assert -1_000_000 <= row.r_ppm <= 1_000_000
+
+
+def test_assortativity_degree_regular_graph_is_null_cross_engine(spark):
+    """den = 2E*Sxx - Sx^2 = 0 on a degree-regular graph (round-10
+    advisor item): both engines must emit NULL, not diverge (Spark
+    decimal div -> NULL silently vs DuckDB // -> div-by-zero error)."""
+    import duckdb
+
+    from gtfs_realtime_etl_spark.plans.analytics19 import (
+        assortativity_report,
+    )
+
+    # Two isolated pairs: every node degree 1 -> den = 0.
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 4)], schema="u BIGINT, v BIGINT"
+    )
+    row = assortativity_report(edges).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.den) == (4, 2, 0)
+    assert row.r_ppm is None
+    # Same guard on the DuckDB side of the oracle: a degree-regular
+    # edge set through the final SELECT's CASE yields NULL, not error.
+    got = duckdb.sql(
+        """
+        WITH mom(n_edges, sx, sxy, sxx) AS (
+          VALUES (CAST(2 AS BIGINT), CAST(4 AS BIGINT),
+                  CAST(4 AS HUGEINT), CAST(4 AS HUGEINT))
+        )
+        SELECT CASE WHEN (2 * CAST(n_edges AS HUGEINT) * sxx
+                          - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT))
+                     > 0 THEN
+                 CAST((2 * CAST(n_edges AS HUGEINT) * sxy
+                       - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT))
+                      * 1000000
+                      // (2 * CAST(n_edges AS HUGEINT) * sxx
+                          - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT))
+                   AS BIGINT) END AS r_ppm
+        FROM mom
+        """
+    ).fetchone()
+    assert got == (None,)

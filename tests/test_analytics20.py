@@ -30,6 +30,19 @@ def _events(spark):
     )
 
 
+def _scale(dx: int, dy: int) -> tuple[int, int]:
+    """(scale_e, g=10^scale_e) — the shared quantization factor."""
+    e = max(0, len(str(max(dx, dy, 1))) - 15)
+    return e, 10**e
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating (toward-zero) integer division, matching Spark `div`
+    and DuckDB `//` (both pinned toward-zero in test_analytics18)."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
 def _doubled_avg_ranks(values: list[int]) -> dict[int, int]:
     """value -> doubled average rank (2*cum - c + 1) over the sorted
     multiset."""
@@ -64,21 +77,26 @@ def test_spearman_corr_matches_python_replica(spark):
         num = n * sxy - srx * sry
         dx = n * sxx - srx * srx
         dy = n * syy - sry * sry
+        e, g = _scale(dx, dy)
+        nq, dxq, dyq = _tdiv(num, g), dx // g, dy // g
         rho2 = (
-            (1 if num >= 0 else -1) * (num * num * 1_000_000 // (dx * dy))
-            if dx > 0 and dy > 0
+            (1 if num >= 0 else -1) * (nq * nq * 1_000_000 // (dxq * dyq))
+            if dx > 0 and dy > 0 and dxq > 0 and dyq > 0
             else None
         )
-        expected[t] = (n, num, dx, dy, rho2)
+        expected[t] = (n, e, nq, dxq, dyq, rho2)
         # Cross-check the signed square against float Spearman.
         if dx > 0 and dy > 0:
             rho_f = num / math.sqrt(dx * dy)
             assert abs(abs(rho_f) * rho_f - (rho2 or 0) / 1e6) < 1e-5
     got = {
-        r.event_type: (r.n, r.num, r.dx, r.dy, r.rho2_signed_ppm)
+        r.event_type: (r.n, r.scale_e, r.num, r.dx, r.dy, r.rho2_signed_ppm)
         for r in q_spearman_corr(spark, SF_CORRECTNESS).collect()
     }
     assert got == expected
+    # The correctness fixture must exercise the exact (unquantized)
+    # regime so the quantized outputs equal the raw components there.
+    assert all(v[1] == 0 for v in expected.values())
 
 
 def test_seq_pairs_support_matches_python_replica(spark):
@@ -116,3 +134,113 @@ def test_seq_pairs_support_matches_python_replica(spark):
     # co-present) — at minimum every ordered pair is bounded by the
     # eligible population.
     assert all(v[0] <= v[1] for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# quantize_spearman_components: 128-bit-edge portability (round-10
+# advisor fix — the unquantized rho2 intermediate num^2*1e6 overflowed
+# DECIMAL(38,0)/HUGEINT with Spark silently NULLing and DuckDB
+# erroring).  Spark vs DuckDB vs exact-int Python on adversarial
+# component values, including the n ~ 2.2e9 exact-regime ceiling.
+# ---------------------------------------------------------------------------
+
+_EDGE_COMPONENTS = [
+    # (tag, num_x, dx_x, dy_x)
+    ("tiny_exact", 123_456, 1_000_000, 2_000_000),
+    ("neg_tiny", -123_456, 1_000_000, 2_000_000),
+    ("e0_ceiling", 10**14, 10**15 - 1, 10**15 - 1),
+    ("e1_first", 3 * 10**14, 10**15, 10**15),
+    # Strong correlation at the n~2.2e9 exact-regime edge: the OLD
+    # form's num^2*1e6 ~ 1.5e79 would overflow 128 bits outright.
+    ("huge_pos", 39 * 10**35, 4 * 10**36, 4 * 10**36),
+    ("huge_neg", -(39 * 10**35), 4 * 10**36, 4 * 10**36),
+    # Asymmetric but within 15 digits of each other.
+    ("asym_ok", 10**20, 10**22, 10**25),
+    # >15 orders of magnitude apart: quantized denominator underflows
+    # to 0 -> NULL by documented convention (identically in both).
+    ("asym_null", 10**10, 10**3, 10**36),
+    # Degenerate: constant x (dx = 0) -> NULL.
+    ("degenerate", 0, 0, 10**30),
+    ("zero_num", 0, 10**36, 10**36),
+]
+
+
+def _py_quantize(num: int, dx: int, dy: int):
+    e, g = _scale(dx, dy)
+    nq, dxq, dyq = _tdiv(num, g), dx // g, dy // g
+    rho2 = (
+        (1 if num >= 0 else -1) * (nq * nq * 1_000_000 // (dxq * dyq))
+        if dx > 0 and dy > 0 and dxq > 0 and dyq > 0
+        else None
+    )
+    return (e, nq, dxq, dyq, rho2)
+
+
+def test_quantize_spearman_components_cross_engine_edges(spark):
+    import duckdb
+
+    from gtfs_realtime_etl_spark.plans.analytics20 import (
+        quantize_spearman_components,
+    )
+
+    values_sql = ", ".join(
+        f"('{t}', CAST(1 AS BIGINT), CAST('{a}' AS DECIMAL(38,0)),"
+        f" CAST('{b}' AS DECIMAL(38,0)), CAST('{c}' AS DECIMAL(38,0)))"
+        for t, a, b, c in _EDGE_COMPONENTS
+    )
+    raw = spark.sql(
+        "SELECT * FROM VALUES "
+        + values_sql
+        + " AS t(event_type, n, num_x, dx_x, dy_x)"
+    )
+    got_spark = {
+        r.event_type: (r.scale_e, r.num, r.dx, r.dy, r.rho2_signed_ppm)
+        for r in quantize_spearman_components(raw).collect()
+    }
+
+    duck_values = ", ".join(
+        f"('{t}', CAST(1 AS BIGINT), CAST('{a}' AS HUGEINT),"
+        f" CAST('{b}' AS HUGEINT), CAST('{c}' AS HUGEINT))"
+        for t, a, b, c in _EDGE_COMPONENTS
+    )
+    got_duck = {
+        row[0]: tuple(row[1:])
+        for row in duckdb.sql(
+            f"""
+            WITH raw(event_type, n, num_x, dx_x, dy_x) AS (
+              VALUES {duck_values}
+            ),
+            scaled AS (
+              SELECT *,
+                CAST('1' || REPEAT('0', GREATEST(LENGTH(CAST(GREATEST(
+                  dx_x, dy_x, CAST(1 AS HUGEINT)) AS VARCHAR)) - 15, 0))
+                  AS HUGEINT) AS g,
+                CAST(GREATEST(LENGTH(CAST(GREATEST(dx_x, dy_x,
+                  CAST(1 AS HUGEINT)) AS VARCHAR)) - 15, 0) AS BIGINT)
+                  AS scale_e
+              FROM raw
+            )
+            SELECT event_type, scale_e,
+                   CAST(num_x // g AS BIGINT) AS num,
+                   CAST(dx_x // g AS BIGINT) AS dx,
+                   CAST(dy_x // g AS BIGINT) AS dy,
+                   CASE WHEN dx_x > 0 AND dy_x > 0
+                         AND (dx_x // g) > 0 AND (dy_x // g) > 0 THEN
+                     CAST((CASE WHEN num_x >= 0 THEN 1 ELSE -1 END)
+                          * (((num_x // g) * (num_x // g) * 1000000)
+                             // ((dx_x // g) * (dy_x // g))) AS BIGINT)
+                   END AS rho2_signed_ppm
+            FROM scaled
+            """
+        ).fetchall()
+    }
+
+    expected = {
+        t: _py_quantize(a, b, c) for t, a, b, c in _EDGE_COMPONENTS
+    }
+    assert got_spark == expected
+    assert got_duck == expected
+    # Spot-check the headline case against float math: rho ~ 0.975.
+    e, nq, dxq, dyq, rho2 = expected["huge_pos"]
+    assert e == 22 and rho2 is not None
+    assert abs(rho2 / 1e6 - (39 / 40) ** 2) < 1e-3
