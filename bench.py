@@ -20,13 +20,15 @@ the round-7 judge measured against fresh-session isolated runs):
   periodic ContextCleaner GC timer for the bench (it fires mid-query
   on a 48g heap — multi-second stop-the-world pauses that round 7's
   1-minute timer injected into ~random queries' medians) and instead
-  an EXPLICIT System.gc() runs immediately before EVERY query's timed
-  group ($SPARK_GRAFT_BENCH_GC_EVERY, default 1 — the round-9 fix:
-  with the timer off, shuffle-file/broadcast cleanup happens ONLY on
-  explicit GC, and the round-8 every-5 cadence let heavy-shuffle
-  queries degrade monotonically across their own back-to-back runs
-  depending on registry position).  The GC is outside the timed
-  window: it costs total wall clock, never median fidelity.
+  an EXPLICIT System.gc() runs immediately before EVERY timed run
+  ($SPARK_GRAFT_BENCH_GC_EVERY, default 1 — round-9 made it per query
+  group; round-10 made it per RUN after measuring containment_join's
+  localCheckpoint blocks leaking across its own back-to-back runs:
+  10.3/10.5/12.2/37.1 s group-GC'd vs flat ~10-11 s per-run-GC'd.
+  With the timer off, shuffle-file/broadcast/checkpoint cleanup
+  happens ONLY on explicit GC).  The GC is outside the timed window:
+  it costs total wall clock (~0.1-0.4 s per GC), never median
+  fidelity.
 - The stall self-repair (extra runs when median > 2*best + 1s) is
   recorded: BENCH_FULL.json carries "repaired" (which queries took
   extra runs) and "median_raw" (every query's pre-repair median), so
@@ -123,13 +125,21 @@ def main() -> None:
         if session_every and i and i % session_every == 0:
             spark.stop()
             spark = _build_session(sf_dir)
-        elif gc_every and i % gc_every == 0:
-            # Between timed windows only — drains ContextCleaner queues
-            # (shuffle files, checkpoint blocks) and keeps pause time
-            # out of the medians.
-            spark.sparkContext._jvm.System.gc()
         times = []
         for _ in range(n_runs):
+            if gc_every and i % gc_every == 0:
+                # Between timed windows only — drains ContextCleaner
+                # queues (shuffle files, checkpoint/broadcast blocks)
+                # and keeps pause time out of the medians.  Round-10
+                # fix: GC before EVERY RUN, not just before each
+                # query's group — queries that localCheckpoint
+                # (containment_join pins two frames per run) leak
+                # blocks across their own back-to-back runs with the
+                # cleaner timer off; measured 10.3/10.5/12.2/37.1 s
+                # across runs 1-4 group-GC'd vs a flat ~10-11 s
+                # per-run-GC'd, at ~0.1-0.4 s per GC (outside the
+                # timed window, so total wall only).
+                spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
@@ -147,8 +157,8 @@ def main() -> None:
         # conditional resampling is visible, not silent.
         if statistics.median(times) > 2 * min(times) + 1.0:
             repaired.append(name)
-            spark.sparkContext._jvm.System.gc()
             for _ in range(n_runs):
+                spark.sparkContext._jvm.System.gc()
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 times.append(time.perf_counter() - t0)
