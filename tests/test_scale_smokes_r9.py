@@ -20,6 +20,10 @@ Always-on (no env gate — these run in the normal suite):
 - spearman_moments on a perfectly monotone synthetic frame returns
   rho2_signed_ppm == +1_000_000 exactly, and on an anti-monotone frame
   -1_000_000 exactly (the integer doubled-rank path has zero slack).
+- kendall two-phase == global rank at 500k (promoted round 10): the
+  partitioning-invariance probe runs in ~3 s, so invariance
+  regressions surface in the default suite, not only under the env
+  gate.
 """
 
 from __future__ import annotations
@@ -105,8 +109,9 @@ ELSE array(struct('view' AS event_type, CAST(0 AS BIGINT) AS off)) END"""
     assert wall < 60, f"funnel wall {wall:.1f}s — cap not carrying the search"
 
 
-@pytest.mark.scale_smoke
-@scale
+# Promoted to always-on in round 10 (verdict #5): the cheapest
+# partitioning-invariance probe (~3 s) — repartition(7) == repartition(64)
+# regressions must surface without the opt-in env gate.
 def test_kendall_two_phase_sample_equals_global_rank_500k(spark):
     from gtfs_realtime_etl_spark.plans.analytics18 import (
         KENDALL_K,
