@@ -3186,6 +3186,14 @@ from gtfs_realtime_etl_spark.plans.analytics21 import (  # noqa: E402
 QUERIES.update(EXT24_QUERIES)
 ORACLE_SQL.update(EXT24_ORACLE_SQL)
 
+from gtfs_realtime_etl_spark.plans.analytics22 import (  # noqa: E402
+    EXT25_ORACLE_SQL,
+    EXT25_QUERIES,
+)
+
+QUERIES.update(EXT25_QUERIES)
+ORACLE_SQL.update(EXT25_ORACLE_SQL)
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering — STRUCTURAL, derived from the CORRECTNESS artifacts.
 #

@@ -146,6 +146,7 @@ def test_no_cartesian_anywhere_in_registry(spark):
         "rrf_fusion",        # probe vector broadcast (plans/analytics5.py)
         "ann_recall_report", # probe vector broadcasts via the three ANN rankers
         "k_anonymity",       # table-total 1-row scalar broadcast (plans/analytics6.py)
+        "flagship_incremental",  # max-day 1-row scalar broadcast (plans/analytics22.py)
         "bm25_topk",         # corpus N/avgdl 1-row scalar broadcast (plans/analytics6.py)
         "key_skew_report",   # moment/top10 1-row scalar assembly (plans/analytics6.py)
         "join_cardinality",  # exact/estimate 1-row scalar assembly (plans/analytics6.py)
