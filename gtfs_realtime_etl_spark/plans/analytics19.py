@@ -35,6 +35,15 @@ Markov entropy rate, and degree assortativity.
   exact in 128-bit, r in SIGNED ppm via truncating division (both
   engines truncate toward zero — pinned by
   ``tests/test_analytics18.py::test_signed_integer_division_portability``).
+  On a degree-regular graph the denominator is 0 and r is NULL in
+  both engines (round-10 guard).  Overflow contract: the 128-bit
+  moments hold up to |num|, den <= 4E^2*dmax^2 < 1e38; the BIGINT
+  output casts of num/den additionally require them < 9.2e18 (e.g.
+  E = 1e6 edges with dmax = 1e3 sits at ~4e18) — beyond that BOTH
+  engines fail loudly (Spark runs ANSI-on, DuckDB always checks), a
+  deliberate fail-closed bound rather than silent divergence; shard
+  the edge set or quantize (the spearman_corr g-pattern,
+  analytics20.py) if a corpus ever reaches it.
 
 Reference scope note: the reference (smohiudd/gtfs-realtime-etl) has
 no analytics surface of this kind; these are driver-mandated

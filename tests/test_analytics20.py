@@ -139,9 +139,10 @@ def test_seq_pairs_support_matches_python_replica(spark):
 # ---------------------------------------------------------------------------
 # quantize_spearman_components: 128-bit-edge portability (round-10
 # advisor fix — the unquantized rho2 intermediate num^2*1e6 overflowed
-# DECIMAL(38,0)/HUGEINT with Spark silently NULLing and DuckDB
-# erroring).  Spark vs DuckDB vs exact-int Python on adversarial
-# component values, including the n ~ 2.2e9 exact-regime ceiling.
+# DECIMAL(38,0)/HUGEINT: loud engine errors under this repo's ANSI-on
+# sessions, silent NULL-vs-error divergence under non-ANSI ones).
+# Spark vs DuckDB vs exact-int Python on adversarial component
+# values, including the n ~ 2.2e9 exact-regime ceiling.
 # ---------------------------------------------------------------------------
 
 _EDGE_COMPONENTS = [
