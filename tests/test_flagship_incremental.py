@@ -128,3 +128,25 @@ def test_merge_is_slicing_invariant(spark):
         )
     )
     assert _rows(sliced) == _rows(whole)
+
+
+def test_full_range_incremental_equals_flagship_anchor(spark):
+    """With the range widened to cover every day, the incremental
+    rollup must reproduce the flagship anchor bit-for-bit: the rn=1
+    dedup grain is identical ((user, day)), diff is an int so the
+    BIGINT partial moments equal flagship's decimal(18,2) sums
+    exactly, and the finalize op order is the same."""
+    from gtfs_realtime_etl_spark.plans.queries import (
+        q_flagship_punctuality,
+    )
+
+    tabs = load_testdata(
+        spark, SF_SMOKE, tables=("events", "customer", "nation")
+    )
+    events, customer, nation = tabs["events"], tabs["customer"], tabs["nation"]
+    full = merge_flagship_partials(
+        flagship_day_partials(events, customer, nation)
+    ).drop("n_days")
+
+    anchor = q_flagship_punctuality(spark, SF_SMOKE)
+    assert _rows(full) == _rows(anchor)
