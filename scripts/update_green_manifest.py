@@ -17,12 +17,94 @@ Usage: python scripts/update_green_manifest.py  (from the repo root)
 
 from __future__ import annotations
 
+import inspect
 import json
 import os
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+
+
+def rebuild(
+    manifest: dict,
+    rows: dict[str, tuple[int, bool, bool]],
+    current_hash: dict[str, str],
+    unsafe: set[str] | None = None,
+) -> tuple[dict, int]:
+    """Pure core of the manifest refresh (unit-tested,
+    tests/test_green_manifest_rebuild.py).
+
+    Only rows from the LATEST correctness round were verified against
+    the current tree (this script runs at round start, while the tree
+    still equals the round-end commit), so ONLY those rows may record
+    the current hash.  Recording the current hash for an OLDER green
+    row would silently erase changed-since-green debt: the driver
+    verified that entry's old source, not whatever it looks like now
+    (round-10 lesson: the first run of this script converted all 46
+    debt entries into trusted greens and the rotation would have
+    burned never-changed round-5 entries instead).  Older greens keep
+    their previously recorded hash — including keeping NO entry if
+    they never had one — so hash drift stays visible to the rotation.
+
+    ``unsafe`` lists entries whose defining file changed AFTER the
+    commit that landed the latest CORRECTNESS artifact (so even a
+    latest-round row no longer vouches for the current source — the
+    second round-10 lesson: two latest-round greens were edited
+    mid-round and a rerun of this script re-trusted them).  Unsafe
+    entries keep their previous manifest value.
+    """
+    latest_round = max((rnd for rnd, _ok, _f in rows.values()), default=0)
+    unsafe = unsafe or set()
+    updated = 0
+    out = dict(manifest)
+    for name, (rnd, ok, _full) in sorted(rows.items()):
+        if (
+            not ok
+            or name not in current_hash
+            or rnd < latest_round
+            or name in unsafe
+        ):
+            continue
+        h = current_hash[name]
+        prev = out.get(name)
+        if not isinstance(prev, dict) or prev.get("hash") != h:
+            out[name] = {"hash": h, "round": rnd}
+            updated += 1
+        elif prev.get("round", 0) < rnd:
+            out[name] = {**prev, "round": rnd}
+    return out, updated
+
+
+def _files_changed_since_round_commit(latest_round: int) -> set[str] | None:
+    """Repo-relative paths changed (committed or working-tree) since the
+    last commit that touched CORRECTNESS_r{latest}.json — the round-end
+    tree the driver actually verified.  None when git is unavailable
+    (callers should then trust nothing from the latest round)."""
+    import subprocess
+
+    artifact = f"CORRECTNESS_r{latest_round:02d}.json"
+
+    def _git(*args: str) -> str | None:
+        try:
+            p = subprocess.run(
+                ["git", *args], cwd=ROOT, capture_output=True, text=True
+            )
+        except OSError:
+            return None
+        return p.stdout if p.returncode == 0 else None
+
+    head = _git("log", "-1", "--format=%H", "--", artifact)
+    if not head or not head.strip():
+        return None
+    base = head.strip()
+    committed = _git("diff", "--name-only", f"{base}..HEAD")
+    status = _git("status", "--porcelain")
+    if committed is None or status is None:
+        return None
+    changed = {l.strip() for l in committed.splitlines() if l.strip()}
+    changed |= {l[3:].strip() for l in status.splitlines() if l.strip()}
+    return changed
 
 
 def main() -> None:
@@ -40,30 +122,31 @@ def main() -> None:
     except (OSError, ValueError):
         manifest = {}
 
+    current_hash = {
+        name: _entry_src_hash(fn, ORACLE_SQL.get(name))
+        for name, fn in QUERIES.items()
+    }
     rows = _driver_rows()
     latest_round = max((rnd for rnd, _ok, _f in rows.values()), default=0)
-    updated = 0
-    for name, (rnd, ok, _full) in sorted(rows.items()):
-        if not ok or name not in QUERIES:
-            continue
-        # Only rows from the LATEST correctness round were verified
-        # against the current tree (this script runs at round start,
-        # while the tree still equals the round-end commit).  Recording
-        # the current hash for an OLDER green row would silently erase
-        # changed-since-green debt: the driver verified that entry's
-        # old source, not whatever it looks like now (round-10 lesson:
-        # the first run of this script converted all 46 debt entries
-        # into trusted greens and the rotation would have burned
-        # never-changed round-5 entries instead).
-        if rnd < latest_round:
-            continue
-        h = _entry_src_hash(QUERIES[name], ORACLE_SQL.get(name))
-        prev = manifest.get(name)
-        if not isinstance(prev, dict) or prev.get("hash") != h:
-            manifest[name] = {"hash": h, "round": rnd}
-            updated += 1
-        elif prev.get("round", 0) < rnd:
-            manifest[name]["round"] = rnd
+    changed = _files_changed_since_round_commit(latest_round)
+    unsafe: set[str] = set()
+    for name, fn in QUERIES.items():
+        try:
+            rel = os.path.relpath(inspect.getsourcefile(fn) or "", ROOT)
+        except (TypeError, ValueError):
+            rel = ""
+        # File-granularity conservatism: if the entry's defining file
+        # changed since the round-end commit (or git can't tell us),
+        # its latest-round row no longer vouches for the current
+        # source — keep the previous manifest value.
+        if changed is None or rel in changed:
+            unsafe.add(name)
+    if unsafe:
+        print(
+            f"holding {len(unsafe)} entries whose files changed since "
+            f"the round-{latest_round} commit (or git unavailable)"
+        )
+    manifest, updated = rebuild(manifest, rows, current_hash, unsafe)
 
     with open(path, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
