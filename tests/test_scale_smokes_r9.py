@@ -1,4 +1,4 @@
-"""Round-9 opt-in scale probes (SPARK_GRAFT_SCALE_SMOKE=1) plus two
+"""Round-9 scale probes — all promoted to always-on in round 10 — plus two
 always-on analytic invariants for the new kernels.
 
 1. window_funnel at 60k users x 9 staged events with PLANTED level
@@ -24,20 +24,17 @@ Always-on (no env gate — these run in the normal suite):
   partitioning-invariance probe runs in ~3 s, so invariance
   regressions surface in the default suite, not only under the env
   gate.
+- window_funnel planted levels at 60k users (~2.4 s) and
+  seq_pairs_support planted orderings at 200k users (~1.8 s), promoted
+  with it — all three r9 probes are cheap enough for the default
+  suite, leaving only the heavier r7/r8 smokes behind the env gate.
 """
 
 from __future__ import annotations
 
-import os
 import time
 
-import pytest
 from pyspark.sql import functions as F
-
-scale = pytest.mark.skipif(
-    not os.environ.get("SPARK_GRAFT_SCALE_SMOKE"),
-    reason="opt-in: SPARK_GRAFT_SCALE_SMOKE=1 runs the round-9 scale smokes",
-)
 
 _NS_PER_HOUR = 3_600_000_000_000
 
@@ -59,8 +56,8 @@ def test_spearman_monotone_is_exactly_one(spark):
     )
 
 
-@pytest.mark.scale_smoke
-@scale
+# Promoted to always-on in round 10: ~2.4 s, planted-pattern analytic
+# histogram plus the linear-cost wall bound.
 def test_window_funnel_planted_levels_60k_users(spark):
     from gtfs_realtime_etl_spark.plans.analytics19 import (
         FUNNEL_WINDOW_NS,
@@ -180,8 +177,7 @@ def test_kendall_two_phase_sample_equals_global_rank_500k(spark):
     assert wall < 90, f"kendall wall {wall:.1f}s"
 
 
-@pytest.mark.scale_smoke
-@scale
+# Promoted to always-on in round 10: ~1.8 s, planted strict orderings.
 def test_seq_pairs_planted_orderings_200k_users(spark):
     from gtfs_realtime_etl_spark.plans.analytics20 import seq_pair_support
 
