@@ -21,14 +21,14 @@ the round-7 judge measured against fresh-session isolated runs):
   on a 48g heap — multi-second stop-the-world pauses that round 7's
   1-minute timer injected into ~random queries' medians) and instead
   an EXPLICIT System.gc() runs immediately before EVERY timed run
-  ($SPARK_GRAFT_BENCH_GC_EVERY, default 1 — round-9 made it per query
-  group; round-10 made it per RUN after measuring containment_join's
-  localCheckpoint blocks leaking across its own back-to-back runs:
-  10.3/10.5/12.2/37.1 s group-GC'd vs flat ~10-11 s per-run-GC'd.
-  With the timer off, shuffle-file/broadcast/checkpoint cleanup
-  happens ONLY on explicit GC).  The GC is outside the timed window:
-  it costs total wall clock (~0.1-0.4 s per GC), never median
-  fidelity.
+  ($SPARK_GRAFT_BENCH_GC_ENABLED on/off, default on — round-9 made it
+  per query group; round-10 made it per RUN after measuring
+  containment_join's localCheckpoint blocks leaking across its own
+  back-to-back runs: 10.3/10.5/12.2/37.1 s group-GC'd vs flat
+  ~10-11 s per-run-GC'd.  With the timer off,
+  shuffle-file/broadcast/checkpoint cleanup happens ONLY on explicit
+  GC).  The GC is outside the timed window: it costs total wall clock
+  (~0.1-0.4 s per GC), never median fidelity.
 - The stall self-repair (extra runs when median > 2*best + 1s) is
   recorded: BENCH_FULL.json carries "repaired" (which queries took
   extra runs) and "median_raw" (every query's pre-repair median), so
@@ -103,17 +103,29 @@ def main() -> None:
     # - best_total: per-query best of n — the variance floor.
     n_runs = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4")), 1)
     session_every = int(os.environ.get("SPARK_GRAFT_BENCH_SESSION_EVERY", "25"))
-    # Round-9 fix (judge-root-caused): GC before EVERY query's timed
-    # group, not every 5th query.  The bench session disables the
-    # periodic ContextCleaner GC timer (so no mid-timing pauses), which
-    # means shuffle-file/broadcast cleanup only happens on an explicit
-    # System.gc(); with gc_every=5 a heavy-shuffle query landing 3-4
-    # queries after the last GC degraded monotonically across its own
-    # runs (judge measured ngram_novelty 6.9 -> 113.9 s across 4 runs;
-    # flat ~2 s with a GC between groups).  The GC sits OUTSIDE the
-    # timed window, so it costs total wall clock, never fidelity, and
-    # makes every median independent of registry position/order.
-    gc_every = int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "1"))
+    # GC policy (round-9 made it per query group after the judge
+    # root-caused ngram_novelty degrading 6.9 -> 113.9 s across its own
+    # runs with GC every 5th group; round-10 made it per RUN after
+    # measuring containment_join's localCheckpoint blocks leaking
+    # across back-to-back runs WITHIN a group: 10.3/10.5/12.2/37.1 s
+    # group-GC'd vs flat ~10-11 s per-run-GC'd).  The bench session
+    # disables the periodic ContextCleaner GC timer (so no mid-timing
+    # pauses), which means shuffle-file/broadcast/checkpoint cleanup
+    # happens ONLY on an explicit System.gc(); that GC sits OUTSIDE
+    # the timed window (~0.1-0.4 s each), so it costs total wall
+    # clock, never median fidelity.  SPARK_GRAFT_BENCH_GC_ENABLED is
+    # an on/off switch (default on); the historical numeric env var is
+    # honored as the same switch — any non-zero value means on, since
+    # a "GC only every Nth query" cadence is exactly the
+    # position-dependence both prior rounds had to root out.
+    gc_enabled = bool(
+        int(
+            os.environ.get(
+                "SPARK_GRAFT_BENCH_GC_ENABLED",
+                os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "1"),
+            )
+        )
+    )
 
     spark = _build_session(sf_dir)
     best: dict[str, float] = {}
@@ -127,18 +139,11 @@ def main() -> None:
             spark = _build_session(sf_dir)
         times = []
         for _ in range(n_runs):
-            if gc_every and i % gc_every == 0:
+            if gc_enabled:
                 # Between timed windows only — drains ContextCleaner
                 # queues (shuffle files, checkpoint/broadcast blocks)
-                # and keeps pause time out of the medians.  Round-10
-                # fix: GC before EVERY RUN, not just before each
-                # query's group — queries that localCheckpoint
-                # (containment_join pins two frames per run) leak
-                # blocks across their own back-to-back runs with the
-                # cleaner timer off; measured 10.3/10.5/12.2/37.1 s
-                # across runs 1-4 group-GC'd vs a flat ~10-11 s
-                # per-run-GC'd, at ~0.1-0.4 s per GC (outside the
-                # timed window, so total wall only).
+                # and keeps pause time out of the medians (see the GC
+                # policy note above).
                 spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -189,7 +194,7 @@ def main() -> None:
                 "sf": sf,
                 "n_runs": n_runs,
                 "session_every": session_every,
-                "gc_every": gc_every,
+                "gc_per_run": gc_enabled,
                 **totals,
             },
             f,

@@ -17,7 +17,6 @@ Usage: python scripts/update_green_manifest.py  (from the repo root)
 
 from __future__ import annotations
 
-import inspect
 import json
 import os
 import sys
@@ -103,7 +102,18 @@ def _files_changed_since_round_commit(latest_round: int) -> set[str] | None:
     if committed is None or status is None:
         return None
     changed = {l.strip() for l in committed.splitlines() if l.strip()}
-    changed |= {l[3:].strip() for l in status.splitlines() if l.strip()}
+    for l in status.splitlines():
+        if not l.strip():
+            continue
+        # Porcelain v1: XY <path>, or XY <old> -> <new> for renames;
+        # paths with specials are C-quoted.  Take BOTH rename sides.
+        body = l[3:]
+        for part in body.split(" -> "):
+            part = part.strip()
+            if part.startswith('"') and part.endswith('"'):
+                part = part[1:-1]
+            if part:
+                changed.add(part)
     return changed
 
 
@@ -129,22 +139,26 @@ def main() -> None:
     rows = _driver_rows()
     latest_round = max((rnd for rnd, _ok, _f in rows.values()), default=0)
     changed = _files_changed_since_round_commit(latest_round)
-    unsafe: set[str] = set()
-    for name, fn in QUERIES.items():
-        try:
-            rel = os.path.relpath(inspect.getsourcefile(fn) or "", ROOT)
-        except (TypeError, ValueError):
-            rel = ""
-        # File-granularity conservatism: if the entry's defining file
-        # changed since the round-end commit (or git can't tell us),
-        # its latest-round row no longer vouches for the current
-        # source — keep the previous manifest value.
-        if changed is None or rel in changed:
-            unsafe.add(name)
+    # An entry's hash covers its function source AND its oracle SQL,
+    # and oracle strings are composed at import time from helpers that
+    # may live in ANY package module (e.g. flagship_incremental embeds
+    # functions/stats.py::norm_cdf_sql).  File-granularity provenance
+    # can't see that, so the guard is package-wide: if ANY source file
+    # under the package changed since the round-end commit — or git
+    # can't tell us — NO latest-round row still vouches for its
+    # current source, and every entry keeps its previous manifest
+    # value.  This keeps the script exactly as useful as its contract
+    # (run at round start on the untouched round-end tree) and a
+    # guaranteed no-op on any mid-round tree.
+    pkg_changed = changed is None or any(
+        p.startswith("gtfs_realtime_etl_spark/") and p.endswith(".py")
+        for p in changed
+    )
+    unsafe: set[str] = set(QUERIES) if pkg_changed else set()
     if unsafe:
         print(
-            f"holding {len(unsafe)} entries whose files changed since "
-            f"the round-{latest_round} commit (or git unavailable)"
+            f"holding all {len(unsafe)} entries: package source changed "
+            f"since the round-{latest_round} commit (or git unavailable)"
         )
     manifest, updated = rebuild(manifest, rows, current_hash, unsafe)
 
