@@ -129,3 +129,44 @@ def test_streaming_flagship_equals_batch_flagship(spark, legs):
         assert g[col][gm].values == pytest.approx(
             e[col][em].values, abs=1e-9
         )
+
+
+def test_flagship_invariant_under_compaction(spark, legs):
+    """E1→S9→E3: compacting every day partition of the streaming-landed
+    lake (zstd rewrite, coalesced files, in-partition sort) must leave
+    the flagship result unchanged — compaction is a layout move, never
+    a semantic one."""
+    import glob
+    import os
+    import re
+
+    from gtfs_realtime_etl_spark.streaming.compaction import (
+        compact_partition,
+    )
+
+    src = legs["stream_lake"]
+    dst = src + "_compacted"
+    parts = sorted(glob.glob(os.path.join(src, "year=*/month=*/day=*")))
+    assert parts, "streaming lake has no day partitions"
+    total = 0
+    for p in parts:
+        m = re.search(r"year=(\d+)/month=(\d+)/day=(\d+)", p)
+        total += compact_partition(
+            spark, src, dst, int(m.group(1)), int(m.group(2)), int(m.group(3))
+        )
+    assert total == read_locations(spark, src).count()
+
+    got = _flagship_frame(spark, dst, legs["fx"].gtfs_dir)
+    exp = _flagship_frame(spark, src, legs["fx"].gtfs_dir)
+    key = ["stop_id", "stop_lon", "stop_lat"]
+    g = got.sort_values(key).reset_index(drop=True)
+    e = exp.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(e) > 50
+    assert (g["stop_id"].values == e["stop_id"].values).all()
+    assert (g["count"].values == e["count"].values).all()
+    for col in ("avg_diff", "stddev_diff", "reliability"):
+        gm, em = g[col].notna(), e[col].notna()
+        assert (gm == em).all()
+        assert g[col][gm].values == pytest.approx(
+            e[col][em].values, abs=1e-9
+        )
