@@ -1,0 +1,133 @@
+"""Closure-aware entry hash v2 (round-11 migration candidate): a
+kernel-only or constant-only edit must change the wrapper's hash;
+unrelated edits must not.  Nothing in the live rotation uses v2 yet —
+these tests pin the implementation the migration will apply."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+_SCRIPTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+)
+
+
+def _load_scripts_module(name: str):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(_SCRIPTS, f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+entry_src_hash_v2 = _load_scripts_module("entry_hash_v2").entry_src_hash_v2
+_walk = _load_scripts_module("entry_hash_v2")._walk
+
+_BASE = '''
+KONST = 7
+
+def helper_of_kernel(x):
+    return x + 1
+
+def kernel(x):
+    return helper_of_kernel(x) * KONST
+
+def unrelated(x):
+    return x - 1
+
+def wrapper(x):
+    return kernel(x)
+'''
+
+
+def _load_fake(tmp_path, src: str, tag: str):
+    """Load ``src`` as a module whose __name__ sits inside the target
+    package namespace (the v2 walker only follows package functions).
+    All variants share ONE module name — the migration compares the
+    same module across commits, and the module name participates in
+    the hash keys by design (it names the implementation site)."""
+    p = tmp_path / f"fake_{tag}.py"
+    p.write_text(src)
+    name = "gtfs_realtime_etl_spark._hashv2_fake"
+    spec = importlib.util.spec_from_file_location(name, str(p))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_kernel_edit_changes_wrapper_hash(tmp_path):
+    a = _load_fake(tmp_path, _BASE, "a")
+    b = _load_fake(
+        tmp_path, _BASE.replace("* KONST", "* KONST + 1"), "b"
+    )
+    # v1 blindness this closes: wrapper source is identical in both.
+    import inspect
+
+    assert inspect.getsource(a.wrapper) == inspect.getsource(b.wrapper)
+    assert entry_src_hash_v2(a.wrapper, "SELECT 1") != entry_src_hash_v2(
+        b.wrapper, "SELECT 1"
+    )
+
+
+def test_transitive_helper_edit_changes_wrapper_hash(tmp_path):
+    a = _load_fake(tmp_path, _BASE, "c")
+    b = _load_fake(tmp_path, _BASE.replace("x + 1", "x + 2"), "d")
+    assert entry_src_hash_v2(a.wrapper, None) != entry_src_hash_v2(
+        b.wrapper, None
+    )
+
+
+def test_constant_edit_changes_wrapper_hash(tmp_path):
+    a = _load_fake(tmp_path, _BASE, "e")
+    b = _load_fake(tmp_path, _BASE.replace("KONST = 7", "KONST = 8"), "f")
+    assert entry_src_hash_v2(a.wrapper, None) != entry_src_hash_v2(
+        b.wrapper, None
+    )
+
+
+def test_unrelated_edit_keeps_wrapper_hash(tmp_path):
+    a = _load_fake(tmp_path, _BASE, "g")
+    b = _load_fake(tmp_path, _BASE.replace("x - 1", "x - 2"), "h")
+    assert entry_src_hash_v2(a.wrapper, None) == entry_src_hash_v2(
+        b.wrapper, None
+    )
+    # Oracle still participates.
+    assert entry_src_hash_v2(a.wrapper, "A") != entry_src_hash_v2(
+        a.wrapper, "B"
+    )
+
+
+def test_walk_reaches_real_kernel_behind_real_wrapper():
+    """The concrete blind spot from the round-10 review: the
+    assortativity kernel must be inside the wrapper's hashed surface."""
+    from gtfs_realtime_etl_spark.plans.analytics19 import (
+        q_degree_assortativity,
+    )
+
+    out: dict = {}
+    _walk(q_degree_assortativity, 0, set(), out)
+    keys = "\n".join(out)
+    assert "assortativity_report" in keys
+    # Depth >= 2: the kernel's own package callees are reached too
+    # (spearman's wrapper -> moments -> quantize chain as the witness).
+    from gtfs_realtime_etl_spark.plans.analytics20 import q_spearman_corr
+
+    out2: dict = {}
+    _walk(q_spearman_corr, 0, set(), out2)
+    k2 = "\n".join(out2)
+    assert "spearman_moments" in k2 and "quantize_spearman_components" in k2
+
+
+def test_hash_is_deterministic_across_loads(tmp_path):
+    a = _load_fake(tmp_path, _BASE, "i")
+    b = _load_fake(tmp_path, _BASE, "j")
+    # Identical source under the same module name, loaded twice from
+    # different files: hashes must agree (the file PATH must not leak
+    # into the hash — historical worktrees live at arbitrary paths).
+    assert entry_src_hash_v2(a.wrapper, "X") == entry_src_hash_v2(
+        b.wrapper, "X"
+    )
