@@ -63,7 +63,12 @@ def _walk(fn, depth: int, seen: set, out: dict) -> None:
     g = getattr(fn, "__globals__", {})
     codes = [fn.__code__]
     # Nested code objects (lambdas / inner defs) reference globals too.
-    for c in list(codes):
+    # Iterate the GROWING list (a worklist) so nesting expands
+    # transitively: a ``list(codes)`` snapshot here only reached depth-1
+    # nested code, silently excluding globals referenced solely from a
+    # lambda inside an inner def (round-10 advisor finding — exactly the
+    # silent-re-trust blind spot v2 exists to close).
+    for c in codes:
         codes.extend(
             k for k in c.co_consts if isinstance(k, types.CodeType)
         )

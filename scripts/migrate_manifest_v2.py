@@ -9,19 +9,32 @@ round 10 hit twice.  The only safe base for an entry's v2 hash is the
 tree the driver actually verified: the round-end commit of the entry's
 recorded green round.  This script therefore:
 
-1. reads GREEN_MANIFEST.json (v1) for each entry's green round;
-2. for each distinct round R, resolves the last commit touching
+1. derives each entry's latest GREEN round directly from the committed
+   ``CORRECTNESS_r*.json`` artifacts (same ok-logic as
+   ``plans/queries.py::_driver_rows``) — NOT from the v1 manifest, so
+   rounds the v1 manifest has not folded yet (e.g. the most recent
+   driver run) are covered automatically and v1 staleness cannot leak
+   into v2;
+2. for each distinct round R, resolves THE commit touching
    ``CORRECTNESS_r{R:02d}.json`` (the driver's round-end artifact
-   commit — its tree IS the verified tree) and materializes it with
+   commit — its tree IS the verified tree; the script FAILS if an
+   artifact has more than one touching commit, because an amended
+   artifact would silently rebase that round's hashes onto a tree the
+   driver never verified) and materializes it with
    ``git worktree add --detach``;
 3. in a SUBPROCESS rooted at that worktree (cwd + PYTHONPATH), imports
    that tree's registry and computes v2 hashes for the entries green
    at R, using the CURRENT v2 implementation loaded by file path (old
    trees don't ship it);
 4. writes GREEN_MANIFEST_V2.json ``{name: {hash, round}}`` and prints
-   a verification report: the rotation front under v2 vs under v1 —
-   every v1-front entry must remain in the v2 front (debt preserved);
-   new v2-front entries are kernels that drifted invisibly to v1.
+   a verification report.  Safety property, by construction: an entry
+   is trusted (absent from the rotation front) iff its CURRENT closure
+   surface hashes identically to the surface at the tree its latest
+   green driver row verified.  Entries with no green row must always
+   be in the v2 front (asserted).  Entries the v1 front listed that v2
+   clears are printed with their green round — each is an entry whose
+   current source is byte-identical (in closure surface) to its
+   verified tree, i.e. v1-manifest staleness healed, not debt erased.
 
 Nothing in the live rotation reads the V2 file.  Flipping is a
 deliberate round-boundary change: point ``_entry_src_hash`` at the v2
@@ -81,22 +94,70 @@ def _git(*args: str) -> str:
     return p.stdout
 
 
+def _latest_green_rounds() -> dict[str, int]:
+    """name -> latest green round, derived from CORRECTNESS_r*.json with
+    the same ok-logic as ``plans/queries.py::_driver_rows`` (latest row
+    wins; a red latest row means never-green).  Stdlib-only so it works
+    without importing the package."""
+    import re
+
+    latest: dict[str, tuple[int, bool]] = {}
+    for fname in sorted(os.listdir(ROOT)):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(os.path.join(ROOT, fname)) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            ok = (
+                row.get("err") is None
+                and bool(row.get("rows_match"))
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            prev = latest.get(name)
+            if prev is None or rnd >= prev[0]:
+                latest[name] = (rnd, ok)
+    return {name: rnd for name, (rnd, ok) in latest.items() if ok}
+
+
 def migrate() -> None:
-    with open(os.path.join(ROOT, "GREEN_MANIFEST.json")) as fh:
-        v1 = json.load(fh)
+    green_rounds = _latest_green_rounds()
     by_round: dict[int, list[str]] = {}
-    for name, row in v1.items():
-        by_round.setdefault(int(row["round"]), []).append(name)
+    for name, rnd in green_rounds.items():
+        by_round.setdefault(rnd, []).append(name)
 
     v2_manifest: dict[str, dict] = {}
     missing: list[str] = []
     for rnd, names in sorted(by_round.items()):
         artifact = f"CORRECTNESS_r{rnd:02d}.json"
-        commit = _git("log", "-1", "--format=%H", "--", artifact).strip()
-        if not commit:
+        touching = [
+            c
+            for c in _git("log", "--format=%H", "--", artifact).splitlines()
+            if c.strip()
+        ]
+        if not touching:
             print(f"round {rnd}: no commit for {artifact}; skipping", flush=True)
             missing.extend(names)
             continue
+        if len(touching) != 1:
+            # An amended artifact would rebase this round's hashes onto a
+            # tree the driver never verified — the exact re-trust bug
+            # class this script exists to prevent.  Fail loudly.
+            raise RuntimeError(
+                f"{artifact} has {len(touching)} touching commits "
+                f"({', '.join(c[:10] for c in touching)}); refusing to "
+                "guess which tree the driver verified"
+            )
+        commit = touching[0]
         wt = tempfile.mkdtemp(prefix=f"mig_r{rnd}_")
         os.rmdir(wt)  # git worktree wants to create it
         _git("worktree", "add", "--detach", wt, commit)
@@ -162,15 +223,31 @@ def migrate() -> None:
         rec = v2_manifest.get(name)
         if rec is None or rec["hash"] != hash_v2(fn, ORACLE_SQL.get(name)):
             v2_front.add(name)
-    regressions = v1_front - v2_front
     print(f"v1 front: {len(v1_front)} | v2 front: {len(v2_front)}")
     print(f"newly flagged by v2 (kernel/constant drift invisible to v1): "
           f"{sorted(v2_front - v1_front)}")
-    if regressions:
-        print(f"ERROR: v2 would DROP debt entries from the front: "
-              f"{sorted(regressions)}")
+    # Safety assertions:
+    # (a) entries with NO green driver row can never be trusted.
+    never_green = {k for k in QUERIES if k not in green_rounds}
+    leaked = never_green - v2_front
+    if leaked:
+        print(f"ERROR: never-green entries absent from the v2 front: "
+              f"{sorted(leaked)}")
         sys.exit(1)
-    print("debt preserved: every v1-front entry is in the v2 front")
+    # (b) entries v1 fronted but v2 clears are, by construction, entries
+    # whose current closure surface hashes identically to the tree their
+    # latest green row verified (hash recomputed AT that commit) — v1
+    # manifest staleness healed, not debt erased.  Print for audit.
+    healed = sorted(v1_front - v2_front)
+    if healed:
+        print(
+            f"cleared from front ({len(healed)} — current surface matches "
+            "the verified tree at their latest green round):"
+        )
+        for k in healed:
+            print(f"  {k} (green r{green_rounds[k]:02d})")
+    print("verified: never-green entries all front; trusted entries all "
+          "hash-match their driver-verified trees")
 
 
 def main() -> None:

@@ -122,6 +122,40 @@ def test_walk_reaches_real_kernel_behind_real_wrapper():
     assert "spearman_moments" in k2 and "quantize_spearman_components" in k2
 
 
+_DEEP_NEST = '''
+HIDDEN_CONST = 11
+
+def deep_helper(x):
+    return x * 3
+
+def wrapper(x):
+    def inner(y):
+        f = lambda z: deep_helper(z) + HIDDEN_CONST
+        return f(y)
+    return inner(x)
+'''
+
+
+def test_depth2_nested_code_reaches_globals(tmp_path):
+    """Round-10 advisor finding: a global referenced ONLY from a lambda
+    inside an inner def (depth-2 nested code) must participate in the
+    hash — both the constant and the function arm."""
+    a = _load_fake(tmp_path, _DEEP_NEST, "n1")
+    out: dict = {}
+    _walk(a.wrapper, 0, set(), out)
+    keys = "\n".join(out)
+    assert "deep_helper" in keys, "depth-2 function reference missed"
+    assert "HIDDEN_CONST" in keys, "depth-2 constant reference missed"
+    b = _load_fake(
+        tmp_path, _DEEP_NEST.replace("HIDDEN_CONST = 11", "HIDDEN_CONST = 12"), "n2"
+    )
+    c = _load_fake(
+        tmp_path, _DEEP_NEST.replace("x * 3", "x * 4"), "n3"
+    )
+    assert entry_src_hash_v2(a.wrapper, None) != entry_src_hash_v2(b.wrapper, None)
+    assert entry_src_hash_v2(a.wrapper, None) != entry_src_hash_v2(c.wrapper, None)
+
+
 def test_hash_is_deterministic_across_loads(tmp_path):
     a = _load_fake(tmp_path, _BASE, "i")
     b = _load_fake(tmp_path, _BASE, "j")
