@@ -3211,8 +3211,6 @@ ORACLE_SQL.update(EXT25_ORACLE_SQL)
 # Purely a dict-ordering change — every (name, callable, oracle) triple is
 # unchanged, and no entry is ever excluded.
 # ---------------------------------------------------------------------------
-import hashlib as _hashlib  # noqa: E402
-import inspect as _inspect  # noqa: E402
 import json as _json  # noqa: E402
 import os as _os  # noqa: E402
 import re as _re  # noqa: E402
@@ -3220,29 +3218,44 @@ import re as _re  # noqa: E402
 _REPO_ROOT = _os.path.dirname(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 )
-#: Committed by scripts/update_green_manifest.py at round start: the
-#: source hash of each entry AT THE TIME its latest green driver row
-#: landed.  An entry whose current hash differs was rewritten after
-#: its verification and must rotate forward like a never-green one
-#: (round-8 lesson: ann_pq_topk / ann_recall_report shipped material
-#: rewrites on top of r07 greens and the rotation never noticed).
-_GREEN_MANIFEST_PATH = _os.path.join(_REPO_ROOT, "GREEN_MANIFEST.json")
+#: Committed by scripts/update_green_manifest.py at round start (full
+#: regeneration: scripts/migrate_manifest_v2.py, which recomputes every
+#: hash AT the entry's green-round commit via git worktrees): the
+#: closure-aware v2 source hash of each entry AT THE TIME its latest
+#: green driver row landed.  An entry whose current hash differs was
+#: rewritten after its verification and must rotate forward like a
+#: never-green one (round-8 lesson: ann_pq_topk / ann_recall_report
+#: shipped material rewrites on top of r07 greens and the rotation
+#: never noticed; round-10 lesson: the v1 wrapper-only hash missed
+#: kernel-level drift — epoch_shuffle's kernel extraction after its r6
+#: green was invisible until the v2 dry run).
+_GREEN_MANIFEST_PATH = _os.path.join(_REPO_ROOT, "GREEN_MANIFEST_V2.json")
 
 
-def _entry_src_hash(fn, oracle: str | None) -> str:
-    """Hash of a registry entry's implementation surface: the query
-    function's source text plus its oracle SQL.  Helper functions the
-    query calls are NOT captured — this is a cheap staleness heuristic
-    for driver-budget ordering, not a correctness proof."""
-    try:
-        src = _inspect.getsource(fn)
-    except (OSError, TypeError):
-        src = repr(fn)
-    h = _hashlib.sha256()
-    h.update(src.encode())
-    h.update(b"\x00")
-    h.update((oracle or "").encode())
-    return h.hexdigest()
+def _load_entry_hash_v2():
+    """Load the closure-aware v2 hash from scripts/entry_hash_v2.py.
+
+    The implementation lives OUTSIDE the package on purpose: the
+    manifest migration applies the same file to historical git
+    worktrees by path, so there is exactly one definition to drift.
+    Fail loudly if it is missing — a silent v1 fallback would compute
+    hashes that mismatch every manifest row and quietly re-front the
+    whole registry."""
+    import importlib.util as _ilu
+
+    path = _os.path.join(_REPO_ROOT, "scripts", "entry_hash_v2.py")
+    spec = _ilu.spec_from_file_location("_entry_hash_v2_live", path)
+    if spec is None or spec.loader is None:
+        raise RuntimeError(f"entry hash v2 implementation missing: {path}")
+    mod = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.entry_src_hash_v2
+
+
+#: Live since round 11: the closure-aware v2 hash (query function source
+#: + every transitively reached same-package function's source + simple
+#: module constants + oracle SQL).  See scripts/entry_hash_v2.py.
+_entry_src_hash = _load_entry_hash_v2()
 
 
 def _load_green_manifest() -> dict[str, str]:

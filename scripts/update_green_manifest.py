@@ -1,4 +1,5 @@
-"""Regenerate GREEN_MANIFEST.json — run at ROUND START, while the
+"""Refresh the live green manifest (GREEN_MANIFEST_V2.json since the
+round-11 v2 flip) — run at ROUND START, while the
 working tree still equals the round-end commit the external driver
 just verified (CORRECTNESS_r{N}.json was produced against exactly
 these sources).
@@ -119,13 +120,17 @@ def _files_changed_since_round_commit(latest_round: int) -> set[str] | None:
 
 def main() -> None:
     from gtfs_realtime_etl_spark.plans.queries import (
+        _GREEN_MANIFEST_PATH,
         ORACLE_SQL,
         QUERIES,
         _driver_rows,
         _entry_src_hash,
     )
 
-    path = os.path.join(ROOT, "GREEN_MANIFEST.json")
+    # Whatever manifest the live rotation reads is the one to refresh
+    # (GREEN_MANIFEST_V2.json since the round-11 v2 flip; hashes come
+    # from the same live _entry_src_hash the rotation uses).
+    path = _GREEN_MANIFEST_PATH
     try:
         with open(path) as fh:
             manifest = json.load(fh)

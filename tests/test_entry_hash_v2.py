@@ -165,3 +165,63 @@ def test_hash_is_deterministic_across_loads(tmp_path):
     assert entry_src_hash_v2(a.wrapper, "X") == entry_src_hash_v2(
         b.wrapper, "X"
     )
+
+
+# ---------------------------------------------------------------------------
+# Live-rotation integration (round-11 flip): the registry's
+# _entry_src_hash IS the v2 implementation, the manifest path points at
+# the v2 file, and a kernel-only edit provably moves an entry into the
+# rotation front.
+# ---------------------------------------------------------------------------
+
+
+def test_live_rotation_uses_v2_hash():
+    from gtfs_realtime_etl_spark.plans import queries as q
+
+    assert os.path.basename(q._GREEN_MANIFEST_PATH) == "GREEN_MANIFEST_V2.json"
+    # Same function object semantics: identical output on a real entry.
+    fn = q.QUERIES["spearman_corr"]
+    oracle = q.ORACLE_SQL.get("spearman_corr")
+    assert q._entry_src_hash(fn, oracle) == entry_src_hash_v2(fn, oracle)
+
+
+def test_kernel_edit_fronts_entry_in_live_rotation(tmp_path, monkeypatch):
+    """End-to-end against the live rotation functions: an entry whose
+    manifest hash was recorded for kernel-variant A is trusted (back
+    block); after a kernel-only edit (wrapper source unchanged) the SAME
+    manifest row no longer vouches and the entry joins the front."""
+    import json
+
+    from gtfs_realtime_etl_spark.plans import queries as q
+
+    name = "_hashv2_fake_entry"
+    mod_a = _load_fake(tmp_path, _BASE, "ra")
+    manifest = {
+        name: {"hash": q._entry_src_hash(mod_a.wrapper, "SELECT 1"), "round": 9}
+    }
+    mpath = tmp_path / "fake_manifest.json"
+    mpath.write_text(json.dumps(manifest))
+    monkeypatch.setattr(q, "_GREEN_MANIFEST_PATH", str(mpath))
+    monkeypatch.setattr(
+        q, "_driver_rows", lambda: {name: (9, True, True)}
+    )
+    monkeypatch.setitem(q.QUERIES, name, mod_a.wrapper)
+    monkeypatch.setitem(q.ORACLE_SQL, name, "SELECT 1")
+    try:
+        order = q._driver_gate_order({name: mod_a.wrapper})
+        assert name in q._load_driver_green(), "variant A should be trusted"
+
+        # Kernel-only edit: wrapper source identical, kernel differs.
+        mod_b = _load_fake(tmp_path, _BASE.replace("* KONST", "* KONST + 1"), "rb")
+        import inspect
+
+        assert inspect.getsource(mod_a.wrapper) == inspect.getsource(mod_b.wrapper)
+        monkeypatch.setitem(q.QUERIES, name, mod_b.wrapper)
+        assert name not in q._load_driver_green(), (
+            "kernel-only drift must evict the entry from the trusted set"
+        )
+        order = q._driver_gate_order({name: mod_b.wrapper})
+        assert list(order) == [name]  # fronted (only entry, front block)
+    finally:
+        q.QUERIES.pop(name, None)
+        q.ORACLE_SQL.pop(name, None)
