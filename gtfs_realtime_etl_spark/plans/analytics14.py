@@ -529,22 +529,12 @@ CONT_DEN = 10
 
 
 def _stage(df: DataFrame, name: str) -> DataFrame:
-    """Deterministic materialization of a multi-read intermediate:
-    write to a per-application temp parquet path (mode overwrite — the
-    next invocation reclaims the previous files synchronously) and read
-    back.  See the staging note in :func:`containment_pairs` for why
-    this replaces ``localCheckpoint`` here."""
-    import os
-    import tempfile
+    """Deterministic materialization of a multi-read intermediate (see
+    :mod:`gtfs_realtime_etl_spark.plans.staging` for why this replaces
+    ``localCheckpoint`` here)."""
+    from gtfs_realtime_etl_spark.plans.staging import stage_to_tmp
 
-    spark = df.sparkSession
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_stage_{spark.sparkContext.applicationId}",
-        name,
-    )
-    df.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    return stage_to_tmp(df, name)
 
 
 def containment_pairs(

@@ -3194,6 +3194,14 @@ from gtfs_realtime_etl_spark.plans.analytics22 import (  # noqa: E402
 QUERIES.update(EXT25_QUERIES)
 ORACLE_SQL.update(EXT25_ORACLE_SQL)
 
+from gtfs_realtime_etl_spark.plans.analytics23 import (  # noqa: E402
+    EXT26_ORACLE_SQL,
+    EXT26_QUERIES,
+)
+
+QUERIES.update(EXT26_QUERIES)
+ORACLE_SQL.update(EXT26_ORACLE_SQL)
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering — STRUCTURAL, derived from the CORRECTNESS artifacts.
 #
