@@ -18,10 +18,22 @@ support.
   ``tests/test_analytics18.py::test_signed_integer_division_portability``).
   Quantizing by a shared factor keeps every intermediate inside 128
   bits: |num| <= sqrt(dx*dy) <= max(dx, dy) by Cauchy-Schwarz, so
-  |num div g| < 1e15 and (num div g)^2 * 1e6 < 1e36 < 1e38, while the
-  ratio loses at most ~1e-15 relative precision (far below the ppm
-  output grain).  At test scale (dx, dy < 1e15) ``scale_e = 0`` and
-  the quantized components equal the exact ones.
+  |num div g| < 1e15 and (num div g)^2 * 1e6 < 1e36 < 1e38.  The
+  quantization error of the REPORTED ratio is governed by the SMALLER
+  quantized denominator (round-10 advisor correction — the original
+  "~1e-15 relative" claim holds only when dx and dy have similar
+  magnitude): truncating dx, dy downward inflates rho2 by up to
+  ~1e6 * (1/dxq + 1/dyq) ppm, so a component 15+ orders of magnitude
+  below its partner (dxq ~ 1) could be off by tens of percent and
+  even exceed the |rho| <= 1 range.  Hence the FLOOR convention:
+  whenever quantization is active (scale_e > 0), rho2 is NULL unless
+  min(dxq, dyq) >= 10^6 (``SPEARMAN_QFLOOR``), bounding the error to
+  ~2 ppm — the output grain; a defensive LEAST/GREATEST clamp to
+  ±1e6 makes the |rho| <= 1 invariant unconditional.  At test scale
+  (dx, dy < 1e15) ``scale_e = 0``, the quantized components equal the
+  exact ones, and exact integer division makes rho2 <= 1e6 by
+  Cauchy-Schwarz with no error at all (the floor deliberately does
+  NOT apply there — small EXACT components are fine).
 - ``seq_pairs_support`` — gapped sequential-pattern support (the
   PrefixSpan level-1→2 step): an ordered type pair (a → b) is
   supported by a user iff SOME a-event precedes SOME b-event, i.e.
@@ -155,6 +167,11 @@ _SPEARMAN_E = (
 )
 _SPEARMAN_G = f"CAST(CONCAT('1', REPEAT('0', {_SPEARMAN_E})) AS DECIMAL(38,0))"
 
+#: Minimum quantized denominator for a reported (non-NULL) rho2 when
+#: quantization is active: bounds the truncation inflation to
+#: ~1e6 * (1/dxq + 1/dyq) <= ~2 ppm (see module doc).
+SPEARMAN_QFLOOR = 10**6
+
 
 def quantize_spearman_components(raw: DataFrame) -> DataFrame:
     """Quantize exact 128-bit (num_x, dx_x, dy_x) Spearman components
@@ -164,10 +181,15 @@ def quantize_spearman_components(raw: DataFrame) -> DataFrame:
 
     Cauchy-Schwarz gives |num_x| <= sqrt(dx_x*dy_x) <= max(dx_x, dy_x),
     so |num_x div g| < 1e15 and (num_x div g)^2 * 1e6 < 1e36.  Signed
-    truncating div is portable (pinned).  If dx and dy differ by more
-    than 15 orders of magnitude the smaller quantized denominator
-    underflows to 0 and rho2 is NULL — deterministic and identical in
-    both engines (documented extreme-degenerate convention)."""
+    truncating div is portable (pinned).  NULL convention (identical
+    in both engines): rho2 is NULL for degenerate inputs (dx or dy
+    = 0) and, when quantization is active (scale_e > 0), whenever
+    min(dxq, dyq) < ``SPEARMAN_QFLOOR`` — below the floor the
+    denominator truncation could inflate the ratio by tens of percent
+    (round-10 advisor finding; the >15-orders-apart underflow-to-0
+    case is subsumed).  The surviving values are correct to ~2 ppm
+    and defensively clamped to ±1e6 so |rho| <= 1 holds
+    unconditionally."""
     g = _SPEARMAN_G
     # Spark `div` yields BIGINT even on DECIMAL operands, so each
     # quotient is re-cast to DECIMAL(38,0) before the rho2 products
@@ -184,10 +206,13 @@ def quantize_spearman_components(raw: DataFrame) -> DataFrame:
         F.expr(f"CAST(dy_x div {g} AS BIGINT)").alias("dy"),
         F.expr(
             f"CASE WHEN dx_x > 0 AND dy_x > 0"
-            f" AND {dxq} > 0 AND {dyq} > 0 THEN"
+            f" AND ({_SPEARMAN_E} = 0 OR LEAST({dxq}, {dyq})"
+            f"      >= {SPEARMAN_QFLOOR}) THEN"
+            f" LEAST(GREATEST("
             f" CAST((CASE WHEN num_x >= 0 THEN 1 ELSE -1 END)"
             f" * ((({nq} * {nq} * 1000000)"
-            f"    div ({dxq} * {dyq}))) AS BIGINT) END"
+            f"    div ({dxq} * {dyq}))) AS BIGINT),"
+            f" CAST(-1000000 AS BIGINT)), CAST(1000000 AS BIGINT)) END"
         ).alias("rho2_signed_ppm"),
     )
 
@@ -264,10 +289,13 @@ SELECT event_type, n, scale_e,
        CAST(dx_x // g AS BIGINT) AS dx,
        CAST(dy_x // g AS BIGINT) AS dy,
        CASE WHEN dx_x > 0 AND dy_x > 0
-             AND (dx_x // g) > 0 AND (dy_x // g) > 0 THEN
-         CAST((CASE WHEN num_x >= 0 THEN 1 ELSE -1 END)
-              * (((num_x // g) * (num_x // g) * 1000000)
-                 // ((dx_x // g) * (dy_x // g))) AS BIGINT) END
+             AND (scale_e = 0 OR LEAST(dx_x // g, dy_x // g)
+                  >= {SPEARMAN_QFLOOR}) THEN
+         LEAST(GREATEST(
+           CAST((CASE WHEN num_x >= 0 THEN 1 ELSE -1 END)
+                * (((num_x // g) * (num_x // g) * 1000000)
+                   // ((dx_x // g) * (dy_x // g))) AS BIGINT),
+           CAST(-1000000 AS BIGINT)), CAST(1000000 AS BIGINT)) END
          AS rho2_signed_ppm
 FROM scaled
 """

@@ -155,11 +155,26 @@ _EDGE_COMPONENTS = [
     # form's num^2*1e6 ~ 1.5e79 would overflow 128 bits outright.
     ("huge_pos", 39 * 10**35, 4 * 10**36, 4 * 10**36),
     ("huge_neg", -(39 * 10**35), 4 * 10**36, 4 * 10**36),
-    # Asymmetric but within 15 digits of each other.
+    # Asymmetric but within 15 digits of each other (dxq = 1e11 >=
+    # the 1e6 floor -> reported).
     ("asym_ok", 10**20, 10**22, 10**25),
     # >15 orders of magnitude apart: quantized denominator underflows
     # to 0 -> NULL by documented convention (identically in both).
     ("asym_null", 10**10, 10**3, 10**36),
+    # Round-11 advisor fix: dxq = 1 (> 0, so the OLD convention
+    # reported a value ~50% off — 374999 for a true 249999); below
+    # the 1e6 floor -> NULL now.
+    ("asym_floor_null", 15 * 10**30, 15 * 10**22, 9 * 10**37),
+    # Quantized denominator exactly AT the floor -> reported, and the
+    # inflation is bounded at the ppm grain (true 999999, reported
+    # 1000000 -- the clamp keeps it inside |rho| <= 1 regardless).
+    (
+        "asym_floor_keep",
+        # num = isqrt(dx*dy) for the dx/dy below (Cauchy-Schwarz max).
+        30_000_014_999_996_266_668_549_998_811_037,
+        10**6 * 10**21 + 10**21 - 1,
+        9 * 10**14 * 10**21 + 10**21 - 1,
+    ),
     # Degenerate: constant x (dx = 0) -> NULL.
     ("degenerate", 0, 0, 10**30),
     ("zero_num", 0, 10**36, 10**36),
@@ -170,8 +185,15 @@ def _py_quantize(num: int, dx: int, dy: int):
     e, g = _scale(dx, dy)
     nq, dxq, dyq = _tdiv(num, g), dx // g, dy // g
     rho2 = (
-        (1 if num >= 0 else -1) * (nq * nq * 1_000_000 // (dxq * dyq))
-        if dx > 0 and dy > 0 and dxq > 0 and dyq > 0
+        max(
+            -1_000_000,
+            min(
+                1_000_000,
+                (1 if num >= 0 else -1)
+                * (nq * nq * 1_000_000 // (dxq * dyq)),
+            ),
+        )
+        if dx > 0 and dy > 0 and (e == 0 or min(dxq, dyq) >= 10**6)
         else None
     )
     return (e, nq, dxq, dyq, rho2)
@@ -226,10 +248,13 @@ def test_quantize_spearman_components_cross_engine_edges(spark):
                    CAST(dx_x // g AS BIGINT) AS dx,
                    CAST(dy_x // g AS BIGINT) AS dy,
                    CASE WHEN dx_x > 0 AND dy_x > 0
-                         AND (dx_x // g) > 0 AND (dy_x // g) > 0 THEN
-                     CAST((CASE WHEN num_x >= 0 THEN 1 ELSE -1 END)
-                          * (((num_x // g) * (num_x // g) * 1000000)
-                             // ((dx_x // g) * (dy_x // g))) AS BIGINT)
+                         AND (scale_e = 0 OR LEAST(dx_x // g, dy_x // g)
+                              >= 1000000) THEN
+                     LEAST(GREATEST(
+                       CAST((CASE WHEN num_x >= 0 THEN 1 ELSE -1 END)
+                            * (((num_x // g) * (num_x // g) * 1000000)
+                               // ((dx_x // g) * (dy_x // g))) AS BIGINT),
+                       CAST(-1000000 AS BIGINT)), CAST(1000000 AS BIGINT))
                    END AS rho2_signed_ppm
             FROM scaled
             """
