@@ -24,7 +24,7 @@ from gtfs_realtime_etl_spark.plans.analytics23 import (
 from gtfs_realtime_etl_spark.sources.testdata import load_testdata
 from tests.conftest import SF_SMOKE
 
-BANDS = 16  # DEDUP_INC_BANDS; pinned literal so a param drift trips here
+BANDS = 8  # DEDUP_INC_BANDS; pinned literal so a param drift trips here
 
 
 def _rows(df):
