@@ -170,6 +170,11 @@ def main() -> None:
         cfn = QUERIES.get("setsim_join")
         if cfn is None:
             return 0.0
+        # One untimed warm run first: the "before" canary fires right
+        # after session build, and a cold first run would inflate the
+        # baseline — masking a genuinely noisy start instead of
+        # flagging it.
+        _time_query(s, cfn, "setsim_join")
         runs = []
         for _ in range(3):
             if gc_enabled:
