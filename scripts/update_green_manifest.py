@@ -170,7 +170,7 @@ def main() -> None:
     with open(path, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    print(f"GREEN_MANIFEST.json: {len(manifest)} entries, {updated} updated")
+    print(f"{os.path.basename(path)}: {len(manifest)} entries, {updated} updated")
 
 
 if __name__ == "__main__":

@@ -26,7 +26,7 @@ def test_driver_gate_rotation_is_structural():
     rows-only greens (hash_match null — value-unverified) precede fully
     verified greens, each block stalest-first.  Rounds 6 and 7 both lost
     budget to hand-maintained green lists going stale; the order is
-    derived from the committed CORRECTNESS_r*.json + GREEN_MANIFEST.json
+    derived from the committed CORRECTNESS_r*.json + the live green manifest (GREEN_MANIFEST_V2.json since round 11)
     artifacts, and this test fails if any green entry ever precedes a
     needs-verification one."""
     from gtfs_realtime_etl_spark.plans.queries import _load_driver_green
@@ -58,7 +58,7 @@ def test_driver_gate_rotation_is_structural():
 def test_green_manifest_current_for_green_entries():
     """Every entry the rotation treats as green must carry a manifest
     hash equal to its CURRENT source hash — i.e. the committed
-    GREEN_MANIFEST.json was regenerated after the last code change to
+    the live green manifest was regenerated after the last code change to
     any green entry (scripts/update_green_manifest.py)."""
     from gtfs_realtime_etl_spark.plans.queries import (
         _entry_src_hash,
