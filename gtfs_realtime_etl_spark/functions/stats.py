@@ -129,6 +129,56 @@ def portable_int_log2(n: Column) -> Column:
     return e.cast("double") + F.lit(2.0) * t * acc / F.lit(_LN2)
 
 
+def portable_int_log2_staged(df, cols: dict) -> "DataFrame":
+    """Multi-column staged twin of :func:`portable_int_log2`: adds one
+    DOUBLE column per ``(name, expr)`` with IDENTICAL arithmetic (same
+    correctly-rounded ops in the same order — bit-identical results),
+    but binds each instance's ``e / m / t / s`` intermediates to NAMED
+    columns.
+
+    Why it exists (round-11 plan-compile finding): the inline form
+    splices the whole mantissa subtree once per Horner term — ``s``
+    appears ``_LOG2_TERMS`` (14) times, each carrying the full
+    ``t → m → e → n`` chain — so a plan that needs several log2 columns
+    pays O(terms × subtree × instances) in driver ANALYSIS and codegen.
+    On ``feature_mi`` that compile cost, not data, dominated the query
+    (~1.9 s vs 0.4 s for the same aggregate with the log terms
+    removed, on a few-hundred-row contingency table).  Every named
+    intermediate here is referenced more than once downstream, so
+    Catalyst's CollapseProject keeps them materialized (it never
+    re-inlines a non-cheap alias with multiple references) and the
+    plan stays linear in the term count.  Intermediates are dropped
+    before returning; column order of ``cols`` is preserved."""
+    out = df
+    tmp: list[str] = []
+    for name, col in cols.items():
+        n_, e_, m_, t_, s_ = (f"_{name}__n", f"_{name}__e",
+                              f"_{name}__m", f"_{name}__t", f"_{name}__s")
+        tmp += [n_, e_, m_, t_, s_]
+        out = out.withColumn(n_, col.cast("long"))
+        out = out.withColumn(e_, F.length(F.bin(F.col(n_))) - F.lit(1))
+        out = out.withColumn(
+            m_,
+            F.col(n_).cast("double")
+            / F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.col(e_)
+            ).cast("double"),
+        )
+        out = out.withColumn(
+            t_, (F.col(m_) - F.lit(1.0)) / (F.col(m_) + F.lit(1.0))
+        )
+        out = out.withColumn(s_, F.col(t_) * F.col(t_))
+        acc = F.lit(1.0 / (2 * _LOG2_TERMS + 1))
+        for j in range(_LOG2_TERMS - 1, -1, -1):
+            acc = acc * F.col(s_) + F.lit(1.0 / (2 * j + 1))
+        out = out.withColumn(
+            name,
+            F.col(e_).cast("double")
+            + F.lit(2.0) * F.col(t_) * acc / F.lit(_LN2),
+        )
+    return out.drop(*tmp)
+
+
 def portable_int_log2_sql(expr: str, prefix: str) -> str:
     """DuckDB twin of :func:`portable_int_log2` as lateral-alias SELECT
     items.  Returns a SQL fragment defining ``<prefix>_lg`` (the log2

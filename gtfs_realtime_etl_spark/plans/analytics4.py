@@ -472,18 +472,35 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ux = unis.select(F.col("w").alias("x"), F.col("c").alias("cx"))
     uy = unis.select(F.col("w").alias("y"), F.col("c").alias("cy"))
-    pmi = (
-        portable_int_log2(F.col("cxy"))
-        - portable_int_log2(F.col("np"))
-        - portable_int_log2(F.col("cx"))
-        - portable_int_log2(F.col("cy"))
-        + F.lit(2.0) * portable_int_log2(F.col("ntok"))
+    # Staged log2 (functions/stats.py::portable_int_log2_staged): five
+    # inline instances made plan compile, not data, a visible cost of
+    # this query (the round-11 feature_mi finding); arithmetic is
+    # bit-identical.
+    from gtfs_realtime_etl_spark.functions.stats import (
+        portable_int_log2_staged,
     )
-    return (
+
+    lgd = portable_int_log2_staged(
         pair_counts.join(ux, "x")
         .join(uy, "y")
-        .crossJoin(F.broadcast(scalars))
-        .select(
+        .crossJoin(F.broadcast(scalars)),
+        {
+            "l_cxy": F.col("cxy"),
+            "l_np": F.col("np"),
+            "l_cx": F.col("cx"),
+            "l_cy": F.col("cy"),
+            "l_ntok": F.col("ntok"),
+        },
+    )
+    pmi = (
+        F.col("l_cxy")
+        - F.col("l_np")
+        - F.col("l_cx")
+        - F.col("l_cy")
+        + F.lit(2.0) * F.col("l_ntok")
+    )
+    return (
+        lgd.select(
             "pair", "cxy", "cx", "cy", (F.round((pmi) * F.lit(1e6), 0) / F.lit(1e6)).alias("pmi")
         )
         .orderBy(F.desc("pmi"), F.asc("pair"))

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from gtfs_realtime_etl_spark.functions.stats import (
     portable_int_log2,
     portable_int_log2_sql,
+    portable_int_log2_staged,
 )
 from gtfs_realtime_etl_spark.plans.analytics import (
     _NS_PER_DAY,
@@ -172,51 +173,58 @@ def _mi_pair(df: DataFrame, x: str, y: str, pair_name: str) -> DataFrame:
         .withColumn("cy", F.sum("cxy").over(Window.partitionBy("y")))
         .withColumn("n", F.sum("cxy").over(Window.partitionBy()))
     )
-    dl_micro = (
-        _lg_micro(F.col("cxy"))
-        + _lg_micro(F.col("n"))
-        - _lg_micro(F.col("cx"))
-        - _lg_micro(F.col("cy"))
+    # ONE aggregate over the windowed contingency table computes the MI
+    # sum AND both marginal-entropy sums (round-11: the previous
+    # three-branch form — mi + separate hx/hy aggregates combined by
+    # scalar crossJoins — replayed the joint groupBy's full table scan
+    # once PER BRANCH, because DataFrame branches share no common
+    # subexpressions; 3 pairs x 3 branches = 9 base-table scans).  The
+    # fold is the exact integer identity Σ_xy cxy·lg_micro(cx) =
+    # Σ_x cx·lg_micro(cx) (since Σ_y cxy = cx, grouping identical
+    # BIGINT terms) — bit-identical output, one scan per pair.
+    #
+    # The four log terms are computed via the STAGED log2 form
+    # (functions/stats.py::portable_int_log2_staged): the inline tree
+    # splices its mantissa subtree once per Horner term, and six
+    # inlined instances made plan analysis/codegen — not data — the
+    # dominant cost of this query (measured ~1.9 s vs 0.4 s for the
+    # same aggregate with the log terms removed, on a few-hundred-row
+    # contingency table).  Arithmetic is bit-identical.
+    lgd = portable_int_log2_staged(
+        joint,
+        {
+            "la": F.col("cxy"),
+            "ln": F.col("n"),
+            "lx": F.col("cx"),
+            "ly": F.col("cy"),
+        },
     )
-    mi = joint.agg(
+
+    def _micro(c: str):
+        return F.floor(
+            F.col(c) * F.lit(1_000_000.0) + F.lit(0.5)
+        ).cast("long")
+
+    mi = lgd.agg(
         F.max("n").alias("n_rows"),
         F.countDistinct("x").alias("k_x"),
         F.countDistinct("y").alias("k_y"),
-        _micro_sum(F.col("cxy"), dl_micro).alias("mi_sum_micro"),
+        _micro_sum(
+            F.col("cxy"),
+            _micro("la") + _micro("ln") - _micro("lx") - _micro("ly"),
+        ).alias("mi_sum_micro"),
+        _micro_sum(F.col("cxy"), _micro("lx")).alias("hx_sum_micro"),
+        _micro_sum(F.col("cxy"), _micro("ly")).alias("hy_sum_micro"),
     )
-    hx = (
-        joint.groupBy("x")
-        .agg(F.max("cx").alias("cx"))
-        .agg(
-            _micro_sum(F.col("cx"), _lg_micro(F.col("cx"))).alias(
-                "hx_sum_micro"
-            )
-        )
-    )
-    hy = (
-        joint.groupBy("y")
-        .agg(F.max("cy").alias("cy"))
-        .agg(
-            _micro_sum(F.col("cy"), _lg_micro(F.col("cy"))).alias(
-                "hy_sum_micro"
-            )
-        )
-    )
-    # 1-row × 1-row scalar combines (broadcast nested-loop on literal
-    # singletons — the SCALAR_BNLJ_OK pattern).
-    return (
-        mi.crossJoin(F.broadcast(hx))
-        .crossJoin(F.broadcast(hy))
-        .select(
-            F.lit(pair_name).alias("pair"),
-            "n_rows",
-            "k_x",
-            "k_y",
-            _lg_micro(F.col("n_rows")).alias("log2n_micro"),
-            "mi_sum_micro",
-            "hx_sum_micro",
-            "hy_sum_micro",
-        )
+    return mi.select(
+        F.lit(pair_name).alias("pair"),
+        "n_rows",
+        "k_x",
+        "k_y",
+        _lg_micro(F.col("n_rows")).alias("log2n_micro"),
+        "mi_sum_micro",
+        "hx_sum_micro",
+        "hy_sum_micro",
     )
 
 
@@ -251,7 +259,7 @@ SELECT pair, n_rows, k_x, k_y, log2n_micro, mi_sum_micro, hx_sum_micro,
     FROM joint
   ),
   terms AS (
-    SELECT cxy, n,
+    SELECT x, y, cxy, n,
            {portable_int_log2_sql("cxy", "la")},
            {portable_int_log2_sql("n", "ln")},
            {portable_int_log2_sql("cx", "lx")},
@@ -259,45 +267,34 @@ SELECT pair, n_rows, k_x, k_y, log2n_micro, mi_sum_micro, hx_sum_micro,
     FROM marg
   ),
   mi AS (
+    -- ONE aggregate computes the MI sum AND both marginal-entropy
+    -- sums via the exact identity SUM_xy cxy*lg(cx) = SUM_x cx*lg(cx)
+    -- (round-11 single-scan fold; matches the Spark form).
     SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+           COUNT(DISTINCT x) AS k_x, COUNT(DISTINCT y) AS k_y,
            CAST(SUM(CAST(cxy AS DECIMAL(18,0))
                * CAST({_lg_micro_sql("la_lg")} + {_lg_micro_sql("ln_lg")}
                       - {_lg_micro_sql("lx_lg")} - {_lg_micro_sql("ly_lg")}
-                      AS DECIMAL(12,0))) AS BIGINT) AS mi_sum_micro
-    FROM terms
-  ),
-  kk AS (
-    SELECT COUNT(DISTINCT x) AS k_x, COUNT(DISTINCT y) AS k_y FROM joint
-  ),
-  hx AS (
-    SELECT CAST(SUM(CAST(cx AS DECIMAL(18,0))
+                      AS DECIMAL(12,0))) AS BIGINT) AS mi_sum_micro,
+           CAST(SUM(CAST(cxy AS DECIMAL(18,0))
                * CAST({_lg_micro_sql("lx_lg")} AS DECIMAL(12,0))) AS BIGINT)
-           AS hx_sum_micro
-    FROM (
-      SELECT cx, {portable_int_log2_sql("cx", "lx")}
-      FROM (SELECT x, MAX(cx) AS cx FROM marg GROUP BY x)
-    )
-  ),
-  hy AS (
-    SELECT CAST(SUM(CAST(cy AS DECIMAL(18,0))
+           AS hx_sum_micro,
+           CAST(SUM(CAST(cxy AS DECIMAL(18,0))
                * CAST({_lg_micro_sql("ly_lg")} AS DECIMAL(12,0))) AS BIGINT)
            AS hy_sum_micro
-    FROM (
-      SELECT cy, {portable_int_log2_sql("cy", "ly")}
-      FROM (SELECT y, MAX(cy) AS cy FROM marg GROUP BY y)
-    )
+    FROM terms
   ),
   nn AS (
     SELECT n_rows, {portable_int_log2_sql("n_rows", "lnr")} FROM mi
   )
   SELECT '{pair_name}' AS pair,
          mi.n_rows,
-         kk.k_x, kk.k_y,
+         mi.k_x, mi.k_y,
          {_lg_micro_sql("nn.lnr_lg")} AS log2n_micro,
          mi.mi_sum_micro,
-         hx.hx_sum_micro,
-         hy.hy_sum_micro
-  FROM mi, kk, hx, hy, nn
+         mi.hx_sum_micro,
+         mi.hy_sum_micro
+  FROM mi, nn
 )
 """
 
