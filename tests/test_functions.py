@@ -312,3 +312,27 @@ def test_portable_int_log2_accuracy_and_cross_engine_bits(spark):
         (oracle,) = con.execute(f"SELECT p_lg FROM (SELECT {frag})").fetchone()
         assert got[n] == oracle, (n, got[n], oracle)  # bit-identical
         assert abs(got[n] - math.log2(n)) < 1e-12, (n, got[n])
+
+
+def test_portable_int_log2_staged_bit_identical(spark):
+    """The staged multi-column form (round-11, plan-compile fix) must
+    produce the bit-identical double of the inline Column form for
+    every input — same correctly-rounded ops in the same order, only
+    the intermediates are named."""
+    import random
+
+    from gtfs_realtime_etl_spark.functions.stats import (
+        portable_int_log2,
+        portable_int_log2_staged,
+    )
+
+    rnd = random.Random(411)
+    vals = [1, 2, 3, 5, 7, 8, 1023, 1024, 1025, 10**6, 10**12,
+            2**62, (2**63) - 1]
+    vals += [rnd.getrandbits(50) | 1 for _ in range(200)]
+    df = spark.createDataFrame([(v,) for v in sorted(set(vals))], "n long")
+    inline = df.select("n", portable_int_log2(F.col("n")).alias("lg_i"))
+    staged = portable_int_log2_staged(df, {"lg_s": F.col("n")})
+    j = inline.join(staged, "n")
+    assert j.filter(F.col("lg_i").isNull() | F.col("lg_s").isNull()).count() == 0
+    assert j.filter(F.col("lg_i") != F.col("lg_s")).count() == 0
