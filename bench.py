@@ -137,6 +137,18 @@ def main() -> None:
             "SPARK_GRAFT_BENCH_GC_ENABLED / legacy "
             "SPARK_GRAFT_BENCH_GC_EVERY); use 0 or 1"
         )
+    # Absolute canary reference (quiet-phase setsim median, seconds) —
+    # validated UP FRONT like the GC switch: it is only consumed after
+    # the whole suite has run, and a malformed env var surfacing there
+    # would discard hours of timings (round-11 advisor finding).
+    canary_ref_env = os.environ.get("SPARK_GRAFT_BENCH_CANARY_REF", "5.0")
+    try:
+        canary_ref = float(canary_ref_env)
+    except ValueError:
+        raise SystemExit(
+            "bench: non-numeric SPARK_GRAFT_BENCH_CANARY_REF "
+            f"{canary_ref_env!r}; use a float (seconds)"
+        )
 
     spark = _build_session(sf_dir)
 
@@ -238,7 +250,7 @@ def main() -> None:
     # quiet-phase median across the r9-r11 isolated probes (4.7-5.4 s
     # band); a run whose canary starts >1.3x above it ran on a slow
     # box even if it stayed internally flat.
-    canary_ref = float(os.environ.get("SPARK_GRAFT_BENCH_CANARY_REF", "5.0"))
+    # canary_ref parsed/validated up front, next to the GC switch.
     slow_box = bool(canary_before and canary_before > 1.3 * canary_ref)
     totals = {
         "median_total": round(sum(med.values()), 3),

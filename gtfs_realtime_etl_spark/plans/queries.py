@@ -3240,30 +3240,16 @@ _REPO_ROOT = _os.path.dirname(
 _GREEN_MANIFEST_PATH = _os.path.join(_REPO_ROOT, "GREEN_MANIFEST_V2.json")
 
 
-def _load_entry_hash_v2():
-    """Load the closure-aware v2 hash from scripts/entry_hash_v2.py.
-
-    The implementation lives OUTSIDE the package on purpose: the
-    manifest migration applies the same file to historical git
-    worktrees by path, so there is exactly one definition to drift.
-    Fail loudly if it is missing — a silent v1 fallback would compute
-    hashes that mismatch every manifest row and quietly re-front the
-    whole registry."""
-    import importlib.util as _ilu
-
-    path = _os.path.join(_REPO_ROOT, "scripts", "entry_hash_v2.py")
-    spec = _ilu.spec_from_file_location("_entry_hash_v2_live", path)
-    if spec is None or spec.loader is None:
-        raise RuntimeError(f"entry hash v2 implementation missing: {path}")
-    mod = _ilu.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod.entry_src_hash_v2
-
-
 #: Live since round 11: the closure-aware v2 hash (query function source
 #: + every transitively reached same-package function's source + simple
-#: module constants + oracle SQL).  See scripts/entry_hash_v2.py.
-_entry_src_hash = _load_entry_hash_v2()
+#: module constants + oracle SQL).  The single definition is vendored
+#: inside the package (``plans/entry_hash_v2.py``) since round 12 so an
+#: installed/packaged deployment imports without a repo-root checkout;
+#: ``scripts/entry_hash_v2.py`` is a by-path shim over the same file
+#: for the migration's historical-worktree subprocess use.
+from gtfs_realtime_etl_spark.plans.entry_hash_v2 import (
+    entry_src_hash_v2 as _entry_src_hash,
+)
 
 
 def _load_green_manifest() -> dict[str, str]:

@@ -9,30 +9,59 @@ are still in flight (round-10 judge probe on ``containment_join``:
 10.6 s best vs 38.8 s worst on an idle box, while a single-checkpoint
 canary stayed flat).  A temp-parquet stage has a deterministic
 lifecycle instead: the write is synchronous I/O inside the calling
-job's own window, re-reads are plain scans with column pruning, and
-the next invocation's ``mode("overwrite")`` reclaims the previous
-files synchronously.  At lake scale this is also the shape you'd
-operate — stage the expensive intermediate once, probe it many times.
+job's own window, and re-reads are plain scans with column pruning.
+At lake scale this is also the shape you'd operate — stage the
+expensive intermediate once, probe it many times.
+
+Isolation contract (round-12): every invocation stages to a FRESH
+path — ``{tmp}/spark_graft_stage_{applicationId}/{name}__{counter}``
+— so a DataFrame returned by one call can never observe a later
+call's data, even when plan build and plan execution are interleaved
+(build-all-then-execute drivers, concurrent invocations of the same
+registry entry, two entries sharing a stage name).  The write uses
+``mode("error")`` as a hard assertion of freshness.  The whole
+per-application directory is reaped by an ``atexit`` hook, so a
+process leaves nothing behind (previous rounds leaked one directory
+per Spark application into ``$TMPDIR``); disk use WITHIN a process is
+bounded by the number of staging invocations, which for the registry
+queries is a handful of sf-scale intermediates per run.
 """
 
 from __future__ import annotations
 
+import atexit
+import itertools
 import os
+import shutil
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame
 
+_INVOCATION = itertools.count()
+_REAP_REGISTERED: set[str] = set()
+_LOCK = threading.Lock()
+
+
+def app_stage_dir(app_id: str) -> str:
+    """The per-application staging root (one directory per Spark
+    application, removed at interpreter exit)."""
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_stage_{app_id}")
+
 
 def stage_to_tmp(df: DataFrame, name: str) -> DataFrame:
-    """Write ``df`` to a per-application temp parquet path (mode
-    overwrite) and read it back.  ``name`` must be unique per staging
-    site within a query; concurrent queries are isolated by the
-    applicationId directory."""
+    """Write ``df`` to a fresh per-invocation temp parquet path and
+    read it back.  ``name`` is a human-readable label only — a
+    monotonic counter makes the path unique, so repeated or concurrent
+    invocations never alias, and the returned frame is immutable for
+    the life of the process.  The application's staging directory is
+    registered for ``atexit`` removal on first use."""
     spark = df.sparkSession
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_stage_{spark.sparkContext.applicationId}",
-        name,
-    )
-    df.write.mode("overwrite").parquet(path)
+    app_dir = app_stage_dir(spark.sparkContext.applicationId)
+    path = os.path.join(app_dir, f"{name}__{next(_INVOCATION):06d}")
+    with _LOCK:
+        if app_dir not in _REAP_REGISTERED:
+            _REAP_REGISTERED.add(app_dir)
+            atexit.register(shutil.rmtree, app_dir, ignore_errors=True)
+    df.write.mode("error").parquet(path)
     return spark.read.parquet(path)

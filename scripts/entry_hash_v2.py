@@ -1,102 +1,30 @@
-"""Closure-aware registry entry hash (v2) — round-11 migration
-candidate for ``plans/queries.py::_entry_src_hash``.
+"""By-path shim over the canonical closure-aware entry hash (v2),
+which lives inside the package since round 12:
+``gtfs_realtime_etl_spark/plans/entry_hash_v2.py``.
 
-The v1 hash covers only the query function's own source plus its
-oracle SQL.  Most registry entries are thin ``q_`` wrappers over
-testable kernels (``spearman_moments``, ``funnel_levels``,
-``assortativity_report``, ``flagship_day_partials``, ...), so a
-kernel-only edit leaves the v1 hash unchanged and the rotation keeps
-trusting a driver row that verified different math (the round-8
-ann_pq_topk failure class, reopened at file granularity whenever a
-kernel is extracted — round-10 review finding).
-
-v2 walks the function's global references transitively (bounded
-depth), hashing:
-
-- the source of every reached FUNCTION defined inside the
-  ``gtfs_realtime_etl_spark`` package (kernels, helpers, their
-  helpers), in deterministic (module, qualname) order;
-- the ``repr`` of every reached module-level CONSTANT of a simple
-  type (str/int/float/bool/tuple/frozenset) — SQL fragments and
-  tuning constants like ``EWMA_LAGS`` change semantics without
-  changing any function's source;
-- the oracle SQL, as before.
-
-Residual blindness (documented, accepted): class attributes, closures
-created at runtime, dict/list module constants (unhashable reprs are
-included via repr too, but insertion order could differ across
-versions), and anything reached only through dynamic dispatch.
-
-This module is STANDALONE (stdlib only) so the round-11 migration can
-apply the same implementation to historical trees via subprocesses —
-see ``scripts/migrate_manifest_v2.py``.  Nothing in the live rotation
-reads it yet; switching is a deliberate round-boundary change.
-"""
+The migration (``scripts/migrate_manifest_v2.py``) loads THIS file by
+absolute path and applies it to historical git worktrees; the shim
+resolves the sibling package file relative to its own location, so the
+loaded implementation is always the current tree's — never a
+worktree's — and stays stdlib-only (no package import, which would
+pull in pyspark and ambiguously resolve against whatever tree is first
+on ``sys.path``)."""
 
 from __future__ import annotations
 
-import hashlib
-import inspect
-import types
+import importlib.util as _ilu
+import os as _os
 
-_PKG = "gtfs_realtime_etl_spark"
-_MAX_DEPTH = 4
-_CONST_TYPES = (str, int, float, bool, tuple, frozenset, bytes)
+_IMPL = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "gtfs_realtime_etl_spark",
+    "plans",
+    "entry_hash_v2.py",
+)
+_spec = _ilu.spec_from_file_location("_entry_hash_v2_impl", _IMPL)
+if _spec is None or _spec.loader is None:  # pragma: no cover
+    raise RuntimeError(f"entry hash v2 implementation missing: {_IMPL}")
+_mod = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_mod)
 
-
-def _walk(fn, depth: int, seen: set, out: dict) -> None:
-    """Collect (sort_key -> text) for fn and its same-package callees."""
-    try:
-        key = f"{fn.__module__}.{fn.__qualname__}"
-    except AttributeError:
-        return
-    if key in seen:
-        return
-    seen.add(key)
-    try:
-        out[key] = inspect.getsource(fn)
-    except (OSError, TypeError):
-        out[key] = repr(fn)
-        return
-    if depth >= _MAX_DEPTH:
-        return
-    g = getattr(fn, "__globals__", {})
-    codes = [fn.__code__]
-    # Nested code objects (lambdas / inner defs) reference globals too.
-    # Iterate the GROWING list (a worklist) so nesting expands
-    # transitively: a ``list(codes)`` snapshot here only reached depth-1
-    # nested code, silently excluding globals referenced solely from a
-    # lambda inside an inner def (round-10 advisor finding — exactly the
-    # silent-re-trust blind spot v2 exists to close).
-    for c in codes:
-        codes.extend(
-            k for k in c.co_consts if isinstance(k, types.CodeType)
-        )
-    names: set[str] = set()
-    for c in codes:
-        names.update(c.co_names)
-    for name in sorted(names):
-        obj = g.get(name)
-        if obj is None:
-            continue
-        if isinstance(obj, types.FunctionType) and getattr(
-            obj, "__module__", ""
-        ).startswith(_PKG):
-            _walk(obj, depth + 1, seen, out)
-        elif isinstance(obj, _CONST_TYPES):
-            ckey = f"{fn.__module__}::{name}"
-            out.setdefault(ckey, repr(obj))
-
-
-def entry_src_hash_v2(fn, oracle: str | None) -> str:
-    """Closure-aware hash of a registry entry's implementation surface."""
-    out: dict[str, str] = {}
-    _walk(fn, 0, set(), out)
-    h = hashlib.sha256()
-    for key in sorted(out):
-        h.update(key.encode())
-        h.update(b"\x00")
-        h.update(out[key].encode())
-        h.update(b"\x00")
-    h.update((oracle or "").encode())
-    return h.hexdigest()
+entry_src_hash_v2 = _mod.entry_src_hash_v2

@@ -208,7 +208,13 @@ def migrate() -> None:
     print(f"wrote {out_path}: {len(v2_manifest)} entries "
           f"({len(missing)} unresolvable: {sorted(missing)})")
 
-    # Verification report: front sets under v1 vs v2 on the CURRENT tree.
+    # Verification report.  NOTE (round-12, advisor finding): since the
+    # round-11 flip, the LIVE rotation already uses the v2 hash and
+    # GREEN_MANIFEST_V2.json — so the live front recomputed here is a
+    # self-check against the manifest this script just wrote (it should
+    # agree except for entries the live manifest has folded since their
+    # green-round commits), NOT the historical v1-vs-v2 comparison the
+    # original migration printed.  Labels say so.
     sys.path.insert(0, ROOT)
     hash_v2 = _load_v2(_V2_PATH)
     from gtfs_realtime_etl_spark.plans.queries import (
@@ -217,15 +223,16 @@ def migrate() -> None:
         _load_driver_green,
     )
 
-    v1_front = {k for k in QUERIES if k not in _load_driver_green()}
+    live_front = {k for k in QUERIES if k not in _load_driver_green()}
     v2_front = set()
     for name, fn in QUERIES.items():
         rec = v2_manifest.get(name)
         if rec is None or rec["hash"] != hash_v2(fn, ORACLE_SQL.get(name)):
             v2_front.add(name)
-    print(f"v1 front: {len(v1_front)} | v2 front: {len(v2_front)}")
-    print(f"newly flagged by v2 (kernel/constant drift invisible to v1): "
-          f"{sorted(v2_front - v1_front)}")
+    print(f"live front (rotation's own view): {len(live_front)} | "
+          f"regenerated-manifest front: {len(v2_front)}")
+    print(f"fronted by regenerated manifest but not live (folded since "
+          f"green-round commit): {sorted(v2_front - live_front)}")
     # Safety assertions:
     # (a) entries with NO green driver row can never be trusted.
     never_green = {k for k in QUERIES if k not in green_rounds}
@@ -234,11 +241,12 @@ def migrate() -> None:
         print(f"ERROR: never-green entries absent from the v2 front: "
               f"{sorted(leaked)}")
         sys.exit(1)
-    # (b) entries v1 fronted but v2 clears are, by construction, entries
-    # whose current closure surface hashes identically to the tree their
-    # latest green row verified (hash recomputed AT that commit) — v1
-    # manifest staleness healed, not debt erased.  Print for audit.
-    healed = sorted(v1_front - v2_front)
+    # (b) entries the live rotation fronts but the regenerated manifest
+    # clears are, by construction, entries whose current closure surface
+    # hashes identically to the tree their latest green row verified
+    # (hash recomputed AT that commit) — live-manifest staleness healed,
+    # not debt erased.  Print for audit.
+    healed = sorted(live_front - v2_front)
     if healed:
         print(
             f"cleared from front ({len(healed)} — current surface matches "

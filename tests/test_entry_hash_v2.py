@@ -1,13 +1,21 @@
-"""Closure-aware entry hash v2 (round-11 migration candidate): a
-kernel-only or constant-only edit must change the wrapper's hash;
-unrelated edits must not.  Nothing in the live rotation uses v2 yet —
-these tests pin the implementation the migration will apply."""
+"""Closure-aware entry hash v2 (the live rotation hash since round
+11): a kernel-only or constant-only edit must change the wrapper's
+hash; unrelated edits must not.  The canonical implementation is
+vendored in the package (``plans/entry_hash_v2.py``, round 12);
+``scripts/entry_hash_v2.py`` is a by-path shim the manifest migration
+loads — pinned below to resolve to the same file."""
 
 from __future__ import annotations
 
 import importlib.util
 import os
 import sys
+
+from gtfs_realtime_etl_spark.plans import entry_hash_v2 as _impl
+from gtfs_realtime_etl_spark.plans.entry_hash_v2 import (
+    _walk,
+    entry_src_hash_v2,
+)
 
 _SCRIPTS = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
@@ -23,8 +31,18 @@ def _load_scripts_module(name: str):
     return mod
 
 
-entry_src_hash_v2 = _load_scripts_module("entry_hash_v2").entry_src_hash_v2
-_walk = _load_scripts_module("entry_hash_v2")._walk
+def test_scripts_shim_resolves_to_package_impl():
+    """The migration applies scripts/entry_hash_v2.py to historical
+    worktrees by path; it must be the SAME implementation the live
+    rotation imports, loaded from the package file."""
+    shim = _load_scripts_module("entry_hash_v2")
+    assert (
+        shim.entry_src_hash_v2.__code__.co_filename
+        == os.path.abspath(_impl.__file__)
+    )
+    assert shim.entry_src_hash_v2(
+        entry_src_hash_v2, "SELECT 1"
+    ) == entry_src_hash_v2(entry_src_hash_v2, "SELECT 1")
 
 _BASE = '''
 KONST = 7
