@@ -583,10 +583,12 @@ def containment_pairs(
     # idle box (round-10 judge probe; the single-checkpoint setsim canary
     # stayed flat).  A temp-parquet stage has a deterministic lifecycle
     # instead: the write is synchronous I/O inside the query's own
-    # window, re-reads are plain scans with column pruning, and the next
-    # invocation's mode("overwrite") reclaims the files synchronously.
-    # At lake scale this is also the shape you'd operate: tokenized
-    # corpus staged once, probed many times.
+    # window, re-reads are plain scans with column pruning, and the
+    # per-application staging dir is reaped at process exit (round-12:
+    # each invocation stages to a fresh counter-suffixed path, so a
+    # built plan never observes a later invocation's data).  At lake
+    # scale this is also the shape you'd operate: tokenized corpus
+    # staged once, probed many times.
     sets = _stage(
         folded.select("doc_id", sh_col.alias("sh")).select(
             "doc_id", "sh", F.size("sh").cast("long").alias("n")
