@@ -70,7 +70,9 @@ DRIVER_VOCAB = [
 ]
 DRIVER_VOCAB = [w for w in DRIVER_VOCAB if w != "dup_x"]  # 30 words
 
-CAND_BUDGET = 30_000_000  # candidate-instance budget for lossless joins
+# candidate-instance budget for lossless joins (SCALE_PROBE_BUDGET
+# overrides; the default keeps the standard run under ~15 min)
+CAND_BUDGET = int(os.environ.get("SCALE_PROBE_BUDGET", 30_000_000))
 
 
 def _gen_texts(n: int, seed: int, vocab: list[str], probs=None) -> list[str]:
@@ -301,8 +303,14 @@ def main() -> None:
 
     results: dict = {"cand_budget": CAND_BUDGET, "cells": []}
 
-    def cell(corpus, n, query, metrics):
-        rec = {"corpus": corpus, "n_docs": n, "query": query, **metrics}
+    only = os.environ.get("SCALE_PROBE_ONLY")  # substring filter
+
+    def cell(corpus, n, query, probe):
+        """``probe`` is a thunk so SCALE_PROBE_ONLY can skip the work,
+        not just the record."""
+        if only and only not in query:
+            return
+        rec = {"corpus": corpus, "n_docs": n, "query": query, **probe()}
         results["cells"].append(rec)
         print(json.dumps(rec))
 
@@ -313,27 +321,28 @@ def main() -> None:
 
     for n in scales:
         docs = materialize(spark, "driver", n)
-        cell("driver", n, "dedup_incremental", probe_dedup_incremental(docs))
-        cell("driver", n, "winnow_dedup", probe_winnow(docs))
+        cell("driver", n, "dedup_incremental",
+             lambda: probe_dedup_incremental(docs))
+        cell("driver", n, "winnow_dedup", lambda: probe_winnow(docs))
         # registry (shingle) form: bound always, join only under budget
         cell("driver", n, "containment_join[shingle]",
-             probe_pair_join(docs, "containment", "shingle"))
+             lambda: probe_pair_join(docs, "containment", "shingle"))
         cell("driver", n, "setsim_join[shingle]",
-             probe_pair_join(docs, "setsim", "shingle"))
+             lambda: probe_pair_join(docs, "setsim", "shingle"))
 
     # fit validation: synthetic driver-like 5k vs the REAL sf0.1 table
     if not decade2:
         cell("real-sf0.1", 5_000, "dedup_incremental",
-             probe_dedup_incremental(real))
+             lambda: probe_dedup_incremental(real))
         cell("real-sf0.1", 5_000, "containment_join[shingle]",
-             probe_pair_join(real, "containment", "shingle"))
+             lambda: probe_pair_join(real, "containment", "shingle"))
 
     for n in scales:
         docs = materialize(spark, "zipf", n)
         cell("zipf", n, "containment_join[word]",
-             probe_pair_join(docs, "containment", "word"))
+             lambda: probe_pair_join(docs, "containment", "word"))
         cell("zipf", n, "setsim_join[word]",
-             probe_pair_join(docs, "setsim", "word"))
+             lambda: probe_pair_join(docs, "setsim", "word"))
 
     # Optional SECOND decade (SCALE_PROBE_DECADE2=1): 500k docs.  At
     # 50k the dedup cap had not yet bound (max bucket 992 < 1000); the
@@ -345,12 +354,12 @@ def main() -> None:
     if decade2:
         docs = materialize(spark, "driver", 500_000)
         cell("driver", 500_000, "dedup_incremental",
-             probe_dedup_incremental(docs))
+             lambda: probe_dedup_incremental(docs))
         docs = materialize(spark, "zipf", 500_000)
         cell("zipf", 500_000, "containment_join[word]",
-             probe_pair_join(docs, "containment", "word"))
+             lambda: probe_pair_join(docs, "containment", "word"))
         cell("zipf", 500_000, "setsim_join[word]",
-             probe_pair_join(docs, "setsim", "word"))
+             lambda: probe_pair_join(docs, "setsim", "word"))
 
     # Merge with an existing artifact: keep prior cells this run did
     # not recompute (keyed by corpus/n/query), so decade-2 reruns
