@@ -129,12 +129,76 @@ def portable_int_log2(n: Column) -> Column:
     return e.cast("double") + F.lit(2.0) * t * acc / F.lit(_LN2)
 
 
+def _log2_horner_sql(s_ref: str) -> str:
+    """The Horner accumulation as SQL text over a named ``s`` column —
+    double literals carry the ``D`` suffix so Spark parses them with
+    Double.parseDouble (correctly rounded; a bare decimal literal would
+    route through DECIMAL first).  ``repr`` emits the shortest string
+    that round-trips, so each parsed double is bit-identical to the
+    ``F.lit(1.0 / (2*j+1))`` the Column form embeds."""
+    acc = f"{1.0 / (2 * _LOG2_TERMS + 1)!r}D"
+    for j in range(_LOG2_TERMS - 1, -1, -1):
+        acc = f"({acc}) * {s_ref} + {1.0 / (2 * j + 1)!r}D"
+    return acc
+
+
+def _staged_sql_fast(df, cols: dict) -> "DataFrame":
+    """selectExpr fast path of :func:`portable_int_log2_staged` for
+    string (SQL-expression) inputs: the same staged arithmetic, parsed
+    JVM-side in SIX round trips instead of thousands of Column-builder
+    py4j calls.  Round-12 finding: feature_mi's 3.7 s sf0.1 median was
+    ~60% PLAN CONSTRUCTION — 15k py4j send_commands, 2.2 s of them
+    inside the Column-built staged log2 (the Horner loop alone is
+    14 terms × 4 instances × 3 pairs of Column ops).  Each level below
+    mirrors the Column form op-for-op (same casts, same function, same
+    association), so results stay bit-identical — pinned on the same
+    213-value grid in tests/test_functions.py."""
+    names = list(cols)
+    out = df.selectExpr(
+        "*", *[f"CAST(({cols[n]}) AS BIGINT) AS _{n}__n" for n in names]
+    )
+    out = out.selectExpr(
+        "*", *[f"length(bin(_{n}__n)) - 1 AS _{n}__e" for n in names]
+    )
+    out = out.selectExpr(
+        "*",
+        *[
+            f"CAST(_{n}__n AS DOUBLE) / "
+            f"CAST(shiftleft(CAST(1 AS BIGINT), _{n}__e) AS DOUBLE) "
+            f"AS _{n}__m"
+            for n in names
+        ],
+    )
+    out = out.selectExpr(
+        "*",
+        *[f"(_{n}__m - 1.0D) / (_{n}__m + 1.0D) AS _{n}__t" for n in names],
+    )
+    out = out.selectExpr(
+        "*", *[f"_{n}__t * _{n}__t AS _{n}__s" for n in names]
+    )
+    out = out.selectExpr(
+        "*",
+        *[
+            f"CAST(_{n}__e AS DOUBLE) + 2.0D * _{n}__t * "
+            f"({_log2_horner_sql(f'_{n}__s')}) / {_LN2!r}D AS {n}"
+            for n in names
+        ],
+    )
+    return out.drop(*[f"_{n}__{p}" for n in names for p in "nemts"])
+
+
 def portable_int_log2_staged(df, cols: dict) -> "DataFrame":
     """Multi-column staged twin of :func:`portable_int_log2`: adds one
     DOUBLE column per ``(name, expr)`` with IDENTICAL arithmetic (same
     correctly-rounded ops in the same order — bit-identical results),
     but binds each instance's ``e / m / t / s`` intermediates to NAMED
     columns.
+
+    ``cols`` values may be Columns or SQL-expression STRINGS; when all
+    are strings the construction takes :func:`_staged_sql_fast` (six
+    selectExpr round trips — the round-12 plan-CONSTRUCTION fix; the
+    round-11 staged form had already fixed plan COMPILE but still
+    built the Horner tree one py4j call at a time).
 
     Why it exists (round-11 plan-compile finding): the inline form
     splices the whole mantissa subtree once per Horner term — ``s``
@@ -149,6 +213,8 @@ def portable_int_log2_staged(df, cols: dict) -> "DataFrame":
     re-inlines a non-cheap alias with multiple references) and the
     plan stays linear in the term count.  Intermediates are dropped
     before returning; column order of ``cols`` is preserved."""
+    if cols and all(isinstance(c, str) for c in cols.values()):
+        return _staged_sql_fast(df, cols)
     out = df
     tmp: list[str] = []
     for name, col in cols.items():

@@ -484,12 +484,14 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_counts.join(ux, "x")
         .join(uy, "y")
         .crossJoin(F.broadcast(scalars)),
+        # string inputs → selectExpr fast path (round-12; bit-identical,
+        # see the feature_mi call site and the grid pin)
         {
-            "l_cxy": F.col("cxy"),
-            "l_np": F.col("np"),
-            "l_cx": F.col("cx"),
-            "l_cy": F.col("cy"),
-            "l_ntok": F.col("ntok"),
+            "l_cxy": "cxy",
+            "l_np": "np",
+            "l_cx": "cx",
+            "l_cy": "cy",
+            "l_ntok": "ntok",
         },
     )
     pmi = (

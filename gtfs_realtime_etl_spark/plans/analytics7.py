@@ -190,14 +190,13 @@ def _mi_pair(df: DataFrame, x: str, y: str, pair_name: str) -> DataFrame:
     # dominant cost of this query (measured ~1.9 s vs 0.4 s for the
     # same aggregate with the log terms removed, on a few-hundred-row
     # contingency table).  Arithmetic is bit-identical.
+    # String inputs → the selectExpr fast path (round-12): the Column
+    # form of this call built ~15k py4j commands per query — 2.2 s of
+    # feature_mi's 3.5 s plan CONSTRUCTION, measured with cProfile —
+    # while the parsed form is six round trips.  Bit-identical (grid
+    # pin in tests/test_functions.py).
     lgd = portable_int_log2_staged(
-        joint,
-        {
-            "la": F.col("cxy"),
-            "ln": F.col("n"),
-            "lx": F.col("cx"),
-            "ly": F.col("cy"),
-        },
+        joint, {"la": "cxy", "ln": "n", "lx": "cx", "ly": "cy"}
     )
 
     def _micro(c: str):

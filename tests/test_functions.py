@@ -333,6 +333,17 @@ def test_portable_int_log2_staged_bit_identical(spark):
     df = spark.createDataFrame([(v,) for v in sorted(set(vals))], "n long")
     inline = df.select("n", portable_int_log2(F.col("n")).alias("lg_i"))
     staged = portable_int_log2_staged(df, {"lg_s": F.col("n")})
-    j = inline.join(staged, "n")
-    assert j.filter(F.col("lg_i").isNull() | F.col("lg_s").isNull()).count() == 0
+    # String inputs take the round-12 selectExpr fast path — same grid,
+    # same bit-identity requirement.
+    fast = portable_int_log2_staged(df, {"lg_q": "n"})
+    j = inline.join(staged, "n").join(fast, "n")
+    assert (
+        j.filter(
+            F.col("lg_i").isNull()
+            | F.col("lg_s").isNull()
+            | F.col("lg_q").isNull()
+        ).count()
+        == 0
+    )
     assert j.filter(F.col("lg_i") != F.col("lg_s")).count() == 0
+    assert j.filter(F.col("lg_i") != F.col("lg_q")).count() == 0
