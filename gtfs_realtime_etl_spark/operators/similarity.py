@@ -31,6 +31,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gtfs_realtime_etl_spark.functions.exprs import lit_double_array
 from gtfs_realtime_etl_spark.functions.vector import cosine_similarity, dot
 
 #: Candidate-pruning fan-out for the salted two-phase top-k (the same
@@ -128,7 +129,7 @@ def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
     """Random-hyperplane sign signature packed into a bigint."""
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        proj = dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
+        proj = dot(vec, lit_double_array(plane))
         sig = sig + F.shiftleft(
             F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i
         )
@@ -211,7 +212,7 @@ def _assign_cells_rows(embeddings: DataFrame, cents: list, vec_col: str) -> Data
         F.struct(
             _l2sq(
                 F.col("_vec"),
-                F.array(*[F.lit(float(v)) for v in row["centroid"]]),
+                lit_double_array(row["centroid"]),
             ).alias("dist"),
             F.lit(row["cell_id"]).alias("cell"),
         )
@@ -316,8 +317,8 @@ def quantize_embeddings(
     smaller), the standard storage tier under an IVF index.  Pure
     Column math (transform over the literal calibration arrays); a
     degenerate dimension (min == max) quantizes to 0."""
-    mins_arr = F.array(*[F.lit(float(v)) for v in mins])
-    maxs_arr = F.array(*[F.lit(float(v)) for v in maxs])
+    mins_arr = lit_double_array(mins)
+    maxs_arr = lit_double_array(maxs)
 
     def q(x: Column, i: Column) -> Column:
         mn = F.element_at(mins_arr, i + 1)
@@ -338,8 +339,8 @@ def dequantize(
 ) -> Column:
     """Inverse of :func:`quantize_embeddings` (array<double>): the
     reconstruction the query-time scorer sees."""
-    mins_arr = F.array(*[F.lit(float(v)) for v in mins])
-    maxs_arr = F.array(*[F.lit(float(v)) for v in maxs])
+    mins_arr = lit_double_array(mins)
+    maxs_arr = lit_double_array(maxs)
     return F.transform(
         qvec,
         lambda x, i: F.element_at(mins_arr, i + 1)
@@ -547,7 +548,7 @@ def _pq_code(vec: Column, subbook: "list[list[float]]", m: int, d_sub: int) -> C
     sub = F.slice(vec, m * d_sub + 1, d_sub)
     entries = [
         F.struct(
-            _l2sq(sub, F.array(*[F.lit(float(v)) for v in cw])).alias("dist"),
+            _l2sq(sub, lit_double_array(cw)).alias("dist"),
             F.lit(c).alias("c"),
         )
         for c, cw in enumerate(subbook)
@@ -657,7 +658,7 @@ def pq_adc_topk(
             terms = F.array(
                 *[
                     F.element_at(
-                        F.array(*[F.lit(d) for d in qdist[m]]),
+                        lit_double_array(qdist[m]),
                         _pq_code(vec, codebook[m], m, d_sub) + F.lit(1),
                     )
                     for m in range(n_sub)

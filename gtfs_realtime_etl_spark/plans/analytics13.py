@@ -51,6 +51,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gtfs_realtime_etl_spark.functions.exprs import lit_double_array
+
 from gtfs_realtime_etl_spark.sources.testdata import load_testdata
 
 
@@ -218,7 +220,7 @@ def _qn_pooled_grid(events: DataFrame) -> DataFrame:
         (F.col("off") + F.col("cum_local") - F.col("cnt")).alias("lo_rank"),
         (F.col("off") + F.col("cum_local") - 1).alias("hi_rank"),
     )
-    qs = F.array(*[F.lit(i / QN_GRID) for i in range(QN_GRID + 1)])
+    qs = lit_double_array(i / QN_GRID for i in range(QN_GRID + 1))
     targets = (
         stats.select("n", F.posexplode(qs).alias("gidx", "q"))
         .withColumn(

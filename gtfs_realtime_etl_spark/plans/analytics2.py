@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gtfs_realtime_etl_spark.functions.exprs import lit_double_array
+
 from gtfs_realtime_etl_spark.functions.text import tokens
 from gtfs_realtime_etl_spark.operators.rangejoin import overlap_join
 from gtfs_realtime_etl_spark.operators.sessions import sessionize
@@ -930,7 +932,7 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus.withColumn("_n", l2_norm(F.col("vec")))
     cos_exprs = []
     for r in bench:
-        b = F.array(*[F.lit(float(v)) for v in r["vec"]])
+        b = lit_double_array(r["vec"])
         bn = sum(v * v for v in r["vec"]) ** 0.5
         denom = F.col("_n") * F.lit(float(bn))
         cos_exprs.append(

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gtfs_realtime_etl_spark.functions.exprs import lit_double_array
+
 from gtfs_realtime_etl_spark.functions.text import tokens
 from gtfs_realtime_etl_spark.plans.analytics import SQL_TOKS
 from gtfs_realtime_etl_spark.sources.testdata import load_testdata
@@ -254,7 +256,7 @@ def _dist_to(vec: Column, centroid: list[float]) -> Column:
     """Euclidean distance, explicit index-order left fold (matches the
     oracle's list_reduce over list_transform)."""
     idx = F.sequence(F.lit(0), F.lit(len(centroid) - 1))
-    carr = F.array(*[F.lit(float(c)) for c in centroid])
+    carr = lit_double_array(centroid)
     terms = F.transform(
         idx,
         lambda i: (F.element_at(vec, i + 1) - F.element_at(carr, i + 1))

@@ -701,11 +701,19 @@ def q_embedding_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Python frame plans a Python-RDD scan, and EVERY per-round job
     # then pays a Python-worker round trip — measured 1.4-3.7 s per
     # 64-row job; the literal form runs the same job in ~0.1 s.)
-    crow_lit = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in mat[i]])
+    # Literal arrays are SQL-PARSED, not Column-built (round-12): the
+    # d×d F.array(F.lit(...)) form issued ~12k py4j commands — most of
+    # this query's 5.5 s plan-construction time; one parsed expression
+    # is ~10 ms.  D-suffixed repr literals go through Double.parseDouble
+    # (correctly rounded, shortest-repr round-trip), so the parsed
+    # doubles are bit-identical to the lit() doubles.
+    crow_lit = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in mat[i]) + ")"
             for i in range(1, d + 1)
-        ]
+        )
+        + ")"
     )
     base = (
         spark.range(1, d + 1)
@@ -734,7 +742,9 @@ def q_embedding_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     for _ in range(PC1_ITERS):
-        vlit = F.array(*[F.lit(float(x)) for x in v])
+        vlit = F.expr(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in v) + ")"
+        )
         w = F.aggregate(
             F.zip_with(F.col("crow"), vlit, lambda c, x: (c * x).cast(elem_dec)),
             F.lit(0).cast(acc_dec),
@@ -759,7 +769,7 @@ def q_embedding_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
         v = [r["v"] for r in sorted(out, key=lambda r: r["dim"])]
         eig = out[0]["nrm"]
-    vlit = F.array(*[F.lit(float(x)) for x in v])
+    vlit = F.expr("array(" + ", ".join(f"{float(x)!r}D" for x in v) + ")")
     return (
         spark.range(1, d + 1)
         .coalesce(1)

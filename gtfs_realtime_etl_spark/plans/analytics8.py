@@ -52,6 +52,8 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gtfs_realtime_etl_spark.functions.exprs import lit_double_matrix
+
 from gtfs_realtime_etl_spark.functions.stats import (
     portable_int_log2,
     portable_int_log2_sql,
@@ -420,9 +422,7 @@ RP_SIGNS = _rp_signs()
 
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = _t(spark, sf_dir, "embeddings")
-    signs_lit = F.array(
-        *[F.array(*[F.lit(float(s)) for s in row]) for row in RP_SIGNS]
-    )
+    signs_lit = lit_double_matrix(RP_SIGNS)
     x = emb.select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "x"),

@@ -347,3 +347,40 @@ def test_portable_int_log2_staged_bit_identical(spark):
     )
     assert j.filter(F.col("lg_i") != F.col("lg_s")).count() == 0
     assert j.filter(F.col("lg_i") != F.col("lg_q")).count() == 0
+
+
+def test_lit_double_array_bit_identical(spark):
+    """SQL-parsed literal arrays (round-12 plan-construction fix) must
+    carry exactly the bits of the F.lit form — D-suffixed repr goes
+    through Double.parseDouble, which is correctly rounded on the
+    shortest round-tripping string."""
+    import math
+    import random
+    import struct
+
+    import pytest
+
+    from gtfs_realtime_etl_spark.functions.exprs import (
+        lit_double_array,
+        lit_double_matrix,
+    )
+
+    rnd = random.Random(412)
+    vals = [0.0, -0.0, 1.0, -1.0, 0.1, -0.1, 1 / 3, 2**-30, 1e-300,
+            1e300, 123456789.123456789, 5e-324]
+    vals += [rnd.uniform(-1e6, 1e6) for _ in range(100)]
+    vals += [rnd.random() * 10**rnd.randint(-200, 200) for _ in range(100)]
+    df = spark.range(1)
+    a = df.select(
+        F.array(*[F.lit(float(x)) for x in vals]).alias("v")
+    ).collect()[0].v
+    b = df.select(lit_double_array(vals).alias("v")).collect()[0].v
+    pack = lambda xs: [struct.pack(">d", x) for x in xs]  # noqa: E731
+    assert pack(a) == pack(b)
+    m = df.select(
+        lit_double_matrix([vals[:5], vals[5:10]]).alias("m")
+    ).collect()[0].m
+    assert pack(m[0]) == pack(vals[:5]) and pack(m[1]) == pack(vals[5:10])
+    assert df.select(lit_double_array([]).alias("e")).collect()[0].e == []
+    with pytest.raises(ValueError):
+        lit_double_array([math.nan])
