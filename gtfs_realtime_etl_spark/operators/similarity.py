@@ -206,19 +206,35 @@ def assign_cells(
 
 
 def _assign_cells_rows(embeddings: DataFrame, cents: list, vec_col: str) -> DataFrame:
-    """Projection-only argmin over an already-collected centroid list."""
+    """Projection-only argmin over an already-collected centroid list.
+
+    The expression is SQL-PARSED, not Column-built (round-12): the
+    k-struct Column form issued hundreds of py4j commands per call and
+    unrolled k copies of the fold into codegen; one parsed
+    ``transform`` over a literal centroid array is a single round trip
+    and one fold instance to compile.  Arithmetic is unchanged —
+    ``zip_with`` squared-diff left-fold seeded with double 0, ties on
+    the smaller cell id via lexicographic (dist, cell) struct ordering
+    — and the D-suffixed repr literals go through Double.parseDouble,
+    bit-identical to the lit() doubles of the old form (the
+    embedding_pc1 / staged-log2 literal discipline)."""
+    from gtfs_realtime_etl_spark.functions.exprs import _d
+
     emb = embeddings.withColumn("_vec", F.col(vec_col).cast("array<double>"))
-    entries = [
-        F.struct(
-            _l2sq(
-                F.col("_vec"),
-                lit_double_array(row["centroid"]),
-            ).alias("dist"),
-            F.lit(row["cell_id"]).alias("cell"),
+    entries = ", ".join(
+        "named_struct('cell', {cell}, 'cv', array({vec}))".format(
+            cell=int(row["cell_id"]),
+            vec=", ".join(_d(x) for x in row["centroid"]),
         )
         for row in cents
-    ]
-    best = F.array_min(F.array(*entries))
+    )
+    best = F.expr(
+        "array_min(transform(array({entries}), c -> "
+        "struct(aggregate(zip_with(_vec, c.cv, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS dist, c.cell AS cell)))".format(
+            entries=entries
+        )
+    )
     return emb.withColumn("cell_id", best["cell"]).drop("_vec")
 
 

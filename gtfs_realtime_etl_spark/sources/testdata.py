@@ -34,12 +34,19 @@ def load_testdata(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     # The local testdata files are single-row-group parquet, so a scan is
-    # ONE task no matter the split config.  The corpus tables feed
-    # CPU-heavy per-row ops (shingling, hashing, vector math); spread
-    # them across the cluster at the source boundary.  At production
-    # scale inputs have many row groups and this widening is a no-op
-    # cost-wise (one narrow-input shuffle of the corpus slice).
-    heavy = {"documents", "embeddings"}
+    # ONE task no matter the split config — the map side of EVERY
+    # consumer (per-row kernels, decimal aggregation, expansion joins)
+    # then runs serially.  Spread the fact tables across the cluster at
+    # the source boundary, but only when the scan cannot feed the
+    # configured parallelism by itself (fewer input files than cores —
+    # the operators/dedup.py::_saturate rule): at production scale the
+    # inputs have many files/row groups, the condition is false, and no
+    # extra exchange is ever inserted.  Round-12 measurement (sf0.1,
+    # interleaved A/B, medians of 4): rollup-style decimal aggregation
+    # 3.79 s -> 1.78 s, the bootstrap first stage (x32 explode + md5)
+    # 3.06 s -> 1.37 s; trivial filter/project pays +0.1 s for the
+    # added exchange — dimension tables therefore stay narrow.
+    heavy = {"documents", "embeddings", "lineitem", "orders", "events"}
     parallelism = spark.sparkContext.defaultParallelism
     out = {}
     for t in tables:
@@ -47,7 +54,12 @@ def load_testdata(
         if t == "events":
             df = _normalize_event_ts(df)
         if t in heavy:
-            df = df.repartition(parallelism)
+            try:
+                n_files = len(df.inputFiles())
+            except Exception:  # non-file plans on some backends
+                n_files = 0
+            if n_files < parallelism:
+                df = df.repartition(parallelism)
         out[t] = df
     return out
 
