@@ -121,24 +121,31 @@ def pagerank(
             )
         else:
             mass = 0.0
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(mass / n))
-                ).alias("rank"),
-            )
-            # Lineage truncation each round either way (without it
-            # round t's plan embeds t joins and Catalyst analysis goes
-            # quadratic).  With dangling="collect" the round is
-            # materialized anyway for the mass measurement, so eager
-            # costs nothing extra; with dangling="none" a LAZY
-            # checkpoint defers all materialization to the caller's
-            # single action — ten rounds, ONE job, no per-round
-            # driver synchronization.
-            .localCheckpoint(eager=(dangling == "collect"))
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(mass / n))
+            ).alias("rank"),
         )
+        if dangling == "collect":
+            # The round is materialized anyway for the mass
+            # measurement, so an eager checkpoint costs nothing extra
+            # and keeps the next round's plan O(1).
+            ranks = ranks.localCheckpoint(eager=True)
+        # With dangling="none" the rounds CHAIN in one lazy plan: with
+        # materialize_edges the per-round join table and node list are
+        # already checkpoint leaves, so round t's tree is t chained
+        # (join + agg + join) blocks over flat leaves — linear, one
+        # Catalyst pass at the caller's single action.  The per-round
+        # LAZY localCheckpoint this replaces (round-12) was not free:
+        # every call synchronously physical-planned and codegen'd its
+        # subtree (~0.2-0.3 s x iterations of driver-side stall) to
+        # build the checkpoint RDD, serializing exactly the per-round
+        # barrier the lazy form was meant to avoid.  (The quadratic
+        # Catalyst blowup the old comment feared applies to the
+        # UNMATERIALIZED edge path: there every round re-embeds the
+        # caller's full edge lineage; materialize_edges=False callers
+        # accept that documented trade.)
     return ranks

@@ -50,6 +50,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+# Module-level import so staging.py stays inside the v2 closure hash
+# (a function-local import hides the callee from the walker).
+from gtfs_realtime_etl_spark.plans.staging import stage_to_tmp
 from gtfs_realtime_etl_spark.sources.testdata import load_testdata
 
 
@@ -73,7 +76,14 @@ BASKET_CAP = 32  # hard bound on in-row triple expansion (cap^3 worst)
 
 def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = _t(spark, sf_dir, "lineitem")
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # The distinct basket-item table feeds three consumers (the order
+    # count, the per-item counts, and the L1-pruned basket build);
+    # staged once it is computed once instead of once per consumer
+    # (round-12: the static plan replayed the scan+distinct three
+    # times — 13 exchanges).
+    items = stage_to_tmp(
+        lineitem.select("l_orderkey", "l_partkey").distinct(), "apriori_items"
+    )
     n_orders_df = items.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
     )

@@ -65,6 +65,9 @@ from pyspark.sql import functions as F
 
 from gtfs_realtime_etl_spark.plans.analytics18 import _lgm
 from gtfs_realtime_etl_spark.functions.stats import portable_int_log2_sql
+# Module-level import so staging.py stays inside the v2 closure hash
+# (a function-local import hides the callee from the walker).
+from gtfs_realtime_etl_spark.plans.staging import stage_to_tmp
 from gtfs_realtime_etl_spark.sources.testdata import load_testdata
 
 
@@ -391,9 +394,11 @@ def assortativity_report(edges: DataFrame) -> DataFrame:
     edge frame — the testable kernel behind ``degree_assortativity``
     (the degenerate degree-regular case must emit NULL identically in
     both engines)."""
+    # One scan of the edge frame instead of a two-scan unionAll
+    # (round-12): explode([u, v]) emits exactly the same node
+    # multiset, halving the edge reads feeding the degree count.
     deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -483,7 +488,12 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.u", "e.v")
         .distinct()
     )
-    return assortativity_report(edges)
+    # The report reads the edge frame three ways (degree count + both
+    # endpoint joins); staged once, the basket pipeline (distinct ->
+    # collect_set -> pair explode -> distinct) runs once instead of
+    # per consumer (round-12: the static plan had 19 exchanges, almost
+    # all replayed basket lineage).
+    return assortativity_report(stage_to_tmp(edges, "assort_edges"))
 
 
 Q_DEGREE_ASSORTATIVITY_SQL = f"""

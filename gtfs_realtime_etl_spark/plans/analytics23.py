@@ -79,7 +79,7 @@ from gtfs_realtime_etl_spark.operators.dedup import (
     _saturate,
     jaccard_pairs,
 )
-from gtfs_realtime_etl_spark.plans.staging import stage_to_tmp
+from gtfs_realtime_etl_spark.plans.staging import stage_to_tmp_partitioned
 from gtfs_realtime_etl_spark.sources.testdata import load_testdata
 
 DEDUP_INC_NUM = 32
@@ -206,27 +206,46 @@ def dedup_incremental_pairs(
     """The full fold, in one plan: slice the corpus into deterministic
     arrival batches, fold each through :func:`probe_index` against the
     growing banded index, finalize, and verify with exact
-    shingle-Jaccard.  Per-batch band rows are STAGED (one signature
-    pass per batch — the lake-resident index in the cross-job form)."""
+    shingle-Jaccard.
+
+    The per-batch band rows are staged ONCE, hive-partitioned on the
+    batch id (round-12): the in-plan form used to run one staged write
+    per batch — ``n_batches`` signature passes over the corpus and
+    ``n_batches`` write jobs whose per-job overhead dominated the
+    query's sf0.1 cost — but a document's signature depends only on
+    its own text, so one pass over the corpus with the arrival slice
+    as a partition column produces bit-identical per-batch frames, and
+    every ``batch``-filtered read below is partition-pruned exactly
+    like the lake-resident index in the cross-job form
+    (``tests/test_dedup_incremental.py``, which still signs each batch
+    in its own job — the probe/finalize fold contract is unchanged
+    here, only the staging emulation is consolidated)."""
+    staged = stage_to_tmp_partitioned(
+        lsh_band_rows(documents).withColumn(
+            "batch",
+            F.pmod(F.col("doc_id"), F.lit(n_batches)).cast("int"),
+        ),
+        "dedup_inc_band",
+        "batch",
+    )
     batches = [
-        stage_to_tmp(
-            lsh_band_rows(
-                documents.filter(
-                    F.pmod(F.col("doc_id"), F.lit(n_batches)) == F.lit(d)
-                )
-            ),
-            f"dedup_inc_band_{d}",
+        staged.filter(F.col("batch") == F.lit(d)).select(
+            "doc_id", "band_id", "band_key"
         )
         for d in range(n_batches)
     ]
     cand_parts = []
     for d in range(n_batches):
         index_rows = (
-            reduce(lambda x, y: x.unionByName(y), batches[:d]) if d else None
+            staged.filter(F.col("batch") < F.lit(d)).select(
+                "doc_id", "band_id", "band_key"
+            )
+            if d
+            else None
         )
         cand_parts.append(probe_index(batches[d], index_rows, max_bucket))
     all_candidates = reduce(lambda x, y: x.unionByName(y), cand_parts)
-    full_index = reduce(lambda x, y: x.unionByName(y), batches)
+    full_index = staged.select("doc_id", "band_id", "band_key")
     kept = finalize_dedup_candidates(all_candidates, full_index, max_bucket)
     verified = jaccard_pairs(
         documents,

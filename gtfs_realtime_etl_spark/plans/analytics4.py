@@ -727,8 +727,6 @@ def q_embedding_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (~0.4 s/round of pure planning at d=64)
         .localCheckpoint(eager=True)
     )
-    v = [0.125] * d
-    eig = None
     # Fold decimal widths: elements DECIMAL(25,12) into a DECIMAL(37,12)
     # accumulator — (37,12)+(25,12) = (38,12) with NO scale reduction,
     # so every intermediate is exact and the fold equals the oracle's
@@ -741,43 +739,56 @@ def q_embedding_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # The PC1_ITERS power-iteration rounds are CHAINED IN ONE PLAN over
+    # the checkpointed 64-row matrix (round-12): the previous form
+    # collected v after every round and re-emitted it as literals — one
+    # driver job per round whose fixed cost dwarfed the 64-row
+    # arithmetic.  Here each round rebuilds the ordered v array with a
+    # deterministic window collect_list (dim is unique, frame pinned
+    # unbounded/unbounded) and applies the IDENTICAL decimal fold /
+    # norm / ROUND expressions to it, so the arithmetic is unchanged
+    # step for step (the collected-literal round trip was the identity:
+    # repr + Double.parseDouble reproduce the double exactly).  One
+    # action, zero per-round driver synchronization.  (The earlier
+    # measured 105 s chained-form blowup came from a COLLECT per round
+    # on a deepening plan — re-optimized each round; a single action on
+    # the depth-PC1_ITERS plan optimizes once.)
+    worder = Window.partitionBy().orderBy("dim").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cur = base.withColumn("v", F.lit(0.125))
     for _ in range(PC1_ITERS):
-        vlit = F.expr(
-            "array(" + ", ".join(f"{float(x)!r}D" for x in v) + ")"
+        step = cur.select(
+            "dim", "crow", F.collect_list("v").over(worder).alias("varr")
         )
         w = F.aggregate(
-            F.zip_with(F.col("crow"), vlit, lambda c, x: (c * x).cast(elem_dec)),
+            F.zip_with(
+                F.col("crow"), F.col("varr"), lambda c, x: (c * x).cast(elem_dec)
+            ),
             F.lit(0).cast(acc_dec),
             lambda acc, t: (acc + t).cast(acc_dec),
         ).cast("double")
-        # norm over the single 64-row partition as an unpartitioned
-        # window — one stage per round, no broadcast exchange
-        wdf = base.select("dim", w.alias("w"))
-        out = wdf.select(
-            "dim",
-            (F.round((F.col("w")
-                / F.sqrt(
-                    F.sum((F.col("w") * F.col("w")).cast(_PC1_DEC))
-                    .over(wall)
-                    .cast("double")
-                )) * F.lit(float(10 ** PC1_ROUND)), 0) / F.lit(float(10 ** PC1_ROUND))).alias("v"),
-            F.sqrt(
-                F.sum((F.col("w") * F.col("w")).cast(_PC1_DEC))
-                .over(wall)
-                .cast("double")
-            ).alias("nrm"),
-        ).collect()
-        v = [r["v"] for r in sorted(out, key=lambda r: r["dim"])]
-        eig = out[0]["nrm"]
-    vlit = F.expr("array(" + ", ".join(f"{float(x)!r}D" for x in v) + ")")
-    return (
-        spark.range(1, d + 1)
-        .coalesce(1)
-        .select(
-            F.col("id").cast("int").alias("dim"),
-            F.element_at(vlit, F.col("id").cast("int")).alias("v"),
-            (F.round((F.lit(float(eig))) * F.lit(1e6), 0) / F.lit(1e6)).alias("eig"),
+        wdf = step.select("dim", "crow", w.alias("w"))
+        nrm = F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast(_PC1_DEC))
+            .over(wall)
+            .cast("double")
         )
+        cur = wdf.select(
+            "dim",
+            "crow",
+            (
+                F.round(
+                    (F.col("w") / nrm) * F.lit(float(10 ** PC1_ROUND)), 0
+                )
+                / F.lit(float(10 ** PC1_ROUND))
+            ).alias("v"),
+            nrm.alias("nrm"),
+        )
+    return cur.select(
+        "dim",
+        "v",
+        (F.round(F.col("nrm") * F.lit(1e6), 0) / F.lit(1e6)).alias("eig"),
     )
 
 

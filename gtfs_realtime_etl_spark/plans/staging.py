@@ -56,6 +56,22 @@ def stage_to_tmp(df: DataFrame, name: str) -> DataFrame:
     invocations never alias, and the returned frame is immutable for
     the life of the process.  The application's staging directory is
     registered for ``atexit`` removal on first use."""
+    return _stage(df, name, partition_col=None)
+
+
+def stage_to_tmp_partitioned(
+    df: DataFrame, name: str, partition_col: str
+) -> DataFrame:
+    """:func:`stage_to_tmp`, but hive-partitioned on ``partition_col``
+    so consumers that filter on that column read back with partition
+    pruning — ONE write job stages what would otherwise be one staged
+    write per partition value (round-12: dedup_incremental's per-batch
+    band frames — one signature pass over the corpus instead of
+    ``n_batches`` passes, identical rows)."""
+    return _stage(df, name, partition_col=partition_col)
+
+
+def _stage(df: DataFrame, name: str, partition_col: str | None) -> DataFrame:
     spark = df.sparkSession
     app_dir = app_stage_dir(spark.sparkContext.applicationId)
     path = os.path.join(app_dir, f"{name}__{next(_INVOCATION):06d}")
@@ -63,5 +79,8 @@ def stage_to_tmp(df: DataFrame, name: str) -> DataFrame:
         if app_dir not in _REAP_REGISTERED:
             _REAP_REGISTERED.add(app_dir)
             atexit.register(shutil.rmtree, app_dir, ignore_errors=True)
-    df.write.mode("error").parquet(path)
+    writer = df.write.mode("error")
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(path)
     return spark.read.parquet(path)
