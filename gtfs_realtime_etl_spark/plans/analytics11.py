@@ -53,8 +53,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gtfs_realtime_etl_spark.functions.stats import (
-    portable_int_log2,
     portable_int_log2_sql,
+    portable_int_log2_staged,
 )
 from gtfs_realtime_etl_spark.plans.graph import _KNN_CTES, _knn_edges
 from gtfs_realtime_etl_spark.sources.testdata import load_testdata
@@ -316,16 +316,20 @@ FROM r
 # ---------------------------------------------------------------------------
 
 
-def _w_micro(rank_plus_one):
-    """Discount weight ⌊1e6/log2(r+1)+0.5⌋ on the portable log2 (the
-    link_prediction reciprocal-log idiom)."""
-    return F.floor(
-        F.lit(1_000_000.0) / portable_int_log2(rank_plus_one) + F.lit(0.5)
-    ).cast("long")
+# Discount weight ⌊1e6/log2(r+1)+0.5⌋ over a staged log2 column (the
+# link_prediction reciprocal-log idiom).  D-suffixed literals parse via
+# Double.parseDouble — bit-identical to the F.lit doubles the Column
+# form embedded; floor(double) is BIGINT in both forms.
+_W_MICRO_SQL = "CAST(floor(1000000.0D / {lg} + 0.5D) AS BIGINT)"
 
 
 def q_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NDCG@k of LSH retrieval vs exact cosine top-k (module doc)."""
+    """NDCG@k of LSH retrieval vs exact cosine top-k (module doc).
+
+    The two portable-log2 instances are SQL-PARSED through the staged
+    fast path (round-12, the feature_mi/decision_stump lesson): same
+    arithmetic op for op, a handful of selectExpr parses instead of
+    Column-builder py4j chatter."""
     from gtfs_realtime_etl_spark.plans.queries import (
         TOP_K,
         q_ann_cosine_topk,
@@ -335,16 +339,18 @@ def q_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = q_ann_cosine_topk(spark, sf_dir).select("vec_id")
     approx = q_ann_lsh_topk(spark, sf_dir).select("vec_id", "rank")
     dcg = (
-        exact.join(approx, "vec_id")
-        .select(_w_micro(F.col("rank") + 1).alias("w"))
+        portable_int_log2_staged(exact.join(approx, "vec_id"), {"w_lg": "rank + 1"})
+        .selectExpr(_W_MICRO_SQL.format(lg="w_lg") + " AS w")
         .agg(
             F.count(F.lit(1)).alias("n_hits"),
             F.coalesce(F.sum("w"), F.lit(0)).alias("dcg_micro"),
         )
     )
-    ideal = spark.range(1, TOP_K + 1).select(
-        _w_micro(F.col("id") + 1).alias("w")
-    ).agg(F.sum("w").alias("idcg_micro"))
+    ideal = (
+        portable_int_log2_staged(spark.range(1, TOP_K + 1), {"w_lg": "id + 1"})
+        .selectExpr(_W_MICRO_SQL.format(lg="w_lg") + " AS w")
+        .agg(F.sum("w").alias("idcg_micro"))
+    )
     return dcg.crossJoin(F.broadcast(ideal)).select(
         F.lit("lsh").alias("method"),
         F.lit(TOP_K).alias("k"),

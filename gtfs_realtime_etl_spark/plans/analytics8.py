@@ -57,6 +57,7 @@ from gtfs_realtime_etl_spark.functions.exprs import lit_double_matrix
 from gtfs_realtime_etl_spark.functions.stats import (
     portable_int_log2,
     portable_int_log2_sql,
+    portable_int_log2_staged,
 )
 from gtfs_realtime_etl_spark.plans.graph import _KNN_CTES, _knn_edges
 from gtfs_realtime_etl_spark.sources.testdata import load_testdata
@@ -308,9 +309,12 @@ def link_candidates(und: DataFrame) -> DataFrame:
     )
     # Adamic-Adar weight of this wedge center, in integer micro-units.
     # deg >= 2 here, so log2(deg) >= 1 and the reciprocal is in (0, 1].
-    recip = F.floor(
-        F.lit(1_000_000.0) / portable_int_log2(F.size("nbrs")) + F.lit(0.5)
-    ).cast("long")
+    # The log2 is SQL-parsed via the staged fast path (round-12, the
+    # feature_mi/decision_stump lesson) — identical arithmetic to the
+    # Column form, a handful of selectExpr parses instead of py4j
+    # Column-builder chatter; floor(double) is BIGINT in both forms.
+    adj = portable_int_log2_staged(adj, {"deg_lg": "size(nbrs)"})
+    recip = F.expr("CAST(floor(1000000.0D / deg_lg + 0.5D) AS BIGINT)")
     pair_arr = F.flatten(
         F.transform(
             F.col("nbrs"),

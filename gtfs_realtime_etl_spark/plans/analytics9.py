@@ -66,7 +66,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gtfs_realtime_etl_spark.functions.stats import portable_int_log2_sql
+from gtfs_realtime_etl_spark.functions.stats import (
+    portable_int_log2_sql,
+    portable_int_log2_staged,
+)
 from gtfs_realtime_etl_spark.functions.text import char_shingles
 from gtfs_realtime_etl_spark.plans.analytics8 import _lg_micro, _lg_micro_sql
 from gtfs_realtime_etl_spark.sources.testdata import load_testdata
@@ -229,19 +232,59 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos_t",
         "neg_t",
     )
-    n_t = F.col("pos_t") + F.col("neg_t")
-    n_l = F.col("pos_l") + F.col("neg_l")
-    n_r = F.col("pos_r") + F.col("neg_r")
-    nh_t = n_t * _lg_micro(n_t) - _f_term(F.col("pos_t")) - _f_term(F.col("neg_t"))
-    nh_l = n_l * _lg_micro(n_l) - _f_term(F.col("pos_l")) - _f_term(F.col("neg_l"))
-    nh_r = n_r * _lg_micro(n_r) - _f_term(F.col("pos_r")) - _f_term(F.col("neg_r"))
-    scored = c.filter(n_r > 0).select(
+    # Nine portable-log2 instances, SQL-PARSED through the staged fast
+    # path instead of Column-built (round-12, the feature_mi lesson):
+    # the Column Horner loop issued ~1000 py4j commands per build and
+    # pushed the inlined projection past janino's method limit; the
+    # staged form is a handful of selectExpr parses with the IDENTICAL
+    # arithmetic (bit-parity pinned in tests/test_functions.py), and
+    # the named intermediates keep every chain compiled.  The n_r > 0
+    # filter moves BEFORE the log2 stage (the old form only evaluated
+    # the log2s post-filter; values on surviving rows are unchanged).
+    c2 = c.filter((F.col("pos_r") + F.col("neg_r")) > 0).selectExpr(
+        "*",
+        "pos_t + neg_t AS n_t",
+        "pos_l + neg_l AS n_l",
+        "pos_r + neg_r AS n_r",
+    )
+    lg = portable_int_log2_staged(
+        c2,
+        {
+            "lg_nt": "n_t",
+            "lg_nl": "n_l",
+            "lg_nr": "n_r",
+            "lg_pt": "greatest(pos_t, 1)",
+            "lg_qt": "greatest(neg_t, 1)",
+            "lg_pl": "greatest(pos_l, 1)",
+            "lg_ql": "greatest(neg_l, 1)",
+            "lg_pr": "greatest(pos_r, 1)",
+            "lg_qr": "greatest(neg_r, 1)",
+        },
+    )
+
+    def _m(x: str) -> str:
+        # _lg_micro over a staged lg column, D-suffixed literals
+        return f"CAST(floor(({x}) * 1000000.0D + 0.5D) AS BIGINT)"
+
+    nh_t = (
+        f"n_t * {_m('lg_nt')} - {_f_term_sql('pos_t', _m('lg_pt'))}"
+        f" - {_f_term_sql('neg_t', _m('lg_qt'))}"
+    )
+    nh_l = (
+        f"n_l * {_m('lg_nl')} - {_f_term_sql('pos_l', _m('lg_pl'))}"
+        f" - {_f_term_sql('neg_l', _m('lg_ql'))}"
+    )
+    nh_r = (
+        f"n_r * {_m('lg_nr')} - {_f_term_sql('pos_r', _m('lg_pr'))}"
+        f" - {_f_term_sql('neg_r', _m('lg_qr'))}"
+    )
+    scored = lg.selectExpr(
         "thr",
-        n_l.alias("n_left"),
-        n_r.alias("n_right"),
+        "n_l AS n_left",
+        "n_r AS n_right",
         "pos_l",
         "pos_r",
-        (nh_t - nh_l - nh_r).alias("ig_scaled"),
+        f"({nh_t}) - ({nh_l}) - ({nh_r}) AS ig_scaled",
     )
     wmax = Window.partitionBy()
     return scored.withColumn(
