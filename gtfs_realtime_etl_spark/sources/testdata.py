@@ -34,19 +34,23 @@ def load_testdata(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     # The local testdata files are single-row-group parquet, so a scan is
-    # ONE task no matter the split config — the map side of EVERY
-    # consumer (per-row kernels, decimal aggregation, expansion joins)
-    # then runs serially.  Spread the fact tables across the cluster at
-    # the source boundary, but only when the scan cannot feed the
-    # configured parallelism by itself (fewer input files than cores —
-    # the operators/dedup.py::_saturate rule): at production scale the
-    # inputs have many files/row groups, the condition is false, and no
-    # extra exchange is ever inserted.  Round-12 measurement (sf0.1,
-    # interleaved A/B, medians of 4): rollup-style decimal aggregation
-    # 3.79 s -> 1.78 s, the bootstrap first stage (x32 explode + md5)
-    # 3.06 s -> 1.37 s; trivial filter/project pays +0.1 s for the
-    # added exchange — dimension tables therefore stay narrow.
-    heavy = {"documents", "embeddings", "lineitem", "orders", "events"}
+    # ONE task no matter the split config — the map side of a heavy
+    # consumer (per-row kernels, ×B expansion joins) then runs serially.
+    # documents/embeddings are spread across the cluster at the source
+    # boundary (every consumer of those runs a per-row kernel or an
+    # outer-product explode), gated so that at production scale — many
+    # input files/row groups — no extra exchange is ever inserted.
+    # Round 12 TRIED widening lineitem/orders/events here too: the
+    # interleaved A/B wins on heavy single-stage scans (rollup-style
+    # decimal aggregation 3.79 s -> 1.78 s, the bootstrap ×32 explode
+    # 3.06 s -> 1.37 s) were real, but the suite run showed the cost
+    # side dominates — most fact-table queries are MULTI-STAGE plans of
+    # small jobs, and 32 tasks per stage of pure scheduling overhead
+    # regressed them 3–9× (funnel_attribution best 0.48 -> 4.39 s,
+    # group_split 0.67 -> 4.76 s, isolated-probe-confirmed).  Fact
+    # tables therefore stay narrow at the loader; the few proven heavy
+    # consumers widen at the point of use via saturate_scan below.
+    heavy = {"documents", "embeddings"}
     parallelism = spark.sparkContext.defaultParallelism
     out = {}
     for t in tables:
@@ -62,6 +66,29 @@ def load_testdata(
                 df = df.repartition(parallelism)
         out[t] = df
     return out
+
+
+def saturate_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the cluster for a HEAVY map-side
+    consumer (full-table decimal aggregation, ×B expansion explode).
+
+    Same gate as the loader's documents/embeddings widening (the
+    operators/dedup.py::_saturate rule): only when the scan cannot
+    feed the configured parallelism by itself (fewer input files than
+    cores).  On production multi-file inputs the condition is false
+    and no exchange is inserted.  Apply ONLY where the downstream
+    map work dominates the added exchange + per-stage task overhead —
+    round-12 measurement: worth ~2× on rollup-style aggregation and
+    the bootstrap ×32 explode, a 3–9× LOSS on multi-stage plans of
+    small jobs (see load_testdata's comment)."""
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file plans on some backends
+        n_files = 0
+    parallelism = spark.sparkContext.defaultParallelism
+    if n_files < parallelism:
+        return df.repartition(parallelism)
+    return df
 
 
 def _normalize_event_ts(events: DataFrame) -> DataFrame:
