@@ -129,6 +129,15 @@ def portable_int_log2(n: Column) -> Column:
     return e.cast("double") + F.lit(2.0) * t * acc / F.lit(_LN2)
 
 
+def micro_bits(lg: Column) -> Column:
+    """``floor(lg·1e6 + 0.5)`` as BIGINT — the shared micro-bit
+    quantization over an (already-staged) portable log2 double.  IEEE
+    multiplication is commutative, so this one helper serves the call
+    sites that historically wrote ``1e6 * lg`` and ``lg * 1e6``
+    bit-identically."""
+    return F.floor(lg * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+
+
 def _log2_horner_sql(s_ref: str) -> str:
     """The Horner accumulation as SQL text over a named ``s`` column —
     double literals carry the ``D`` suffix so Spark parses them with

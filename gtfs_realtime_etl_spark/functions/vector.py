@@ -17,6 +17,20 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def sql_dot_fold(a: str, b: str) -> str:
+    """SQL text of :func:`dot` — the zip_with/aggregate left fold with
+    the same per-element DOUBLE casts, seed, and accumulation lambda,
+    for call sites that assemble one parsed expression instead of a
+    py4j-built Column tree (round-12: q_semantic_decontam's
+    per-benchmark cosines).  Parsing this text yields the IDENTICAL
+    expression tree :func:`dot` builds."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(

@@ -101,8 +101,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gtfs_realtime_etl_spark.functions.stats import (
-    portable_int_log2,
     portable_int_log2_sql,
+    portable_int_log2_staged,
 )
 from gtfs_realtime_etl_spark.functions.text import (
     STOPWORDS,
@@ -142,12 +142,14 @@ def _sql_h40(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 10)) AS BIGINT)"
 
 
-def _plog2m(col) -> F.Column:
-    """Integer micro-bits of log2(n) on the portable log2 — safe to sum
-    in any order (the ndcg_report / link_prediction idiom)."""
-    return F.floor(
-        F.lit(1_000_000.0) * portable_int_log2(col) + F.lit(0.5)
-    ).cast("long")
+def _microbits(lg) -> F.Column:
+    """Integer micro-bits — ``floor(1e6·lg + 0.5)`` as BIGINT — over an
+    already-staged portable log2 column (safe to sum in any order; the
+    ndcg_report / link_prediction idiom).  Round-12: the log2 itself
+    now comes from ``portable_int_log2_staged`` (bit-identical, grid
+    pin in tests/test_functions.py) instead of a per-site Column
+    Horner tree."""
+    return F.floor(F.lit(1_000_000.0) * lg + F.lit(0.5)).cast("long")
 
 
 # ---------------------------------------------------------------------------
@@ -569,18 +571,25 @@ def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # 1-row scalar
     dl = train.groupBy("lang").agg(F.count(F.lit(1)).alias("d_l"))
     dtot = train.agg(F.count(F.lit(1)).alias("d"))  # 1-row scalar
-    langdim = (
+    # Staged SQL-parsed log2 (round-12): the four Column-Horner
+    # micro-bit instances cost ~1 s of py4j plan construction per
+    # build; the staged form is bit-identical and the floor(1e6·lg +
+    # 0.5) wrap (_microbits) is applied unchanged on the staged
+    # doubles.
+    langdim = portable_int_log2_staged(
         dl.join(tot, "lang", "left")
         .na.fill({"n_l": 0})
         .crossJoin(F.broadcast(vocab))
-        .crossJoin(F.broadcast(dtot))
-        .select(
-            "lang",
-            _plog2m(F.col("n_l") + F.col("v")).alias("denom_m"),
-            (_plog2m(F.col("d_l")) - _plog2m(F.col("d"))).alias("prior_m"),
-        )
+        .crossJoin(F.broadcast(dtot)),
+        {"lg_nlv": "n_l + v", "lg_dl": "d_l", "lg_d": "d"},
+    ).select(
+        "lang",
+        _microbits(F.col("lg_nlv")).alias("denom_m"),
+        (_microbits(F.col("lg_dl")) - _microbits(F.col("lg_d"))).alias("prior_m"),
     )
-    cntm = cnt.select("lang", "tok", _plog2m(F.col("c") + 1).alias("ll1"))
+    cntm = portable_int_log2_staged(cnt, {"lg_c1": "c + 1"}).select(
+        "lang", "tok", _microbits(F.col("lg_c1")).alias("ll1")
+    )
     dt = (
         test.select(
             "doc_id",

@@ -63,8 +63,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gtfs_realtime_etl_spark.plans.analytics18 import _lgm
-from gtfs_realtime_etl_spark.functions.stats import portable_int_log2_sql
+from gtfs_realtime_etl_spark.functions.stats import (
+    micro_bits,
+    portable_int_log2_sql,
+    portable_int_log2_staged,
+)
 # Module-level import so staging.py stays inside the v2 closure hash
 # (a function-local import hides the callee from the walker).
 from gtfs_realtime_etl_spark.plans.staging import stage_to_tmp
@@ -295,21 +298,32 @@ def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_st"))
     )
     # Per source state: n_s*lg(n_s) - sum_t n_st*lg(n_st), exact micro.
-    per_state = trans.groupBy("prev_type").agg(
+    # Both log2 instances ride portable_int_log2_staged (round-12 —
+    # bit-identical, grid-pinned; the inline Column-Horner trees cost
+    # ~0.5 s of py4j plan construction per build): the transition-count
+    # log is staged as a projection BEFORE the per-state aggregate
+    # (same values the old in-aggregate expression computed per row),
+    # the source-total log after it.
+    trans_lg = portable_int_log2_staged(
+        trans, {"_lg_nst": "greatest(n_st, 1)"}
+    )
+    per_state = trans_lg.groupBy("prev_type").agg(
         F.sum("n_st").cast("long").alias("n_from"),
         F.countDistinct("next_type").cast("long").alias("k_next"),
         F.sum(
             F.col("n_st").cast("decimal(18,0)")
-            * _lgm(F.col("n_st")).cast("decimal(12,0)")
+            * micro_bits(F.col("_lg_nst")).cast("decimal(12,0)")
         ).alias("inner_sum"),
     )
-    terms = per_state.select(
+    terms = portable_int_log2_staged(
+        per_state, {"_lg_nfrom": "greatest(n_from, 1)"}
+    ).select(
         "prev_type",
         "n_from",
         "k_next",
         (
             F.col("n_from").cast("decimal(18,0)")
-            * _lgm(F.col("n_from")).cast("decimal(12,0)")
+            * micro_bits(F.col("_lg_nfrom")).cast("decimal(12,0)")
             - F.col("inner_sum")
         )
         .cast("long")

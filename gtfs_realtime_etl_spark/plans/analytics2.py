@@ -23,7 +23,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gtfs_realtime_etl_spark.functions.exprs import lit_double_array
 
 from gtfs_realtime_etl_spark.functions.text import tokens
 from gtfs_realtime_etl_spark.operators.rangejoin import overlap_join
@@ -914,7 +913,8 @@ SEMDECON_BENCH_N = 20  # vec_id < 20 plays the benchmark set
 
 
 def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gtfs_realtime_etl_spark.functions.vector import dot, l2_norm
+    from gtfs_realtime_etl_spark.functions.exprs import _d
+    from gtfs_realtime_etl_spark.functions.vector import l2_norm
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     bench = sorted(
@@ -930,15 +930,33 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the |benchmark| cosine denominators below (same arithmetic, same
     # fold — only computed once per row instead of once per pair).
     corpus = corpus.withColumn("_n", l2_norm(F.col("vec")))
-    cos_exprs = []
+    # The per-benchmark cosines are SQL-PARSED (round-12): the Column
+    # form built |bench| zip_with/aggregate lambda trees one py4j
+    # command at a time — 1.9 s of plan construction (PLAN_AUDIT build
+    # column); one parsed greatest() over the same |bench| fold texts
+    # is a single round trip.  The expression TREE is unchanged: the
+    # same zip_with product lambda (with its per-element DOUBLE
+    # casts), the same CAST(0 AS DOUBLE) seed and acc + v fold, the
+    # benchmark vector as D-suffixed repr literals (bit-identical via
+    # Double.parseDouble to the old lit_double_array doubles), the
+    # same when(denom > 0)/otherwise(0.0) guard as a CASE, and the
+    # same greatest().  (A fully UNROLLED per-element chain was
+    # measured SLOWER — round-12 probe 1.5 → 2.9 s median — analysis/
+    # codegen of ~1300 terms outweighs interpreted-fold eval on a
+    # 2000-row corpus.)
+    from gtfs_realtime_etl_spark.functions.vector import sql_dot_fold
+
+    cos_texts = []
     for r in bench:
-        b = lit_double_array(r["vec"])
         bn = sum(v * v for v in r["vec"]) ** 0.5
-        denom = F.col("_n") * F.lit(float(bn))
-        cos_exprs.append(
-            F.when(denom > 0, dot(F.col("vec"), b) / denom).otherwise(F.lit(0.0))
+        denom = f"(_n * {_d(float(bn))})"
+        blit = "array(" + ", ".join(_d(v) for v in r["vec"]) + ")"
+        cos_texts.append(
+            f"(CASE WHEN {denom} > 0 "
+            f"THEN ({sql_dot_fold('vec', blit)} / {denom}) "
+            "ELSE CAST(0 AS DOUBLE) END)"
         )
-    max_sim = F.greatest(*cos_exprs)
+    max_sim = F.expr("greatest(" + ", ".join(cos_texts) + ")")
     scored = corpus.select("label", max_sim.alias("sim"))
     return scored.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),

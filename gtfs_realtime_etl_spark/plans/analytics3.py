@@ -27,8 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gtfs_realtime_etl_spark.functions.exprs import lit_double_array
 
+from gtfs_realtime_etl_spark.functions.stats import portable_int_log2_staged
 from gtfs_realtime_etl_spark.functions.text import tokens
 from gtfs_realtime_etl_spark.plans.analytics import SQL_TOKS
 from gtfs_realtime_etl_spark.sources.testdata import load_testdata
@@ -140,17 +140,19 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer log2 (functions/stats.py) — engine-native log2 differs in
     # the last ulp between Spark and DuckDB, which flipped round-to-12
     # on ~0.1% of 30k bigrams and broke hash parity.  Rounded to 12 dp
-    # so the weighted decimal sum below is engine-exact.
-    from gtfs_realtime_etl_spark.functions.stats import portable_int_log2
-
-    scored_model = (
-        model.join(uni, "w1")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "bigram",
-            (F.round((portable_int_log2(F.col("cb") + 1)
-                - portable_int_log2(F.col("cu") + F.col("v"))) * F.lit(1e12), 0) / F.lit(1e12)).alias("logp"),
-        )
+    # so the weighted decimal sum below is engine-exact.  STAGED
+    # SQL-parsed form (round-12, same conversion as decision_stump):
+    # the two Column-Horner instances cost ~0.5 s of py4j plan
+    # construction per build and spliced the mantissa subtree 14× each
+    # into codegen; bit-parity with the Column form is pinned on the
+    # 213-value grid in tests/test_functions.py.
+    lgd = portable_int_log2_staged(
+        model.join(uni, "w1").crossJoin(F.broadcast(vocab)),
+        {"lg_cb": "cb + 1", "lg_cuv": "cu + v"},
+    )
+    scored_model = lgd.select(
+        "bigram",
+        (F.round((F.col("lg_cb") - F.col("lg_cuv")) * F.lit(1e12), 0) / F.lit(1e12)).alias("logp"),
     )
     # Narrow declared widths: logp fits DECIMAL(18,12) (|logp| < 64)
     # and occ fits DECIMAL(8,0), so the product is DECIMAL(26,12) in
@@ -252,18 +254,31 @@ def _collect_centroids(embeddings: DataFrame) -> dict[int, list[float]]:
     }
 
 
-def _dist_to(vec: Column, centroid: list[float]) -> Column:
-    """Euclidean distance, explicit index-order left fold (matches the
-    oracle's list_reduce over list_transform)."""
-    idx = F.sequence(F.lit(0), F.lit(len(centroid) - 1))
-    carr = lit_double_array(centroid)
-    terms = F.transform(
-        idx,
-        lambda i: (F.element_at(vec, i + 1) - F.element_at(carr, i + 1))
-        * (F.element_at(vec, i + 1) - F.element_at(carr, i + 1)),
-    )
-    return F.sqrt(
-        F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+def _dist_to(vec_sql: str, centroid: list[float]) -> Column:
+    """Euclidean distance to a collected centroid, explicit index-order
+    left fold (matches the oracle's list_reduce over list_transform).
+
+    SQL-PARSED (round-12): the Column form built a transform/aggregate
+    lambda tree per label one py4j command at a time — ~1.7 s of plan
+    construction for the 10-label family (PLAN_AUDIT build column);
+    one parsed expression per label is ~10 ms.  The expression TREE is
+    the same as before (sequence → transform lambda → aggregate fold →
+    sqrt; same seed, same squared-difference lambda, same index-order
+    accumulation), with the centroid embedded as D-suffixed repr
+    literals (Double.parseDouble — bit-identical to the F.lit doubles
+    the old ``lit_double_array`` produced).  A fully UNROLLED chain
+    was measured SLOWER here (round-12 probe: 1.7 → 2.9 s median):
+    640 unrolled terms, duplicated per consumer by CollapseProject,
+    cost more in analysis/codegen than interpreted HOF eval costs on a
+    2000-row corpus."""
+    from gtfs_realtime_etl_spark.functions.exprs import _d
+
+    carr = "array(" + ", ".join(_d(c) for c in centroid) + ")"
+    return F.expr(
+        f"sqrt(aggregate(transform(sequence(0, {len(centroid) - 1}), "
+        f"i -> (element_at({vec_sql}, i + 1) - element_at({carr}, i + 1)) "
+        f"* (element_at({vec_sql}, i + 1) - element_at({carr}, i + 1))), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
     )
 
 
@@ -278,7 +293,7 @@ def q_embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         *[
-            _dist_to(F.col("vec"), centroids[lab]).alias(f"d_{lab}")
+            _dist_to("vec", centroids[lab]).alias(f"d_{lab}")
             for lab in labels
         ],
     )

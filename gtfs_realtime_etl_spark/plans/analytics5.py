@@ -32,8 +32,8 @@ from pyspark.sql import functions as F
 
 from gtfs_realtime_etl_spark.functions.hashing import MOD, token_hash64_column
 from gtfs_realtime_etl_spark.functions.stats import (
-    portable_int_log2,
     portable_int_log2_sql,
+    portable_int_log2_staged,
 )
 from gtfs_realtime_etl_spark.functions.text import tokens
 from gtfs_realtime_etl_spark.operators.sketches import mg_partials
@@ -246,9 +246,11 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.row_number().over(Window.orderBy(F.desc("c"), F.asc("token"))),
     )
-    xy = ranked.select(
-        portable_int_log2(F.col("rank")).alias("x"),
-        portable_int_log2(F.col("c")).alias("y"),
+    # Staged SQL-parsed log2 (round-12, bit-identical — grid pin);
+    # the two inline Column-Horner instances were ~0.4 s of py4j plan
+    # construction per build.
+    xy = portable_int_log2_staged(ranked, {"x": "rank", "y": "c"}).select(
+        "x", "y"
     )
     sums = xy.agg(
         F.count(F.lit(1)).alias("n_terms"),

@@ -304,7 +304,7 @@ _BM_DEC = "decimal(30,15)"
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gtfs_realtime_etl_spark.functions.stats import portable_int_log2
+    from gtfs_realtime_etl_spark.functions.stats import portable_int_log2_staged
     from gtfs_realtime_etl_spark.functions.text import tokens
 
     (documents,) = _t(spark, sf_dir, "documents")
@@ -351,15 +351,26 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(BM25_QUERY)}, {stack_args}) AS (token, tf)"
         ),
     ).where(F.col("tf") > 0)
-    scored = tf.crossJoin(F.broadcast(stats))
-    df_of_token = F.when(
-        F.col("token") == BM25_QUERY[0], F.col("df_0")
+    # Staged SQL-parsed log2 (round-12): the two inline Column-Horner
+    # instances cost ~0.4 s of py4j plan construction per build; the
+    # staged form is bit-identical (grid pin) and the df-of-token CASE
+    # dispatch is the same expression the old F.when chain built.
+    df_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN token = '{t}' THEN df_{i}"
+            for i, t in enumerate(BM25_QUERY)
+        )
+        + " END"
     )
-    for i, t in enumerate(BM25_QUERY[1:], start=1):
-        df_of_token = df_of_token.when(F.col("token") == t, F.col(f"df_{i}"))
-    idf = portable_int_log2(
-        F.lit(2) * F.col("n_docs") + F.lit(2)
-    ) - portable_int_log2(F.lit(2) * df_of_token + F.lit(1))
+    scored = portable_int_log2_staged(
+        tf.crossJoin(F.broadcast(stats)),
+        {
+            "_lg_idf_num": "2 * n_docs + 2",
+            "_lg_idf_den": f"2 * ({df_case}) + 1",
+        },
+    )
+    idf = F.col("_lg_idf_num") - F.col("_lg_idf_den")
     ratio = (F.col("dl") * F.col("n_docs")).cast("double") / F.col(
         "total_toks"
     ).cast("double")

@@ -215,12 +215,15 @@ def _mi_pair(df: DataFrame, x: str, y: str, pair_name: str) -> DataFrame:
         _micro_sum(F.col("cxy"), _micro("lx")).alias("hx_sum_micro"),
         _micro_sum(F.col("cxy"), _micro("ly")).alias("hy_sum_micro"),
     )
-    return mi.select(
+    # The n_rows log rides the staged form too (round-12: the last
+    # remaining inline Column-Horner instance of this query — ~0.2 s
+    # of py4j plan construction per pair).
+    return portable_int_log2_staged(mi, {"_lg_n": "n_rows"}).select(
         F.lit(pair_name).alias("pair"),
         "n_rows",
         "k_x",
         "k_y",
-        _lg_micro(F.col("n_rows")).alias("log2n_micro"),
+        _micro("_lg_n").alias("log2n_micro"),
         "mi_sum_micro",
         "hx_sum_micro",
         "hy_sum_micro",

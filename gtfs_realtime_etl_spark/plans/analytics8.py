@@ -190,13 +190,13 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ride DECIMAL so a 100 TB corpus cannot overflow mid-sum; the
     per-bin output column is the exact integer.
 
-    Codegen note: the four inlined portable-log2 Horner chains push the
-    final projection past janino's 64 KB method limit, so THAT stage
-    falls back to interpreted eval (Spark logs a one-time ERROR and
-    continues).  The stage runs on the post-aggregation contingency
-    table — ``PSI_MAX_BIN + 1`` rows regardless of corpus size — so
-    the fallback costs microseconds at any scale; the corpus-sized
-    stages (scan, bin group-by) stay in whole-stage codegen."""
+    Round-12: the four log2 instances ride
+    ``portable_int_log2_staged`` (bit-identical, grid-pinned) instead
+    of inlined Column-Horner chains — the inline form cost ~0.6 s of
+    py4j plan construction per build AND pushed the final projection
+    past janino's 64 KB method limit (interpreted-fallback ERROR in
+    the logs); the staged form's named intermediates keep the
+    projection small enough to stay in codegen."""
     (orders,) = _t(spark, sf_dir, "orders")
     binned = orders.select(
         F.least(
@@ -218,11 +218,24 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Logs on GREATEST(c, 1) keep the expression total; the CASE guard
     # decides inclusion (bins empty on either side carry NULL).
+    g = portable_int_log2_staged(
+        g,
+        {
+            "_lg_c1": "greatest(c1, 1)",
+            "_lg_n2": "n2",
+            "_lg_c2": "greatest(c2, 1)",
+            "_lg_n1": "n1",
+        },
+    )
+
+    def _micro(lg):
+        return F.floor(lg * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+
     dl = (
-        _lg_micro(F.greatest(F.col("c1"), F.lit(1)))
-        + _lg_micro(F.col("n2"))
-        - _lg_micro(F.greatest(F.col("c2"), F.lit(1)))
-        - _lg_micro(F.col("n1"))
+        _micro(F.col("_lg_c1"))
+        + _micro(F.col("_lg_n2"))
+        - _micro(F.col("_lg_c2"))
+        - _micro(F.col("_lg_n1"))
     )
     diff = F.col("c1").cast("decimal(20,0)") * F.col("n2").cast(
         "decimal(20,0)"

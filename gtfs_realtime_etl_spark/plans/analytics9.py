@@ -197,10 +197,10 @@ def _f_term_sql(c: str, lg: str) -> str:
 
 def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best information-gain split of quantity vs returnflag (module
-    doc).  The final projection inlines six portable-log2 Horner
-    chains; like ``psi_drift`` that stage may fall back to interpreted
-    eval past janino's method limit — it runs on ~50 threshold rows
-    regardless of corpus size, so the fallback is free."""
+    doc).  The nine log2 instances ride the staged SQL-parsed form
+    (see the body comment) — the former inline Horner chains pushed
+    the projection past janino's method limit and dominated plan
+    construction."""
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     bins = (
         lineitem.select(

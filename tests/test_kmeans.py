@@ -44,6 +44,37 @@ def test_kmeans_improves_objective_and_partitions_totally(spark):
     assert len(counts) <= 8
 
 
+def test_kmeans_empty_cell_carries_previous_centroid(spark):
+    """Round-12 chained-rounds pin: a cell that captures no vectors
+    must carry its previous centroid through every round (the
+    try_element_at/coalesce path — ANSI element_at on the update map
+    would throw).  Two identical init vectors force the argmin tie to
+    the smaller cell id, leaving the duplicate cell empty forever."""
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.0, 0.0]),  # duplicate of id 0 -> cell 1 goes empty
+        (2, [10.0, 10.0]),
+        (3, [0.25, 0.25]),
+        (4, [10.25, 10.25]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fit = kmeans_fit(emb, k=3, iterations=2, scale=8)
+    assert [c["cell_id"] for c in fit] == [0, 1, 2]
+    # cell 1 kept its init centroid bit-for-bit
+    assert fit[1]["centroid"] == [0.0, 0.0]
+    # the non-empty cells moved to their member means
+    assert fit[0]["centroid"] != [0.0, 0.0]
+    # assignment under the fitted table still covers every vector
+    counts = {
+        r["cell_id"]: r["n"]
+        for r in kmeans_assignments(emb, fit)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sum(counts.values()) == len(rows)
+
+
 def test_kmeans_centroids_feed_ivf_topk(spark):
     """The fitted list is drop-in for ivf_topk (same collected form as
     centroids_from_labels): probing returns exactly k hits per query."""
