@@ -26,6 +26,8 @@ hashes token for token in DuckDB.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -61,7 +63,101 @@ PR_ITERATIONS = 10
 PR_DAMPING = 0.85
 
 
+def _half_up_round_6dp(cos: np.ndarray) -> np.ndarray:
+    """Bit-exact numpy replica of the Column form's
+    ``ROUND(cos * 1e6, 0) / 1e6`` on DOUBLE.
+
+    Spark's one-arg-scale ROUND at digit 0 is round-half-away-from-zero
+    and equals C ``round`` bit-for-bit (the repo's engine-exact
+    mult-form discipline — tests/test_no_native_round_on_double.py).
+    Every rounding boundary ``n + 0.5`` is exactly representable in
+    binary64 and ``|x| < 2^53`` here, so ``|x| - floor(|x|)`` is exact
+    and the half test needs no fuzzy ``+ 0.5`` add.  The 1e6 scale
+    multiply and final divide are the same IEEE ops the Column form
+    performs."""
+    x = cos * 1e6
+    ax = np.abs(x)
+    m = np.floor(ax)
+    r = m + (ax - m >= 0.5)
+    # A zero result is +0.0 regardless of the input's sign: BigDecimal
+    # carries no signed zero, so Spark's ROUND returns +0.0 for tiny
+    # negatives (pinned in the parity test).
+    return np.where((x < 0) & (r > 0), -r, r) / 1e6
+
+
+def _knn_topk_block(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-label kNN block kernel: all-pairs cosine + top-k, numpy.
+
+    Bit-identical to :func:`_knn_edges_column` (the parity pin is
+    tests/test_graph_bank.py::test_knn_edges_kernel_column_parity):
+    the dot/norm left folds run the IDENTICAL IEEE add/multiply
+    sequence over the dims, vectorized across the pair matrix instead
+    of interpreted per pair by the HOF fallback; rounding via
+    :func:`_half_up_round_6dp`; top-k ordering (cosine DESC, d ASC) via
+    a per-source lexsort over the same rounded doubles."""
+    empty = pd.DataFrame(
+        {"s": pd.Series(dtype="int64"), "d": pd.Series(dtype="int64")}
+    )
+    # A NULL label never satisfies the Column twin's equi-join
+    # (NULL = NULL is NULL), so those rows produce no pairs.
+    if len(pdf) == 0 or pdf["label"].isnull().any():
+        return empty
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    vecs = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in pdf["vec"]], dtype=np.float64
+    )
+    n, dim = vecs.shape
+    # Left folds over the dims: acc_{t+1} = acc_t + x_t * y_t — the
+    # exact IEEE sequence of the zip_with/aggregate fold per pair (and
+    # of l2_norm's acc + v*v per row), vectorized across pairs.
+    acc = np.zeros((n, n))
+    nsq = np.zeros(n)
+    for t in range(dim):
+        col = vecs[:, t]
+        acc = acc + col[:, None] * col[None, :]
+        nsq = nsq + col * col
+    norm = np.sqrt(nsq)
+    denom = norm[:, None] * norm[None, :]
+    cos = np.zeros((n, n))
+    np.divide(acc, denom, out=cos, where=denom > 0)
+    rounded = _half_up_round_6dp(cos)
+    valid = ids[None, :] != ids[:, None]
+    out_s: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    for i in range(n):
+        cand = np.flatnonzero(valid[i])
+        # Primary key last in lexsort: rounded cosine DESC (negation
+        # preserves double ordering; ±0.0 compare equal both engines),
+        # ties on the neighbor id ASC — row_number semantics.
+        take = cand[np.lexsort((ids[cand], -rounded[i, cand]))][:KNN_K]
+        out_s.append(np.full(take.shape[0], ids[i], dtype=np.int64))
+        out_d.append(ids[take])
+    if not out_s:
+        return empty
+    return pd.DataFrame(
+        {"s": np.concatenate(out_s), "d": np.concatenate(out_d)}
+    )
+
+
 def _knn_edges(embeddings: DataFrame) -> DataFrame:
+    """Label-blocked kNN edges via a grouped Arrow kernel.
+
+    Round 12: the Column pair-join form (kept verbatim below as
+    :func:`_knn_edges_column`, the bit-parity twin) evaluated one
+    interpreted 64-dim HOF fold per ordered pair (~400 k pairs at
+    sf0.1) — the shared ~1.4 s floor under all five graph-family
+    queries.  The kernel ships only the 2 000 × 64 vectors through
+    Arrow (guide §4.2/§8: decide on the small representation), forms
+    the pairs in numpy, and emits the identical (s, d) edge set; the
+    double cast happens BEFORE the group exchange so the kernel sees
+    the exact float→double operands the folds consumed."""
+    emb = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    return emb.groupBy("label").applyInPandas(_knn_topk_block, "s long, d long")
+
+
+def _knn_edges_column(embeddings: DataFrame) -> DataFrame:
     emb = (
         embeddings.select(
             "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")

@@ -81,3 +81,52 @@ def test_pagerank_knn_plan_no_cartesian(spark):
     df = QUERIES["pagerank_knn"](spark, SF_SMOKE)
     total = df.agg(F.sum("rank")).collect()[0][0]
     assert total == pytest.approx(1.0, abs=1e-6)
+
+
+def test_half_up_round_6dp_matches_spark_round(spark):
+    """Bit-parity pin for the kernel's rounding replica: numpy
+    _half_up_round_6dp(c) must equal Spark's ROUND(c * 1e6, 0) / 1e6
+    bit-for-bit, including half-boundaries, negatives, signed zeros and
+    values one ulp either side of a boundary."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from gtfs_realtime_etl_spark.plans.graph import _half_up_round_6dp
+
+    vals: list[float] = [0.0, -0.0, 1.0, -1.0, 1e-12, -1e-12]
+    for k in (0, 1, 2, 499999, 999998, 999999):
+        for sign in (1.0, -1.0):
+            c = sign * (k + 0.5) / 1e6  # lands near a half boundary
+            vals.extend(
+                [c, math.nextafter(c, 2.0), math.nextafter(c, -2.0)]
+            )
+            vals.append(sign * k / 1e6)
+    rng = np.random.default_rng(20260818)
+    vals.extend((rng.uniform(-1, 1, 500)).tolist())
+    ours = _half_up_round_6dp(np.asarray(vals, dtype=np.float64))
+    df = spark.createDataFrame([(v,) for v in vals], "c double")
+    theirs = [
+        r["r"]
+        for r in df.selectExpr(
+            "c", "ROUND(c * 1e6, 0) / 1e6 AS r"
+        ).collect()
+    ]
+    for v, a, b in zip(vals, ours.tolist(), theirs):
+        assert struct.pack("<d", a) == struct.pack("<d", b), (v, a, b)
+
+
+def test_knn_edges_kernel_column_parity(spark):
+    """The grouped Arrow kernel must emit EXACTLY the Column twin's
+    edge set (the round-12 rewrite's contract) — multiset equality via
+    exceptAll in both directions, at both small SFs."""
+    from gtfs_realtime_etl_spark.plans.graph import _knn_edges_column
+    from tests.conftest import SF_CORRECTNESS
+
+    for sf_dir in (SF_SMOKE, SF_CORRECTNESS):
+        emb = load_testdata(spark, sf_dir, tables=("embeddings",))["embeddings"]
+        kernel = _knn_edges(emb)
+        column = _knn_edges_column(emb)
+        assert kernel.exceptAll(column).count() == 0, sf_dir
+        assert column.exceptAll(kernel).count() == 0, sf_dir
