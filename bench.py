@@ -38,6 +38,15 @@ the round-7 judge measured against fresh-session isolated runs):
 - The status store is capped session-wide (see session.get_spark): the
   default retention holds every past execution's plan strings live on
   the heap, growing each full GC with suite progress.
+- Round-13 additions (all additive to the JSON contract): the suite
+  WAITS for a quiet window when the starting canary reads slow
+  (SPARK_GRAFT_BENCH_CANARY_RETRIES / _WAIT — the round-12 driver run
+  spent its whole budget timing a self-flagged stall phase); the JSON
+  line carries "canary_ratio" (canary_before / canary_ref) so a
+  comparison tool can gate on phase without re-deriving it; and the
+  low-core lane (SPARK_GRAFT_CPUS < 24, SPARK_GRAFT_BENCH_RUNS unset)
+  defaults to 2 runs per query so the driver's 8-core scaling pass
+  fits its timeout (BENCH_r12_c8 died rc=124 with zero evidence).
 """
 
 from __future__ import annotations
@@ -103,7 +112,23 @@ def main() -> None:
     # - median_total: per-query median of n runs — the steady-state
     #   figure robust to box stalls (the headline "value");
     # - best_total: per-query best of n — the variance floor.
-    n_runs = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4")), 1)
+    # Low-core lane (round-13): the driver also runs this bench at a
+    # reduced core count (SPARK_GRAFT_CPUS=8) to measure per-query
+    # scaling, and the full 202-query x 4-run suite did not fit its
+    # timeout there (BENCH_r12_c8 rc=124 — no scaling evidence at all).
+    # When SPARK_GRAFT_BENCH_RUNS is not set explicitly, the low-core
+    # lane defaults to 2 runs per query: the per-query medians the
+    # scaling comparison needs still exist (and the stall self-repair
+    # below still triggers on a bad run), at half the wall clock.  The
+    # main-lane methodology (>= 24 cores: 4 runs) is unchanged, and
+    # n_runs is self-reported in the JSON line either way.
+    _cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    _cpus = int(_cpus_env) if _cpus_env.isdigit() else 32
+    _runs_env = os.environ.get("SPARK_GRAFT_BENCH_RUNS")
+    if _runs_env is None:
+        n_runs = 4 if _cpus >= 24 else 2
+    else:
+        n_runs = max(int(_runs_env), 1)
     session_every = int(os.environ.get("SPARK_GRAFT_BENCH_SESSION_EVERY", "25"))
     # GC policy (round-9 made it per query group after the judge
     # root-caused ngram_novelty degrading 6.9 -> 113.9 s across its own
@@ -194,7 +219,32 @@ def main() -> None:
             runs.append(_time_query(s, cfn, "setsim_join"))
         return round(statistics.median(runs), 3)
 
+    # Quiet-window gate (round-13, the round-12 lesson): the driver's
+    # r12 suite ran start-to-finish inside a box stall (canary_before
+    # 8.89 = 1.78x the quiet ref) and every comparison built on it was
+    # noise.  The canary data to detect that exists BEFORE the suite
+    # runs — so use it: when the starting canary reads slow, wait and
+    # re-probe up to SPARK_GRAFT_BENCH_CANARY_RETRIES times (default 2,
+    # SPARK_GRAFT_BENCH_CANARY_WAIT seconds apart, default 120) instead
+    # of spending ~30 min of timings on a box the artifact would
+    # self-flag as invalid.  If the box never quiets, the suite still
+    # runs (the driver needs SOME artifact) with slow_box stamped as
+    # before; every probe attempt is recorded in BENCH_FULL.json.
+    canary_retries = int(os.environ.get("SPARK_GRAFT_BENCH_CANARY_RETRIES", "2"))
+    canary_wait = float(os.environ.get("SPARK_GRAFT_BENCH_CANARY_WAIT", "120"))
     canary_before = _canary(spark)
+    canary_attempts = [canary_before]
+    for _ in range(canary_retries):
+        if not canary_before or canary_before <= 1.3 * canary_ref:
+            break
+        print(
+            f"bench: canary_before {canary_before} > 1.3x ref {canary_ref}; "
+            f"waiting {canary_wait:.0f}s for a quiet window",
+            file=sys.stderr,
+        )
+        time.sleep(canary_wait)
+        canary_before = _canary(spark)
+        canary_attempts.append(canary_before)
     best: dict[str, float] = {}
     med: dict[str, float] = {}
     raw_med: dict[str, float] = {}
@@ -259,6 +309,12 @@ def main() -> None:
         "canary_before": canary_before,
         "canary_after": canary_after,
         "canary_ref": canary_ref,
+        # Machine-readable phase ratio (round-13): >1.3 means the run
+        # started on a slow box and absolute totals are not comparable
+        # across runs — the same condition slow_box flags, as a number.
+        "canary_ratio": (
+            round(canary_before / canary_ref, 3) if canary_before else None
+        ),
         "noisy_phase": noisy_phase,
         "slow_box": slow_box,
     }
@@ -273,6 +329,7 @@ def main() -> None:
                 "best": best,
                 "single_pass": first_pass,
                 "repaired": repaired,
+                "canary_before_attempts": canary_attempts,
                 "sf": sf,
                 "n_runs": n_runs,
                 "session_every": session_every,

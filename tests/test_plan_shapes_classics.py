@@ -12,7 +12,7 @@ import io
 import re
 
 from gtfs_realtime_etl_spark.plans.queries import QUERIES
-from tests.conftest import SF_CORRECTNESS
+from tests.conftest import FULL_SUITE, SF_CORRECTNESS
 
 
 def plan_of(spark, name: str) -> str:
@@ -164,7 +164,15 @@ def test_no_cartesian_anywhere_in_registry(spark):
         "degree_assortativity",  # n_nodes 1-row scalar broadcast (plans/analytics19.py)
         "seq_pairs_support",  # n_eligible 1-row scalar broadcast (plans/analytics20.py)
     }
-    for name, fn in QUERIES.items():
+    # Lane budget (round-13): building all 202 frames runs every staged
+    # write / driver collect at sf0.01 — 86 s in the default-lane
+    # --durations.  Default lane sweeps the same deterministic 1-in-3
+    # sample as test_oracle_parity; SPARK_GRAFT_FULL_SUITE=1 sweeps all.
+    names = sorted(QUERIES)
+    if not FULL_SUITE:
+        names = names[::3]
+    for name in names:
+        fn = QUERIES[name]
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             fn(spark, SF_CORRECTNESS).explain("formatted")

@@ -9,6 +9,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from gtfs_realtime_etl_spark.operators.sessions import sessionize
+from tests.conftest import full_suite_only
 from gtfs_realtime_etl_spark.streaming.stateful import (
     streaming_sessionize,
     streaming_vehicle_state,
@@ -47,6 +48,7 @@ def _drain(stream_df, name: str, mode: str, spark):
     return spark.table(name).toPandas()
 
 
+@full_suite_only  # 125 s (default-lane --durations): 8-trigger watermark e2e
 def test_streaming_sessionize_matches_batch(spark, event_stream_dir):
     frames = (
         spark.readStream.schema("user_id STRING, ts_sec LONG, event_time TIMESTAMP")

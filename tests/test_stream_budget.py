@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from gtfs_realtime_etl_spark.streaming.budget import streaming_token_budget
+from tests.conftest import full_suite_only
 
 SCHEMA = "source string, doc_id long, n_tokens long"
 
@@ -88,6 +89,7 @@ def test_budget_cap_is_batch_partitioning_invariant(spark, tmp_path, n_slices):
     assert list(books["source_total"]) == [30, 60]
 
 
+@full_suite_only  # 53 s (default-lane --durations): 8-trigger state e2e
 def test_budget_state_survives_across_batches(spark, tmp_path):
     """With one file per trigger, web's budget is consumed across
     micro-batches — the state store carries the running total, so
