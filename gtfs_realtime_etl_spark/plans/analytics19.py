@@ -70,7 +70,6 @@ from gtfs_realtime_etl_spark.functions.stats import (
 )
 # Module-level import so staging.py stays inside the v2 closure hash
 # (a function-local import hides the callee from the walker).
-from gtfs_realtime_etl_spark.plans.staging import stage_to_tmp
 from gtfs_realtime_etl_spark.sources.testdata import load_testdata
 
 
@@ -408,11 +407,17 @@ def assortativity_report(edges: DataFrame) -> DataFrame:
     edge frame — the testable kernel behind ``degree_assortativity``
     (the degenerate degree-regular case must emit NULL identically in
     both engines)."""
-    # One scan of the edge frame instead of a two-scan unionAll
-    # (round-12): explode([u, v]) emits exactly the same node
-    # multiset, halving the edge reads feeding the degree count.
+    # Two-scan unionAll degree, NOT explode([u, v]) (round-13 revert of
+    # the round-12 form): the union's two edge legs are the SAME
+    # subtree as the endpoint joins below, so AQE runtime exchange
+    # reuse dedups all of them into one execution — while the explode
+    # is a DIFFERENT subtree that forces its own pass over the edge
+    # pipeline.  Interleaved A/B at sf0.1 (scripts/r13_ab.py, 21
+    # alternated rounds incl. an order-reversed batch): union+reuse
+    # med 3.34-4.73 s vs explode forms 3.96-4.85 s.
     deg = (
-        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -502,12 +507,14 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.u", "e.v")
         .distinct()
     )
-    # The report reads the edge frame three ways (degree count + both
-    # endpoint joins); staged once, the basket pipeline (distinct ->
-    # collect_set -> pair explode -> distinct) runs once instead of
-    # per consumer (round-12: the static plan had 19 exchanges, almost
-    # all replayed basket lineage).
-    return assortativity_report(stage_to_tmp(edges, "assort_edges"))
+    # UNSTAGED edges (round-13 revert of the round-12 stage_to_tmp):
+    # the static plan replays the basket lineage per consumer (44
+    # exchanges on paper), but at runtime AQE exchange reuse executes
+    # it once — the staged write was a pure extra write+read job.
+    # Interleaved A/B at sf0.1 (scripts/r13_ab.py, run-for-run
+    # alternated, 21 rounds incl. an order-reversed batch): unstaged
+    # med 3.34/3.69/4.73 s per batch vs staged 4.15/4.05/4.85 s.
+    return assortativity_report(edges)
 
 
 Q_DEGREE_ASSORTATIVITY_SQL = f"""
